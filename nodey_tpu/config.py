@@ -1,0 +1,52 @@
+"""Static configuration constants.
+
+Mirrors the reference's compile-time ``config::`` namespaces
+(reference: include/config.hpp:13-77) plus TPU-specific execution knobs that
+have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+# --- audio (reference: include/config.hpp:16-29) ---------------------------
+SAMPLE_RATE = 48_000          # canonical output sample rate
+BUFFER_SIZE = 2_048           # playback packet size (samples per packet)
+CHANNELS = 2                  # stereo output
+MAX_BUFFER_ITEMS = 3          # max queued playback packets (~128 ms ceiling)
+MAX_BUFFER_SIZE = BUFFER_SIZE * MAX_BUFFER_ITEMS * 4  # bytes of f32
+
+# --- logic (reference: include/config.hpp:42-46) ---------------------------
+AUDIO_INPUT_NODE_NAME = "audio_input"
+AUDIO_OUTPUT_NODE_NAME = "audio_output"
+
+# --- processor constants (reference: include/config.hpp:49-70) -------------
+AUDIO_STREAM_BUFFER_SIZE = 16     # frames per edge channel (streaming mode)
+AUDIO_VOLUME_MAX = 10.0           # gain slider ceiling
+AMIX_STD_SAMPLE_RATE = 48_000     # mixer output rate
+BIMIX_STD_SAMPLE_RATE = 48_000
+
+# --- TPU execution knobs (no reference counterpart) ------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ExecConfig:
+    """Knobs for the graph compiler / runner.
+
+    ``block_size`` is the per-step sample count in streaming mode — the moral
+    equivalent of the reference's decoder-chosen ~1152-sample frames
+    (reference: src/processor/audio-amix.cpp:195), sized for TPU instead:
+    large enough to keep the VPU/MXU busy, small enough for interactive
+    latency at 48 kHz.
+
+    ``pad_quantum`` buckets offline clip lengths so recompiles are rare.
+    """
+
+    block_size: int = 1 << 15          # streaming-mode samples per jit step
+    pad_quantum: int = 1 << 16         # offline length bucketing
+    precision: str = "float32"         # DSP accumulation dtype
+    interpret: bool = False            # force Pallas interpreter mode (tests)
+
+
+DEFAULT_EXEC = ExecConfig()

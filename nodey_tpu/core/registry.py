@@ -1,0 +1,130 @@
+"""Processor base class and static registry.
+
+Mirrors the reference's ``infra::Processor`` ABC + string-keyed metadata
+registry (reference: include/infra/processor.hpp:26-130, src/register.cpp:14-24)
+with one deliberate change: the imperative, channel-pumping
+``process_payload`` is replaced by a pure ``lower()`` that emits JAX ops into
+the fused graph program (see nodey_tpu.core.compiler). UI hooks
+(draw_title/draw_content) are intentionally absent from the core — the engine
+is headless; an editor layers on top (fixing the reference's ImGui coupling
+noted at include/infra/graph.hpp:30).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Type
+
+from nodey_tpu.core.errors import LogicError
+
+
+@dataclasses.dataclass
+class PinAttribute:
+    """Pin metadata (reference: include/infra/processor.hpp:42-49).
+
+    ``type`` is a product-type marker class (e.g.
+    :class:`nodey_tpu.core.stream.AudioStreamType`); link validation compares
+    markers by identity, exactly as the reference compares
+    ``std::type_info`` addresses (include/infra/graph.hpp:167-170).
+    """
+
+    identifier: str
+    display_name: str
+    type: type
+    is_input: bool
+
+
+@dataclasses.dataclass
+class ProcessorInfo:
+    """Processor metadata (reference: include/infra/processor.hpp:51-59)."""
+
+    identifier: str
+    display_name: str
+    singleton: bool
+    generate: Callable[[], "Processor"]
+    description: str = ""
+
+
+class Processor:
+    """Base class for all node processors.
+
+    Subclasses implement:
+
+    * ``info()``   — static metadata (reference: get_processor_info,
+      e.g. src/processor/audio-vol.cpp:33-48)
+    * ``pin_attributes()`` — current pin list; may depend on node state for
+      dynamic arity (reference: Audio_input slots, src/processor/audio-io.cpp:46-67;
+      Audio_amix 1-16 inputs, src/processor/audio-amix.cpp:51-84)
+    * ``serialize()/deserialize()`` — per-node JSON info blob with the exact
+      reference field names (project-file compatibility contract)
+    * ``lower(ctx, inputs) -> outputs`` — emit JAX ops; replaces the
+      reference's process_payload (include/infra/processor.hpp:108-113)
+    """
+
+    def info(self) -> ProcessorInfo:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def pin_attributes(self) -> List[PinAttribute]:  # pragma: no cover
+        raise NotImplementedError
+
+    def serialize(self) -> Any:
+        """Export node settings as a JSON-compatible value.
+
+        Default: empty object — matching reference nodes whose serialize
+        returns ``{}`` (e.g. Audio_vol, include/processor/audio-vol.hpp:57-58).
+        """
+        return {}
+
+    def deserialize(self, value: Any) -> None:
+        """Restore node settings from :meth:`serialize` output. Default: no-op."""
+
+    def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        """Emit this node's DSP into the traced graph program.
+
+        ``inputs`` maps input-pin identifier -> Stream (absent if unconnected,
+        like the reference's optional get_input_item,
+        include/infra/processor.hpp:134-155). Returns output-pin identifier ->
+        Stream. Source nodes read external data via ``ctx.external``; sink
+        nodes register program outputs via ``ctx.emit``.
+        """
+        raise NotImplementedError
+
+
+# The static registry (reference: include/infra/processor.hpp:80,
+# src/infra/processor.cpp:5).
+processor_map: Dict[str, ProcessorInfo] = {}
+
+
+def register_processor(cls: Type[Processor]) -> Type[Processor]:
+    """Register a processor class (reference: include/infra/processor.hpp:116-129).
+
+    Usable as a decorator. Raises LogicError on duplicate identifiers, like
+    the reference.
+    """
+    info = cls().info()
+    if info.identifier in processor_map:
+        raise LogicError(
+            f"Processor with identifier '{info.identifier}' already registered"
+        )
+    processor_map[info.identifier] = info
+    return cls
+
+
+def get_processor_info(identifier: str) -> Optional[ProcessorInfo]:
+    return processor_map.get(identifier)
+
+
+_registered = False
+
+
+def register_all_processors() -> None:
+    """Populate the registry with every built-in node
+    (reference: src/register.cpp:14-24). Idempotent."""
+    global _registered
+    if _registered:
+        return
+    _registered = True
+    # Imported here to avoid circular imports at package load.
+    from nodey_tpu.processors import register_builtin_processors
+
+    register_builtin_processors()

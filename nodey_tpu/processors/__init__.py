@@ -1,0 +1,45 @@
+"""Built-in node processors.
+
+The eight reference node types with exact identifiers, pin names and serde
+(reference: src/register.cpp:14-24):
+
+    audio_input, audio_output, audio_volume_adjust, velocity_modifier,
+    pitch_modifier, audio_amix, audio_bimix, audio_bimix_v2
+
+plus three target-spec extensions the reference promised but never shipped
+(BASELINE configs 2/4/5; FFTW declared-but-unused, reference xmake.lua:15):
+
+    audio_split, audio_resample, audio_spectrum
+"""
+
+from __future__ import annotations
+
+from nodey_tpu.core.registry import register_processor
+
+
+def register_builtin_processors() -> None:
+    """Register every built-in node (reference: src/register.cpp:14-24)."""
+    from nodey_tpu.processors.audio_input import AudioInput
+    from nodey_tpu.processors.audio_output import AudioOutput
+    from nodey_tpu.processors.audio_vol import AudioVol
+    from nodey_tpu.processors.velocity import PitchModifier, VelocityModifier
+    from nodey_tpu.processors.amix import AudioAmix
+    from nodey_tpu.processors.bimix import AudioBimix, AudioBimixV2
+    from nodey_tpu.processors.split import AudioSplit
+    from nodey_tpu.processors.resample_node import AudioResample
+    from nodey_tpu.processors.spectrum import AudioSpectrum
+
+    for cls in (
+        AudioInput,
+        AudioOutput,
+        AudioVol,
+        VelocityModifier,
+        PitchModifier,
+        AudioAmix,
+        AudioBimix,
+        AudioBimixV2,
+        AudioSplit,
+        AudioResample,
+        AudioSpectrum,
+    ):
+        register_processor(cls)

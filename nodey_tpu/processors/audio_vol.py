@@ -1,0 +1,71 @@
+"""Volume adjustment node.
+
+Reference: ``processor::Audio_vol`` (src/processor/audio-vol.cpp).
+Per-sample gain in the ORIGIN sample format's arithmetic: float streams are
+scaled without clamping; integer-origin streams reproduce the reference's
+``apply_volume<T>`` clamp-then-truncate semantics (audio-vol.cpp:14-29) so
+output is bit-identical to the C++ path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+from nodey_tpu import config
+from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.registry import PinAttribute, Processor, ProcessorInfo
+from nodey_tpu.core.stream import AudioStreamType
+
+_DESCRIPTION = """Audio Volume Adjuster
+
+## Functionality
+- Adjusts the volume of audio streams by a specified factor
+- Supports mono and stereo audio formats
+
+## Usage
+- Connect audio input streams to the 'Input' pin
+- Set the desired volume adjustment factor
+"""
+
+
+class AudioVol(Processor):
+    def __init__(self) -> None:
+        # Default matches the reference (include/processor/audio-vol.hpp:34).
+        self.volume: float = 1.0
+
+    def info(self) -> ProcessorInfo:
+        return ProcessorInfo(
+            identifier="audio_volume_adjust",
+            display_name="Adjust Volume",
+            singleton=False,
+            generate=AudioVol,
+            description=_DESCRIPTION,
+        )
+
+    def pin_attributes(self) -> List[PinAttribute]:
+        return [
+            PinAttribute("output", "Output", AudioStreamType, is_input=False),
+            PinAttribute("input", "Input", AudioStreamType, is_input=True),
+        ]
+
+    def set_volume(self, volume: float) -> None:
+        """Clamped setter (reference slider bounds: audio-vol.cpp:262-270,
+        include/config.hpp:58)."""
+        self.volume = min(max(float(volume), 0.0), config.AUDIO_VOLUME_MAX)
+
+    # serialize: the reference deliberately persists NOTHING for this node
+    # (include/processor/audio-vol.hpp:57-58) — a project-file quirk we keep
+    # for byte-semantics compatibility. Base-class {} / no-op defaults apply.
+
+    def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        stream = inputs.get("input")
+        if stream is None:
+            raise ProcessorRuntimeError(
+                "Volume adjust processor has no input",
+                "Volume adjust processor requires an audio stream input to "
+                "function properly.",
+                "Input item 'input' not found",
+            )
+        from nodey_tpu.ops import gain as gain_ops
+
+        return {"output": gain_ops.apply_gain(stream, self.volume)}

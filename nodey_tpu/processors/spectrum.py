@@ -1,0 +1,69 @@
+"""STFT spectrum tap node (target-spec extension).
+
+The reference declares FFTW for a "spectrum display" it never ships
+(reference: README.md:28, xmake.lua:15 — zero call sites). BASELINE config 5
+requires the node. It is a TAP: audio passes through unchanged on the
+``output`` pin while the magnitude spectrogram is emitted as a side output of
+the fused program (``jnp.fft`` on device — the TPU answer to FFTW).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.registry import PinAttribute, Processor, ProcessorInfo
+from nodey_tpu.core.stream import AudioStreamType
+
+
+class AudioSpectrum(Processor):
+    def __init__(self) -> None:
+        self.n_fft: int = 1024
+        self.hop: int = 512
+
+    def info(self) -> ProcessorInfo:
+        return ProcessorInfo(
+            identifier="audio_spectrum",
+            display_name="Spectrum",
+            singleton=False,
+            generate=AudioSpectrum,
+            description=(
+                "STFT Spectrum Tap\n\n## Functionality\n"
+                "- Passes audio through unchanged\n"
+                "- Emits a Hann-windowed magnitude spectrogram side output\n"
+            ),
+        )
+
+    def pin_attributes(self) -> List[PinAttribute]:
+        return [
+            PinAttribute("output", "Output", AudioStreamType, is_input=False),
+            PinAttribute("input", "Input", AudioStreamType, is_input=True),
+        ]
+
+    def serialize(self) -> Any:
+        return {"n_fft": self.n_fft, "hop": self.hop}
+
+    def deserialize(self, value: Any) -> None:
+        if isinstance(value, dict):
+            n_fft = value.get("n_fft")
+            hop = value.get("hop")
+            if isinstance(n_fft, int) and not isinstance(n_fft, bool):
+                self.n_fft = n_fft
+            if isinstance(hop, int) and not isinstance(hop, bool):
+                self.hop = hop
+
+    def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        stream = inputs.get("input")
+        if stream is None:
+            raise ProcessorRuntimeError(
+                "Spectrum processor has no input",
+                "Spectrum requires an audio stream input to function properly.",
+                "Input item 'input' not found",
+            )
+        from nodey_tpu.ops import stft as stft_ops
+
+        spectrum = stft_ops.magnitude_spectrogram(
+            stream, n_fft=self.n_fft, hop=self.hop
+        )
+        ctx.emit(f"spectrum_{ctx.node_id}", spectrum)
+        return {"output": stream}

@@ -1,0 +1,145 @@
+"""Tempo (velocity) and pitch modifier nodes.
+
+Reference: ``processor::Velocity_modifier`` / ``Pitch_modifier``
+(src/processor/audio-velocity.cpp). The reference drives SoundTouch with
+``setRate(r)`` + ``setPitch(p)``; SoundTouch internally factors that into an
+effective resampling rate ``r * p`` and an effective WSOLA tempo ``1 / p``:
+
+* Velocity, keep_pitch=False: rate=v, pitch=1  -> pure resample by v
+* Velocity, keep_pitch=True:  rate=v, pitch=1/v -> pure WSOLA tempo v
+  (audio-velocity.cpp:446-460)
+* Pitch: rate=1, pitch=2^(semitones/12) -> resample by p + WSOLA tempo 1/p,
+  preserving duration (audio-velocity.cpp:463-477)
+
+Our ops implement both stages TPU-side (nodey_tpu.ops.stretch): WSOLA as a
+scan of MXU correlation searches, the rate stage as the polyphase resampler.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.registry import PinAttribute, Processor, ProcessorInfo
+from nodey_tpu.core.stream import AudioStreamType
+
+
+def _audio_pins() -> List[PinAttribute]:
+    return [
+        PinAttribute("output", "Output", AudioStreamType, is_input=False),
+        PinAttribute("input", "Input", AudioStreamType, is_input=True),
+    ]
+
+
+def _require_input(inputs: Dict[str, Any], processor_name: str):
+    stream = inputs.get("input")
+    if stream is None:
+        # Reference: audio-velocity.cpp:278-283.
+        raise ProcessorRuntimeError(
+            f"{processor_name} has no input",
+            f"{processor_name} requires an audio stream input to function "
+            "properly.",
+            "Input item 'input' not found",
+        )
+    if stream.rate < 8_000 or stream.rate > 48_000:
+        # Reference sample-rate guard: audio-velocity.cpp:371-379.
+        raise ProcessorRuntimeError(
+            "Unsupported sample rate",
+            f"{processor_name} requires a sample rate between 8000 and "
+            "48000 Hz.",
+            f"Sample rate: {stream.rate}",
+        )
+    return stream
+
+
+class VelocityModifier(Processor):
+    def __init__(self) -> None:
+        # Defaults: include/processor/audio-velocity.hpp:11-12.
+        self.velocity: float = 1.0
+        self.keep_pitch: bool = False
+
+    def info(self) -> ProcessorInfo:
+        return ProcessorInfo(
+            identifier="velocity_modifier",
+            display_name="Velocity Modifier",
+            singleton=False,
+            generate=VelocityModifier,
+            description=(
+                "Audio Velocity Modifier\n\n## Functionality\n"
+                "- Adjusts the velocity of audio streams\n"
+                "- Supports pitch preservation with velocity adjustment\n"
+            ),
+        )
+
+    def pin_attributes(self) -> List[PinAttribute]:
+        return _audio_pins()
+
+    def set_velocity(self, velocity: float) -> None:
+        """Clamped setter (reference slider 0.5-3.0x, audio-velocity.cpp:115-124)."""
+        self.velocity = min(max(float(velocity), 0.5), 3.0)
+
+    # -- serde (reference: audio-velocity.cpp:479-493) -----------------------
+
+    def serialize(self) -> Any:
+        return {"velocity": self.velocity, "keep_pitch": self.keep_pitch}
+
+    def deserialize(self, value: Any) -> None:
+        # Tolerant field-by-field restore, like the reference.
+        if isinstance(value, dict):
+            v = value.get("velocity")
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                self.velocity = float(v)
+            kp = value.get("keep_pitch")
+            if isinstance(kp, bool):
+                self.keep_pitch = kp
+
+    def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        stream = _require_input(inputs, "Velocity Modifier")
+        from nodey_tpu.ops import stretch as stretch_ops
+
+        pitch = (1.0 / self.velocity) if self.keep_pitch else 1.0
+        out = stretch_ops.soundtouch_like(
+            ctx, stream, rate=self.velocity, pitch=pitch
+        )
+        return {"output": out}
+
+
+class PitchModifier(Processor):
+    def __init__(self) -> None:
+        # Default: include/processor/audio-velocity.hpp:44.
+        self.pitch: float = 0.0
+
+    def info(self) -> ProcessorInfo:
+        return ProcessorInfo(
+            identifier="pitch_modifier",
+            display_name="Pitch Modifier",
+            singleton=False,
+            generate=PitchModifier,
+            description=(
+                "Audio Pitch Modifier\n\n## Functionality\n"
+                "- Adjusts the pitch of audio streams by a note value\n"
+            ),
+        )
+
+    def pin_attributes(self) -> List[PinAttribute]:
+        return _audio_pins()
+
+    # -- serde (reference: audio-velocity.cpp:495-505) -----------------------
+
+    def serialize(self) -> Any:
+        return {"pitch": self.pitch}
+
+    def deserialize(self, value: Any) -> None:
+        if isinstance(value, dict):
+            p = value.get("pitch")
+            if isinstance(p, (int, float)) and not isinstance(p, bool):
+                self.pitch = float(p)
+
+    def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        stream = _require_input(inputs, "Pitch Modifier")
+        from nodey_tpu.ops import stretch as stretch_ops
+
+        out = stretch_ops.soundtouch_like(
+            ctx, stream, rate=1.0, pitch=2.0 ** (self.pitch / 12.0)
+        )
+        return {"output": out}
