@@ -1,0 +1,133 @@
+"""Headless CLI — the engine-facing replacement for the reference's editor
+orchestration (reference: src/frontend/app.cpp preview/export flows,
+app.cpp:2001-2094), with the same Process_context routing: export mode feeds
+LAME, preview mode renders the clamped 48 kHz stereo stream to a WAV sink
+(no SDL device in CI — the file sink the survey prescribes, SURVEY.md §4.3).
+
+Usage:
+    python -m nodey_tpu.app.cli run project.json --export out.mp3 --kbps 320
+    python -m nodey_tpu.app.cli run project.json --preview out.wav
+    python -m nodey_tpu.app.cli validate project.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from nodey_tpu.core import registry
+from nodey_tpu.core.errors import NodeyError, ProcessorRuntimeError
+from nodey_tpu.core.graph import Graph
+from nodey_tpu.core.runner import Runner
+from nodey_tpu.host import decode as host_decode
+
+
+def _load_graph(path: str) -> Graph:
+    registry.register_all_processors()
+    with open(path) as f:
+        blob = json.load(f)
+    return Graph.deserialize(blob)
+
+
+def cmd_validate(args) -> int:
+    graph = _load_graph(args.project)
+    graph.check_graph()
+    print(
+        f"OK: {len(graph.nodes)} nodes, {len(graph.links)} links, "
+        f"singletons: {sorted(graph.singleton_node_map)}"
+    )
+    return 0
+
+
+def cmd_run(args) -> int:
+    graph = _load_graph(args.project)
+    runner = Runner(graph)
+
+    if args.export:
+        last = [0.0]
+
+        def progress(seconds: float) -> None:
+            if seconds - last[0] >= 1.0:
+                last[0] = seconds
+                print(f"  encoded {seconds:8.1f} s", file=sys.stderr)
+
+        metrics = runner.export(args.export, kbps=args.kbps, progress=progress)
+        print(
+            f"exported {args.export}: {metrics.audio_seconds:.2f} audio-s in "
+            f"{metrics.wall_seconds:.2f} s wall "
+            f"(RTF {metrics.rtf:.0f}x; decode {metrics.decode_seconds:.2f}s, "
+            f"compile {metrics.compile_seconds:.2f}s, "
+            f"device {metrics.device_seconds:.3f}s, "
+            f"encode {metrics.encode_seconds:.2f}s)"
+        )
+    else:
+        result = runner.preview()
+        if result.master is None:
+            raise ProcessorRuntimeError(
+                "Preview produced no audio",
+                "The graph has no audio_output node receiving a stream.",
+                "preview output missing",
+            )
+        out = args.preview or "preview.wav"
+        if args.realtime:
+            # Paced playback emulation: feed the sink at 1.0x wall-clock in
+            # playback-buffer packets, mirroring the reference's SDL
+            # backpressure pacing (audio-io.cpp:620-624).
+            from nodey_tpu import config as cfg
+
+            n = result.master.shape[1]
+            t0 = time.perf_counter()
+            for start in range(0, n, cfg.BUFFER_SIZE):
+                target = start / cfg.SAMPLE_RATE
+                while time.perf_counter() - t0 < target:
+                    time.sleep(0.001)
+            print(f"realtime preview pacing done ({n / cfg.SAMPLE_RATE:.2f} s)")
+        host_decode.write_wav(out, result.master, result.rate)
+        m = result.metrics
+        print(
+            f"previewed -> {out}: {m.audio_seconds:.2f} audio-s, "
+            f"RTF {m.rtf:.0f}x"
+        )
+        for key, spec in result.spectra.items():
+            print(f"  spectrum '{key}': shape {spec.shape}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="nodey_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="execute a project graph")
+    p_run.add_argument("project")
+    p_run.add_argument("--export", help="MP3 output path")
+    p_run.add_argument("--kbps", type=int, default=320,
+                       choices=[64, 96, 128, 160, 192, 256, 320])
+    p_run.add_argument("--preview", help="preview WAV output path")
+    p_run.add_argument("--realtime", action="store_true",
+                       help="pace preview at 1x wall-clock")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_val = sub.add_parser("validate", help="validate a project file")
+    p_val.add_argument("project")
+    p_val.set_defaults(fn=cmd_validate)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.fn(args)
+    except ProcessorRuntimeError as exc:
+        # The reference surfaces the three-part error in a popup
+        # (app.cpp:2097-2122); the CLI prints the same structure.
+        print(f"error: {exc.message}", file=sys.stderr)
+        print(f"  explanation: {exc.explanation}", file=sys.stderr)
+        if exc.detail:
+            print(f"  detail: {exc.detail}", file=sys.stderr)
+        return 1
+    except NodeyError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,244 @@
+"""The Runner: orchestrates decode -> compile -> execute -> sink.
+
+Replaces the reference Runner's fiber orchestration
+(reference: src/infra/runner.cpp:11-154) and the App's preview/export
+plumbing (src/frontend/app.cpp:2001-2094):
+
+* per-node fibers -> one fused jitted program (core.compiler)
+* per-edge channels -> SSA values
+* Process_context injection -> the ``mode`` argument
+* per-fiber exception capture -> the state machine below: errors land in
+  ``self.error`` with state Error, mirroring Processor_resource
+  (runner.hpp:36-50), and are re-raised to the caller with the three-part
+  user error shape intact
+* progress atomic -> the ``progress`` callback
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import hashlib
+import json
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from nodey_tpu import config as cfg
+from nodey_tpu.core import compiler
+from nodey_tpu.core.errors import NodeyError, ProcessorRuntimeError
+from nodey_tpu.core.graph import Graph
+from nodey_tpu.host import decode as host_decode
+from nodey_tpu.host import encode as host_encode
+
+
+class RunnerState(enum.Enum):
+    """reference: include/infra/runner.hpp:25-31."""
+
+    READY = "ready"
+    RUNNING = "running"
+    FINISHED = "finished"
+    ERROR = "error"
+
+
+@dataclasses.dataclass
+class RunMetrics:
+    """Per-run metrics (SURVEY.md §5.5): RTF is the north-star number."""
+
+    audio_seconds: float = 0.0
+    wall_seconds: float = 0.0
+    decode_seconds: float = 0.0
+    compile_seconds: float = 0.0
+    device_seconds: float = 0.0
+    encode_seconds: float = 0.0
+
+    @property
+    def rtf(self) -> float:
+        return self.audio_seconds / self.wall_seconds if self.wall_seconds else 0.0
+
+
+@dataclasses.dataclass
+class RunResult:
+    master: Optional[np.ndarray]  # [channels, n] float32 (valid length only)
+    rate: int
+    fmt: str
+    spectra: Dict[str, np.ndarray]
+    metrics: RunMetrics
+
+
+def _bucket(n: int, quantum: int) -> int:
+    """Round a clip length up to the padding quantum so recompiles are rare."""
+    return max(quantum, -(-n // quantum) * quantum)
+
+
+class Runner:
+    """Executes a validated graph in export or preview mode."""
+
+    def __init__(self, graph: Graph, exec_config: cfg.ExecConfig = cfg.DEFAULT_EXEC):
+        self.graph = graph
+        self.exec_config = exec_config
+        self.state = RunnerState.READY
+        self.error: Optional[BaseException] = None
+        self._compile_cache: Dict[str, compiler.CompiledGraph] = {}
+
+    # -- decode -------------------------------------------------------------
+
+    def _decode_inputs(self):
+        """Decode every audio_input slot host-side.
+
+        The per-file fan-out the reference runs as nested fibers
+        (audio-io.cpp:242-279) is sequential host work here; the heavy
+        parallelism lives on-device."""
+        arrays: Dict[str, np.ndarray] = {}
+        lengths: Dict[str, int] = {}
+        sources: Dict[Tuple[int, str], compiler.SourceSpec] = {}
+        for nid, node in self.graph.nodes.items():
+            proc = node.processor
+            if proc.info().identifier != cfg.AUDIO_INPUT_NODE_NAME:
+                continue
+            for i, path in enumerate(proc.file_paths):
+                decoded = host_decode.decode_file(path)
+                n = decoded.num_samples
+                capacity = _bucket(n, self.exec_config.pad_quantum)
+                padded = np.zeros(
+                    (decoded.channels, capacity), dtype=np.float32
+                )
+                padded[:, :n] = decoded.data
+                key = compiler.external_key(nid, f"output_{i}")
+                arrays[key] = padded
+                lengths[key] = n
+                sources[(nid, f"output_{i}")] = compiler.SourceSpec(
+                    rate=decoded.rate,
+                    channels=decoded.channels,
+                    fmt=decoded.fmt,
+                    capacity=capacity,
+                    t0_us=float(decoded.pts0_us),
+                )
+        return arrays, lengths, sources
+
+    # -- compile ------------------------------------------------------------
+
+    def _graph_fingerprint(self, sources, mode: str) -> str:
+        """Cache key over graph structure + node params + source formats.
+
+        Node params must come from live state (not serialize(): the gain
+        node's volume is deliberately absent there, SURVEY.md §2.2)."""
+        payload = {
+            "serde": self.graph.serialize(),
+            "params": {
+                str(nid): sorted(
+                    (k, repr(v)) for k, v in vars(node.processor).items()
+                )
+                for nid, node in self.graph.nodes.items()
+            },
+            "sources": sorted(
+                (nid, pin, dataclasses.astuple(spec))
+                for (nid, pin), spec in sources.items()
+            ),
+            "mode": mode,
+        }
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True, default=str).encode()
+        ).hexdigest()
+
+    def _compile(self, sources, mode: str) -> Tuple[compiler.CompiledGraph, float]:
+        key = self._graph_fingerprint(sources, mode)
+        cached = self._compile_cache.get(key)
+        if cached is not None:
+            return cached, 0.0
+        t0 = time.perf_counter()
+        compiled = compiler.compile_graph(self.graph, sources, mode=mode)
+        dt = time.perf_counter() - t0
+        self._compile_cache[key] = compiled
+        return compiled, dt
+
+    # -- execute ------------------------------------------------------------
+
+    def render(self, mode: str = "export") -> RunResult:
+        """Run the graph once; returns the master mix (+ spectra).
+
+        ``mode='export'`` leaves the master at native rate for the encoder
+        (LAME resamples, like the reference); ``mode='preview'`` produces
+        clamped 48 kHz stereo (reference: do_preview, audio-io.cpp:504-637).
+        """
+        self.state = RunnerState.RUNNING
+        self.error = None
+        metrics = RunMetrics()
+        wall0 = time.perf_counter()
+        try:
+            t0 = time.perf_counter()
+            arrays, lengths, sources = self._decode_inputs()
+            metrics.decode_seconds = time.perf_counter() - t0
+
+            compiled, metrics.compile_seconds = self._compile(sources, mode)
+
+            t0 = time.perf_counter()
+            outputs = compiled.run(arrays, lengths)
+            metrics.device_seconds = time.perf_counter() - t0
+
+            master = None
+            rate = cfg.SAMPLE_RATE
+            fmt = "flt"
+            spectra: Dict[str, np.ndarray] = {}
+            master_key = "master" if mode == "export" else "preview"
+            for key, meta in compiled.output_meta.items():
+                if meta["kind"] == "stream" and key == master_key:
+                    data, length = outputs[key]
+                    master = np.asarray(data)[:, : int(length)]
+                    rate = meta["rate"]
+                    fmt = meta["fmt"]
+                elif meta["kind"] == "array":
+                    spectra[key] = np.asarray(outputs[key])
+
+            metrics.wall_seconds = time.perf_counter() - wall0
+            if master is not None:
+                metrics.audio_seconds = master.shape[1] / rate
+            self.state = RunnerState.FINISHED
+            return RunResult(
+                master=master, rate=rate, fmt=fmt, spectra=spectra,
+                metrics=metrics,
+            )
+        except BaseException as exc:
+            # Error capture mirrors the reference's per-fiber catch
+            # (runner.cpp:87-136) + poll_state routing (app.cpp:2097-2149).
+            self.state = RunnerState.ERROR
+            self.error = exc
+            raise
+
+    def export(
+        self,
+        path: str,
+        kbps: int = 320,
+        progress: Optional[Callable[[float], None]] = None,
+    ) -> RunMetrics:
+        """Render + MP3-encode (reference: create_export_runner,
+        app.cpp:2042-2094, and do_export, audio-io.cpp:640-844)."""
+        result = self.render(mode="export")
+        if result.master is None:
+            raise ProcessorRuntimeError(
+                "Export produced no audio",
+                "The graph has no audio_output node receiving a stream.",
+                "master output missing",
+            )
+        t0 = time.perf_counter()
+        try:
+            host_encode.encode_mp3(
+                path,
+                result.master,
+                rate=result.rate,
+                kbps=kbps,
+                fmt=result.fmt,
+                progress=progress,
+            )
+        except NodeyError as exc:
+            self.state = RunnerState.ERROR
+            self.error = exc
+            raise
+        result.metrics.encode_seconds = time.perf_counter() - t0
+        result.metrics.wall_seconds += result.metrics.encode_seconds
+        return result.metrics
+
+    def preview(self) -> RunResult:
+        """Offline preview render: clamped 48 kHz stereo master."""
+        return self.render(mode="preview")

@@ -1,0 +1,225 @@
+"""Rational polyphase resampling as one MXU matmul per block.
+
+Replaces every libswresample call site in the reference (mixer input
+normalization, audio-amix.cpp:206-243; bimix sides, audio-bimix.cpp:196-243;
+preview output, audio-io.cpp:532-615; the Audio_resampler utility,
+include/utility/sw-resample.hpp:14-71).
+
+Design (TPU-first, not a translation):
+
+* For a rational rate change L/M (reduced), output sample j lies at input
+  position t_j = j*M/L. Group outputs into blocks of L: within a group all L
+  phase filters read from one shared input window of width W = M + T - 1
+  (T = taps per output). Embedding each phase's taps at its integer offset
+  into a [L, W] filter bank turns the whole resample into a single strided
+  cross-correlation:
+
+      y[c, g*L + p] = sum_w  x[c, g*M + w] * H[p, w]
+
+  i.e. ``lax.conv_general_dilated`` with stride M and L output features —
+  which XLA lowers to an implicit [G, W] x [W, L] matmul on the MXU. No
+  gathers, no scalar loops, no per-sample control flow.
+
+* The filter bank is a Kaiser windowed sinc designed host-side in float64
+  (NumPy) and baked into the program as a constant. Parameters default to
+  libswresample's quality point (cutoff 0.97 of the narrower Nyquist,
+  Kaiser beta 9, 32 input taps) and each phase is normalized to unit DC gain
+  like swr's build_filter — golden tests in tests/test_resample.py hold the
+  device path to >= 90 dB SNR against the real libswresample via the native
+  oracle (nodey_tpu/host/native/swr_shim.cpp).
+
+Channel rematrix constants match libswresample's defaults (measured through
+the oracle): mono->stereo duplicates at -3 dB (1/sqrt(2)), stereo->mono sums
+at -3 dB.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.stream import FMT_FLT, Stream
+
+# libswresample default rematrix gain (measured: see SURVEY/M1 notes).
+SQRT1_2 = 0.7071067811865476
+
+# Filter quality point.
+DEFAULT_TAPS = 32      # input-sample support per output (swr filter_size)
+DEFAULT_BETA = 9.0     # Kaiser beta (swr kaiser_beta default)
+DEFAULT_CUTOFF = 0.97  # fraction of the narrower Nyquist (swr cutoff)
+MAX_PHASES = 8192      # rational-phase ceiling before refusing
+
+
+@functools.lru_cache(maxsize=64)
+def _design_filter_bank(
+    L: int, M: int, taps: int, beta: float, cutoff: float
+) -> np.ndarray:
+    """Build the [L, W] embedded polyphase filter bank (float64 -> float32).
+
+    Phase p reads input window positions w in [o_p, o_p + taps) where
+    o_p = floor(p*M/L); tap i weights input sample at integer position
+    k = o_p - taps/2 + 1 + i relative to the output's input-time t = p*M/L,
+    so the sinc argument is t - k. Each phase normalized to sum 1 (unit DC
+    gain, as swr does).
+
+    When downsampling, the tap support stretches by M/L (libswresample scales
+    its filter_size the same way) so the transition band stays proportional
+    to the narrower Nyquist. Callers must pass taps through
+    ``_effective_taps`` already."""
+    W = M + taps - 1
+    bank = np.zeros((L, W), dtype=np.float64)
+    # Cutoff as cycles/input-sample: 0.5 * min(1, L/M) * cutoff.
+    fc = 0.5 * min(1.0, L / M) * cutoff
+    half = taps / 2.0
+    for p in range(L):
+        t = p * M / L
+        o = math.floor(t)
+        d = t - o
+        i = np.arange(taps, dtype=np.float64)
+        # Input integer positions k = o - taps/2 + 1 + i; argument t - k.
+        arg = d + half - 1.0 - i
+        h = 2.0 * fc * np.sinc(2.0 * fc * arg)
+        # Kaiser window over the tap span (centered on the output position).
+        x = arg / half
+        x = np.clip(x, -1.0, 1.0)
+        w = np.i0(beta * np.sqrt(1.0 - x * x)) / np.i0(beta)
+        h = h * w
+        h /= h.sum()
+        bank[p, o : o + taps] = h
+    return bank.astype(np.float32)
+
+
+def _rational(in_rate: int, out_rate: int):
+    g = math.gcd(in_rate, out_rate)
+    return out_rate // g, in_rate // g  # L, M
+
+
+def _effective_taps(L: int, M: int, taps: int) -> int:
+    """Stretch tap support by M/L when downsampling (swr's filter_size
+    scaling), kept even."""
+    if M > L:
+        taps = -(-taps * M // L)
+        taps += taps & 1
+    return taps
+
+
+def out_capacity(capacity: int, in_rate: int, out_rate: int) -> int:
+    L, M = _rational(in_rate, out_rate)
+    return -(-capacity * L // M)
+
+
+def _out_length(length, L: int, M: int):
+    """ceil(length*L/M) in int32-safe arithmetic (traced)."""
+    return (length // M) * L + ((length % M) * L + M - 1) // M
+
+
+def resample_data(data, in_rate: int, out_rate: int,
+                  taps: int = DEFAULT_TAPS, beta: float = DEFAULT_BETA,
+                  cutoff: float = DEFAULT_CUTOFF):
+    """Resample [C, N] float32 to ceil(N*L/M) output samples (traced)."""
+    if in_rate == out_rate:
+        return data
+    L, M = _rational(in_rate, out_rate)
+    if L > MAX_PHASES:
+        raise ProcessorRuntimeError(
+            "Unsupported resampling ratio",
+            f"Rate pair {in_rate}->{out_rate} needs {L} phases "
+            f"(max {MAX_PHASES}).",
+            "resample_data",
+        )
+    taps = _effective_taps(L, M, taps)
+    C, N = data.shape
+    n_out = -(-N * L // M)
+    G = -(-n_out // L)  # groups of L outputs
+    W = M + taps - 1
+    bank = jnp.asarray(_design_filter_bank(L, M, taps, beta, cutoff))
+
+    # Input index 0 of the conv window corresponds to original sample
+    # -taps/2 + 1; pad accordingly, and right-pad to cover the last group.
+    left = taps // 2 - 1
+    need = (G - 1) * M + W
+    right = max(0, need - left - N)
+    x = jnp.pad(data, ((0, 0), (left, right)))
+
+    out = lax.conv_general_dilated(
+        x[:, None, :],          # [C, 1, Npad]
+        bank[:, None, :],       # [L, 1, W]
+        window_strides=(M,),
+        padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )                           # [C, L, G]
+    y = jnp.transpose(out, (0, 2, 1)).reshape(C, G * L)
+    return y[:, :n_out]
+
+
+def resample_data_reference(data: np.ndarray, in_rate: int, out_rate: int,
+                            taps: int = DEFAULT_TAPS,
+                            beta: float = DEFAULT_BETA,
+                            cutoff: float = DEFAULT_CUTOFF) -> np.ndarray:
+    """NumPy reference of the device path (direct per-output dot products)."""
+    if in_rate == out_rate:
+        return data
+    L, M = _rational(in_rate, out_rate)
+    taps = _effective_taps(L, M, taps)
+    bank = _design_filter_bank(L, M, taps, beta, cutoff)
+    C, N = data.shape
+    n_out = -(-N * L // M)
+    left = taps // 2 - 1
+    G = -(-n_out // L)
+    W = M + taps - 1
+    need = (G - 1) * M + W
+    x = np.pad(data, ((0, 0), (left, max(0, need - left - N))))
+    y = np.zeros((C, G * L), dtype=np.float64)
+    for g in range(G):
+        window = x[:, g * M : g * M + W]
+        y[:, g * L : (g + 1) * L] = window @ bank.T
+    return y[:, :n_out].astype(np.float32)
+
+
+def resample_stream(stream: Stream, out_rate: int) -> Stream:
+    """Resample a Stream, tracking valid length and format tag."""
+    if stream.rate == out_rate:
+        return stream
+    L, M = _rational(stream.rate, out_rate)
+    data = resample_data(stream.data, stream.rate, out_rate)
+    # Zero the tail beyond the valid output length (padding hygiene).
+    n_out_len = _out_length(stream.length, L, M)
+    idx = jnp.arange(data.shape[-1])[None, :]
+    data = jnp.where(idx < n_out_len, data, 0.0)
+    return Stream(
+        data=data,
+        length=n_out_len,
+        rate=out_rate,
+        channels=stream.channels,
+        fmt=FMT_FLT,
+        t0_us=stream.t0_us,
+    )
+
+
+def to_stereo(stream: Stream) -> Stream:
+    """Channel-normalize to stereo with swr's default -3 dB mono upmix."""
+    if stream.channels == 2:
+        return stream
+    data = jnp.concatenate([stream.data, stream.data], axis=0) * SQRT1_2
+    return stream.with_data(data, fmt=FMT_FLT)
+
+
+def to_mono(stream: Stream) -> Stream:
+    """Channel-normalize to mono with swr's default -3 dB downmix."""
+    if stream.channels == 1:
+        return stream
+    data = (stream.data[0:1] + stream.data[1:2]) * SQRT1_2
+    return stream.with_data(data, fmt=FMT_FLT)
+
+
+def to_rate_and_stereo(stream: Stream, out_rate: int) -> Stream:
+    """The preview/mixer input normalization: 48 kHz stereo float
+    (reference: audio-io.cpp:532-615, audio-amix.cpp:206-243)."""
+    return resample_stream(to_stereo(stream), out_rate)

@@ -1,0 +1,50 @@
+"""STFT magnitude spectrogram (the FFTW promise the reference never shipped;
+reference: README.md:28, xmake.lua:15 — zero call sites).
+
+Device-side ``jnp.fft.rfft`` over Hann-windowed frames: framing is a reshape
+of a strided slice (static hop), the FFT batches over all frames at once —
+one large batched FFT instead of FFTW's per-frame plans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from nodey_tpu.core.stream import Stream
+
+
+def magnitude_spectrogram(stream: Stream, n_fft: int = 1024, hop: int = 512):
+    """Return ``[channels, frames, n_fft//2 + 1]`` float32 magnitudes.
+
+    Frames starting beyond the valid length contain window-of-padding zeros;
+    consumers can derive the valid frame count from the stream length
+    (frames_valid = max(0, (length - n_fft) // hop + 1)).
+    """
+    data = stream.data  # [C, N]
+    C, N = data.shape
+    num_frames = max(0, (N - n_fft) // hop + 1)
+    if num_frames == 0:
+        return jnp.zeros((C, 0, n_fft // 2 + 1), dtype=jnp.float32)
+    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    starts = np.arange(num_frames) * hop
+    # Static strided framing: gather contiguous slices via reshape of a
+    # sliding window view built from dynamic_slice-free indexing.
+    idx = starts[:, None] + np.arange(n_fft)[None, :]  # [F, n_fft] static
+    frames = data[:, idx]  # [C, F, n_fft]
+    spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
+    return jnp.abs(spec).astype(jnp.float32)
+
+
+def magnitude_spectrogram_reference(
+    data: np.ndarray, n_fft: int = 1024, hop: int = 512
+) -> np.ndarray:
+    """NumPy reference implementation for tests."""
+    C, N = data.shape
+    num_frames = max(0, (N - n_fft) // hop + 1)
+    window = np.hanning(n_fft).astype(np.float32)
+    out = np.zeros((C, num_frames, n_fft // 2 + 1), dtype=np.float32)
+    for f in range(num_frames):
+        seg = data[:, f * hop : f * hop + n_fft] * window[None, :]
+        out[:, f, :] = np.abs(np.fft.rfft(seg, axis=-1))
+    return out
