@@ -1,0 +1,222 @@
+"""WSOLA time-stretch + pitch transposition (the SoundTouch replacement).
+
+Reference behavior: Velocity/Pitch nodes drive SoundTouch with setRate(r) +
+setPitch(p) (src/processor/audio-velocity.cpp:384-385, 457, 474); SoundTouch
+factors that into an effective resampling rate ``r*p`` and an effective WSOLA
+tempo ``1/p`` — reproduced here as two explicit stages:
+
+1. ``wsola_stretch`` — waveform-similarity overlap-add. The data-dependent
+   seek of the C++ original (a serial correlation loop per frame) becomes a
+   TPU-friendly form: per output frame, ALL candidate offsets are scored at
+   once with one small cross-correlation (a conv -> MXU matmul), followed by
+   argmax + dynamic_slice. Frames run under ``lax.scan`` (the dependence on
+   the previous frame's chosen splice is inherent to WSOLA).
+2. transposition — reuse the polyphase resampler at a rational approximation
+   of the factor (sub-cent accuracy), relabeling the output to the original
+   nominal rate.
+
+Window parameters follow SoundTouch's classic defaults (sequence 40 ms, seek
+15 ms, overlap 8 ms) with linear crossfades. SoundTouch itself is not in the
+image, so parity is held by property tests (duration, pitch tracking,
+spectral purity, determinism) rather than sample-level goldens — the
+reference's own output here is NOT bit-deterministic across builds either
+(floating WSOLA seeks), which is why the north star allows a tolerance bar
+for this path.
+"""
+
+from __future__ import annotations
+
+import fractions
+import math
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from nodey_tpu.core.stream import FMT_FLT, Stream
+from nodey_tpu.ops import resample as resample_ops
+
+SEQUENCE_MS = 40.0
+SEEK_MS = 15.0
+OVERLAP_MS = 8.0
+
+
+def _params(rate: int):
+    seq = max(2, int(rate * SEQUENCE_MS / 1000.0)) & ~1
+    seek = max(2, int(rate * SEEK_MS / 1000.0)) & ~1
+    overlap = max(2, int(rate * OVERLAP_MS / 1000.0)) & ~1
+    return seq, seek, overlap
+
+
+def _out_chunks(capacity_in: int, tempo: float, seq: int, overlap: int) -> int:
+    """Static number of scan steps needed to cover the stretched clip."""
+    stride_out = seq - overlap
+    cap_out = int(math.ceil(capacity_in / tempo)) + stride_out
+    return max(1, -(-(cap_out - overlap) // stride_out))
+
+
+def wsola_stretch_at_rate(data, length, tempo: float, rate: int):
+    """Stretch [C, N] float32 by ``tempo`` (>1 = faster/shorter).
+
+    Returns (out_data [C, M], out_length) where out_length ~= length/tempo.
+    Identity when tempo == 1."""
+    if tempo == 1.0:
+        return data, length
+    return _wsola_impl(data, length, float(tempo), int(rate))
+
+
+def _wsola_impl(data, length, tempo, rate):
+    C, N = data.shape
+    seq, seek, overlap = _params(rate)
+    stride_out = seq - overlap
+    K = _out_chunks(N, tempo, seq, overlap)
+
+    # Integer stepping for input positions: pos_k = round(k*stride_out*tempo).
+    num = int(round(stride_out * tempo * 65536))
+    den = 65536
+
+    # Pad the input so every window read is in-bounds.
+    pad = seek + seq + 2
+    x = jnp.pad(data, ((0, 0), (0, pad + max(0, num // den * K + pad - N))))
+
+    fade_in = (jnp.arange(overlap, dtype=jnp.float32) + 0.5) / overlap
+    fade_out = 1.0 - fade_in
+
+    def step(tail, k):
+        pos = (k * num + den // 2) // den
+        window = lax.dynamic_slice(x, (0, pos), (C, seek + seq))
+        # Normalized cross-correlation of the previous output tail against
+        # every candidate offset in one conv (SoundTouch's seekBestOverlap
+        # scored serially; here all `seek` offsets score in parallel).
+        cand = window[:, : seek + overlap]
+        corr = lax.conv_general_dilated(
+            cand[None, :, :],              # [1, C, seek+overlap]
+            tail[None, :, :],              # [1, C, overlap] (OIH: 1 out feat)
+            window_strides=(1,),
+            padding=[(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+        )[0, 0, :seek + 1]
+        energy = lax.conv_general_dilated(
+            (cand * cand)[None, :, :],
+            jnp.ones((1, C, overlap), dtype=jnp.float32),
+            window_strides=(1,),
+            padding=[(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+        )[0, 0, :seek + 1]
+        score = corr * lax.rsqrt(energy + 1e-9)
+        best = jnp.argmax(score).astype(jnp.int32)
+
+        seg = lax.dynamic_slice(window, (0, best), (C, seq))
+        head = tail * fade_out[None, :] + seg[:, :overlap] * fade_in[None, :]
+        chunk = jnp.concatenate([head, seg[:, overlap:]], axis=1)[
+            :, :stride_out
+        ]
+        new_tail = seg[:, stride_out : stride_out + overlap]
+        return new_tail, chunk
+
+    tail0 = x[:, :overlap]
+    _, chunks = lax.scan(step, tail0, jnp.arange(K, dtype=jnp.int32))
+    # chunks: [K, C, stride_out] -> [C, overlap + K*stride_out]
+    body = jnp.transpose(chunks, (1, 0, 2)).reshape(C, K * stride_out)
+    out = jnp.concatenate([x[:, :overlap], body], axis=1)
+
+    out_length = jnp.minimum(
+        (length.astype(jnp.float32) / tempo).astype(jnp.int32),
+        out.shape[1],
+    )
+    idx = jnp.arange(out.shape[1])[None, :]
+    out = jnp.where(idx < out_length, out, 0.0)
+    return out, out_length
+
+
+def _rational_factor(factor: float, max_den: int = 600):
+    """Approximate an arbitrary transposition factor as L/M with sub-cent
+    error (SoundTouch's transposer interpolates continuously; a <=1e-5
+    relative rational approximation is far below audibility and keeps the
+    polyphase bank small)."""
+    frac = fractions.Fraction(factor).limit_denominator(max_den)
+    return frac.numerator, frac.denominator
+
+
+def transpose_rate(data, length, factor: float):
+    """Resample [C, N] by ``factor`` (>1 = fewer samples, higher pitch when
+    relabeled at the same nominal rate)."""
+    if factor == 1.0:
+        return data, length
+    num, den = _rational_factor(factor)
+    # consume `num` input samples per `den` output samples: in_rate=num,
+    # out_rate=den in resampler terms.
+    out = resample_ops.resample_data(data, num, den)
+    out_length = (length // num) * den + ((length % num) * den + num - 1) // num
+    idx = jnp.arange(out.shape[1])[None, :]
+    out = jnp.where(idx < out_length, out, 0.0)
+    return out, out_length
+
+
+def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float) -> Stream:
+    """Apply the SoundTouch (rate, pitch) pair to a stream.
+
+    Effective decomposition (SoundTouch semantics):
+        transposition factor = rate * pitch
+        WSOLA tempo          = 1 / pitch   (virtualTempo == 1 in both nodes)
+    Tempo runs first, then transposition (SoundTouch orders by rate for
+    cache reasons; the stages commute in the linear-signal sense).
+    """
+    eff_rate = rate * pitch
+    eff_tempo = 1.0 / pitch
+
+    data, length = stream.data, stream.length
+    if abs(eff_tempo - 1.0) > 1e-9:
+        data, length = wsola_stretch_at_rate(
+            data, length, eff_tempo, stream.rate
+        )
+    if abs(eff_rate - 1.0) > 1e-9:
+        data, length = transpose_rate(data, length, eff_rate)
+    return Stream(
+        data=data,
+        length=length,
+        rate=stream.rate,
+        channels=stream.channels,
+        fmt=FMT_FLT,
+        t0_us=stream.t0_us,
+    )
+
+
+# -- NumPy reference (host-side mirror for tests) ---------------------------
+
+
+def wsola_stretch_reference(
+    data: np.ndarray, tempo: float, rate: int = 48_000
+) -> np.ndarray:
+    """Direct NumPy mirror of the device WSOLA (same parameters/decisions)."""
+    C, N = data.shape
+    seq, seek, overlap = _params(rate)
+    stride_out = seq - overlap
+    K = _out_chunks(N, tempo, seq, overlap)
+    num = int(round(stride_out * tempo * 65536))
+    den = 65536
+    pad = seek + seq + 2
+    x = np.pad(data, ((0, 0), (0, pad + max(0, num // den * K + pad - N))))
+    fade_in = (np.arange(overlap, dtype=np.float32) + 0.5) / overlap
+    fade_out = 1.0 - fade_in
+
+    out = [x[:, :overlap].copy()]
+    tail = x[:, :overlap].copy()
+    for k in range(K):
+        pos = (k * num + den // 2) // den
+        window = x[:, pos : pos + seek + seq]
+        scores = np.empty(seek + 1, dtype=np.float32)
+        for o in range(seek + 1):
+            cand = window[:, o : o + overlap]
+            corr = float((tail * cand).sum())
+            energy = float((cand * cand).sum())
+            scores[o] = corr / math.sqrt(energy + 1e-9)
+        best = int(np.argmax(scores))
+        seg = window[:, best : best + seq]
+        head = tail * fade_out[None, :] + seg[:, :overlap] * fade_in[None, :]
+        chunk = np.concatenate([head, seg[:, overlap:]], axis=1)[:, :stride_out]
+        out.append(chunk)
+        tail = seg[:, stride_out : stride_out + overlap].copy()
+    return np.concatenate(out, axis=1)

@@ -1,0 +1,206 @@
+"""WSOLA / pitch / velocity property tests (BASELINE config 4 path).
+
+SoundTouch is absent from the image, so parity is held by the properties the
+reference guarantees: duration scaling, pitch tracking, spectral purity
+through splices, determinism, and the SoundTouch (rate, pitch) composition
+rules (src/processor/audio-velocity.cpp:446-477)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nodey_tpu.core import registry
+from nodey_tpu.core.stream import Stream
+from nodey_tpu.ops.stretch import (
+    soundtouch_like,
+    transpose_rate,
+    wsola_stretch_at_rate,
+    wsola_stretch_reference,
+)
+
+RATE = 48_000
+
+
+@pytest.fixture(autouse=True)
+def _register():
+    registry.register_all_processors()
+
+
+def tone(freq=440.0, seconds=1.0, channels=1, rate=RATE):
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    x = 0.5 * np.sin(2 * np.pi * freq * t)
+    if channels == 2:
+        x = np.stack([x, 0.5 * np.sin(2 * np.pi * freq * 1.5 * t)])
+    else:
+        x = x[None, :]
+    return x.astype(np.float32)
+
+
+def stream_of(data, rate=RATE):
+    data = jnp.asarray(data)
+    return Stream(
+        data=data, length=jnp.int32(data.shape[-1]), rate=rate,
+        channels=data.shape[0],
+    )
+
+
+def dominant_freq(x: np.ndarray, rate: int) -> float:
+    n = len(x)
+    spec = np.abs(np.fft.rfft(x * np.hanning(n)))
+    return float(np.argmax(spec) * rate / n)
+
+
+def spectral_purity(x: np.ndarray) -> float:
+    """Fraction of energy within +/-2 bins of the peak."""
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x)))) ** 2
+    peak = int(np.argmax(spec))
+    lo, hi = max(0, peak - 2), peak + 3
+    return float(spec[lo:hi].sum() / spec.sum())
+
+
+class TestWsola:
+    @pytest.mark.parametrize("tempo", [0.5, 0.75, 1.25, 2.0, 3.0])
+    def test_duration_scaling(self, tempo):
+        x = tone(seconds=1.0)
+        out, out_len = wsola_stretch_at_rate(
+            jnp.asarray(x), jnp.int32(x.shape[-1]), tempo, RATE
+        )
+        expected = x.shape[-1] / tempo
+        assert abs(int(out_len) - expected) / expected < 0.01
+
+    @pytest.mark.parametrize("tempo", [0.75, 1.5])
+    def test_pitch_preserved(self, tempo):
+        x = tone(freq=440.0, seconds=1.0)
+        out, out_len = wsola_stretch_at_rate(
+            jnp.asarray(x), jnp.int32(x.shape[-1]), tempo, RATE
+        )
+        y = np.asarray(out)[0, 2000 : int(out_len) - 2000]
+        freq = dominant_freq(y, RATE)
+        assert abs(freq - 440.0) / 440.0 < 0.01
+
+    def test_splices_stay_clean_on_periodic_signal(self):
+        """The similarity search must splice period-aligned: a pure tone
+        stays spectrally pure through stretching."""
+        x = tone(freq=440.0, seconds=1.0)
+        out, out_len = wsola_stretch_at_rate(
+            jnp.asarray(x), jnp.int32(x.shape[-1]), 1.5, RATE
+        )
+        y = np.asarray(out)[0, 2000 : int(out_len) - 2000]
+        assert spectral_purity(y) > 0.95
+
+    def test_device_matches_numpy_reference(self):
+        x = tone(freq=523.25, seconds=0.4, channels=2)
+        out, out_len = wsola_stretch_at_rate(
+            jnp.asarray(x), jnp.int32(x.shape[-1]), 1.3, RATE
+        )
+        ref = wsola_stretch_reference(x, 1.3, RATE)
+        # Device output is zeroed beyond out_len; compare the valid span.
+        n = min(int(out_len), ref.shape[-1])
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[:, :n], ref[:, :n], atol=2e-5)
+
+    def test_deterministic(self):
+        x = tone(seconds=0.3)
+        a, _ = wsola_stretch_at_rate(
+            jnp.asarray(x), jnp.int32(x.shape[-1]), 1.7, RATE
+        )
+        b, _ = wsola_stretch_at_rate(
+            jnp.asarray(x), jnp.int32(x.shape[-1]), 1.7, RATE
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTranspose:
+    @pytest.mark.parametrize("factor", [0.7937005259840998, 1.2599210498948732])
+    def test_pitch_and_length(self, factor):
+        """factor = 2^(+-4/12): config 4's +/-4 semitones."""
+        x = tone(freq=440.0, seconds=1.0)
+        out, out_len = transpose_rate(
+            jnp.asarray(x), jnp.int32(x.shape[-1]), factor
+        )
+        expected_len = x.shape[-1] / factor
+        assert abs(int(out_len) - expected_len) / expected_len < 0.001
+        y = np.asarray(out)[0, 1000 : int(out_len) - 1000]
+        freq = dominant_freq(y, RATE)
+        assert abs(freq - 440.0 * factor) / (440.0 * factor) < 0.005
+
+
+class TestSoundTouchComposition:
+    """The reference's (rate, pitch) wiring
+    (src/processor/audio-velocity.cpp:446-477)."""
+
+    def test_velocity_keep_pitch(self):
+        """rate=v, pitch=1/v -> WSOLA only: shorter, same pitch."""
+        x = stream_of(tone(freq=440.0, seconds=1.0))
+        v = 1.5
+        out = soundtouch_like(None, x, rate=v, pitch=1.0 / v)
+        n = int(out.length)
+        assert abs(n - RATE / v) / (RATE / v) < 0.01
+        y = np.asarray(out.data)[0, 2000 : n - 2000]
+        assert abs(dominant_freq(y, RATE) - 440.0) / 440.0 < 0.01
+
+    def test_velocity_no_keep_pitch(self):
+        """rate=v, pitch=1 -> pure transposition: shorter AND higher."""
+        x = stream_of(tone(freq=440.0, seconds=1.0))
+        v = 1.25
+        out = soundtouch_like(None, x, rate=v, pitch=1.0)
+        n = int(out.length)
+        assert abs(n - RATE / v) / (RATE / v) < 0.001
+        y = np.asarray(out.data)[0, 1000 : n - 1000]
+        assert abs(dominant_freq(y, RATE) - 440.0 * v) / (440.0 * v) < 0.005
+
+    @pytest.mark.parametrize("semitones", [-4.0, 4.0])
+    def test_pitch_modifier(self, semitones):
+        """rate=1, pitch=2^(n/12) -> same duration, shifted pitch."""
+        p = 2.0 ** (semitones / 12.0)
+        x = stream_of(tone(freq=440.0, seconds=1.0))
+        out = soundtouch_like(None, x, rate=1.0, pitch=p)
+        n = int(out.length)
+        assert abs(n - RATE) / RATE < 0.01  # duration preserved
+        y = np.asarray(out.data)[0, 2000 : n - 2000]
+        got = dominant_freq(y, RATE)
+        assert abs(got - 440.0 * p) / (440.0 * p) < 0.01
+
+
+def test_config4_graph(tmp_path):
+    """BASELINE config 4: 44.1k input -> resample 48k -> pitch +4st ->
+    velocity 1.25 keep-pitch -> output."""
+    from nodey_tpu.core.graph import Graph
+    from nodey_tpu.core.runner import Runner
+    from nodey_tpu.host import decode as host_decode
+    from nodey_tpu.processors.audio_input import AudioInput
+    from nodey_tpu.processors.audio_output import AudioOutput
+    from nodey_tpu.processors.resample_node import AudioResample
+    from nodey_tpu.processors.velocity import PitchModifier, VelocityModifier
+
+    data = tone(freq=440.0, seconds=1.0, rate=44_100)
+    path = tmp_path / "in.wav"
+    host_decode.write_wav(str(path), data, 44_100)
+
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = [str(path)]
+    g.update_node_pin(src)
+    rs = g.add_node(AudioResample())
+    g.nodes[rs].processor.set_target_rate(48_000)
+    pitch = g.add_node(PitchModifier())
+    g.nodes[pitch].processor.pitch = 4.0
+    vel = g.add_node(VelocityModifier())
+    g.nodes[vel].processor.set_velocity(1.25)
+    g.nodes[vel].processor.keep_pitch = True
+    out = g.add_node(AudioOutput())
+    pin = lambda n, p: g.nodes[n].pin_name_map[p]  # noqa: E731
+    g.add_link(pin(src, "output_0"), pin(rs, "input"))
+    g.add_link(pin(rs, "output"), pin(pitch, "input"))
+    g.add_link(pin(pitch, "output"), pin(vel, "input"))
+    g.add_link(pin(vel, "output"), pin(out, "input"))
+
+    result = Runner(g).render(mode="export")
+    assert result.rate == 48_000
+    n = result.master.shape[1]
+    expected_n = 48_000 / 1.25  # 1 s resampled, then tempo 1.25
+    assert abs(n - expected_n) / expected_n < 0.02
+    y = result.master[0, 2000 : n - 2000]
+    p = 2.0 ** (4.0 / 12.0)
+    assert abs(dominant_freq(y, 48_000) - 440.0 * p) / (440.0 * p) < 0.01
