@@ -1,0 +1,142 @@
+"""Sharded pipeline ops: time-axis (sp) sharding with halo exchange and
+batch (dp) sharding over tracks.
+
+The polyphase resampler's receptive field is its tap span; sharding the time
+axis therefore needs a halo exchange of tap-sized edges between neighbor
+shards — ICI traffic via ``lax.ppermute`` under ``shard_map``, the moral
+equivalent of the reference's frame hand-off between pipeline stages
+(SURVEY.md §5.7/§5.8). With shard lengths aligned to the downsample stride M,
+local outputs concatenate to the EXACT single-device result (tested on the
+8-device CPU mesh in tests/test_sharding.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map as _shard_map_mod
+
+shard_map = (
+    _shard_map_mod if callable(_shard_map_mod)
+    else _shard_map_mod.shard_map  # pre-0.8 module layout
+)
+
+from nodey_tpu.ops import resample as resample_ops
+
+
+def _halo_exchange(x, left_halo: int, right_halo: int, axis_name: str):
+    """Fetch tail/head slices from the previous/next shard along
+    ``axis_name`` (time order = device order). Edge shards receive zeros,
+    matching the zero padding of the unsharded op."""
+    size = lax.axis_size(axis_name)
+    left = jnp.zeros((x.shape[0], left_halo), x.dtype)
+    right = jnp.zeros((x.shape[0], right_halo), x.dtype)
+    if size > 1:
+        if left_halo:
+            # device i sends its tail to device i+1
+            left = lax.ppermute(
+                x[:, -left_halo:],
+                axis_name,
+                [(i, i + 1) for i in range(size - 1)],
+            )
+        if right_halo:
+            # device i sends its head to device i-1
+            right = lax.ppermute(
+                x[:, :right_halo],
+                axis_name,
+                [(i + 1, i) for i in range(size - 1)],
+            )
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def sharded_resample(
+    mesh: Mesh,
+    data,
+    in_rate: int,
+    out_rate: int,
+    sp_axis: str = "sp",
+    batch_axes: tuple = (),
+):
+    """Resample ``[..., C, N]`` with the time axis sharded over ``sp_axis``.
+
+    N must be divisible by (M * sp) where L/M is the reduced ratio — callers
+    pad to ``sharded_time_quantum`` first. Batched leading axes shard over
+    ``batch_axes`` (dp). Exactness: local groups start at multiples of M, so
+    concatenated local outputs equal the single-device polyphase output.
+    """
+    L, M = resample_ops._rational(in_rate, out_rate)
+    taps = resample_ops._effective_taps(L, M, resample_ops.DEFAULT_TAPS)
+    sp = mesh.shape[sp_axis]
+    N = data.shape[-1]
+    if N % (M * sp) != 0:
+        raise ValueError(f"time length {N} not divisible by M*sp={M * sp}")
+
+    left_halo = taps // 2 - 1
+    # Last local group g_last reads window [g_last*M, g_last*M + W);
+    # W = M + taps - 1, so the read extends taps - 1 past the shard end.
+    right_halo = taps - 1
+
+    batch_spec = [None] * (data.ndim - 2)
+    for i, ax in enumerate(batch_axes):
+        batch_spec[i] = ax
+    spec_in = P(*batch_spec, None, sp_axis)
+    spec_out = P(*batch_spec, None, sp_axis)
+
+    def local_fn(x_local):
+        # x_local: [..., C, N/sp]
+        lead = x_local.shape[:-2]
+        x2 = x_local.reshape((-1,) + x_local.shape[-2:])
+
+        def one(x):
+            ext = _halo_exchange(x, left_halo, right_halo, sp_axis)
+            # Local conv over the extended buffer; groups start at
+            # ext[left_halo + g*M - (taps//2 - 1)] == ext[g*M] exactly.
+            nl = x.shape[-1]
+            Gl = nl // M
+            W = M + taps - 1
+            bank = jnp.asarray(
+                resample_ops._design_filter_bank(
+                    L, M, taps,
+                    resample_ops.DEFAULT_BETA, resample_ops.DEFAULT_CUTOFF,
+                )
+            )
+            need = (Gl - 1) * M + W
+            ext = ext[:, :need] if ext.shape[-1] >= need else jnp.pad(
+                ext, ((0, 0), (0, need - ext.shape[-1]))
+            )
+            out = lax.conv_general_dilated(
+                ext[:, None, :],
+                bank[:, None, :],
+                window_strides=(M,),
+                padding=[(0, 0)],
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.transpose(out, (0, 2, 1)).reshape(x.shape[0], Gl * L)
+
+        y2 = jax.vmap(one)(x2)
+        return y2.reshape(lead + y2.shape[-2:])
+
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=(spec_in,), out_specs=spec_out,
+    )
+    return fn(data)
+
+
+def sharded_time_quantum(mesh: Mesh, in_rate: int, out_rate: int,
+                         sp_axis: str = "sp") -> int:
+    """Pad quantum that makes a time length valid for sharded_resample."""
+    _, M = resample_ops._rational(in_rate, out_rate)
+    return M * mesh.shape[sp_axis]
+
+
+def shard_batch(mesh: Mesh, array, dp_axis: str = "dp"):
+    """Place a [B, ...] array with its batch dim sharded over ``dp_axis``."""
+    spec = P(dp_axis, *([None] * (array.ndim - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))

@@ -1,0 +1,208 @@
+"""App-layer session tests: undo/redo, copy/paste, settings, autosave
+(reference behaviors from src/frontend/app.cpp and app/settings.cpp)."""
+
+import json
+
+import pytest
+
+from nodey_tpu.app.session import SessionService, shallow_copy_graph
+from nodey_tpu.app.settings import AppSettings
+from nodey_tpu.core import registry
+from nodey_tpu.processors.audio_input import AudioInput
+from nodey_tpu.processors.audio_output import AudioOutput
+from nodey_tpu.processors.audio_vol import AudioVol
+
+
+@pytest.fixture(autouse=True)
+def _register():
+    registry.register_all_processors()
+
+
+def build_session():
+    s = SessionService()
+    nid_in = s.graph.add_node(AudioInput())
+    nid_vol = s.graph.add_node(AudioVol())
+    nid_out = s.graph.add_node(AudioOutput())
+    s.graph.add_link(
+        s.graph.nodes[nid_in].pin_name_map["output_0"],
+        s.graph.nodes[nid_vol].pin_name_map["input"],
+    )
+    s.graph.add_link(
+        s.graph.nodes[nid_vol].pin_name_map["output"],
+        s.graph.nodes[nid_out].pin_name_map["input"],
+    )
+    return s, nid_in, nid_vol, nid_out
+
+
+class TestUndoRedo:
+    def test_undo_restores_structure(self):
+        s, _, nid_vol, _ = build_session()
+        s.save_undo_state()
+        s.graph.remove_node(nid_vol)
+        assert nid_vol not in s.graph.nodes
+        assert s.undo()
+        assert nid_vol in s.graph.nodes
+        assert len(s.graph.links) == 2
+
+    def test_redo(self):
+        s, _, nid_vol, _ = build_session()
+        s.save_undo_state()
+        s.graph.remove_node(nid_vol)
+        s.undo()
+        assert s.redo()
+        assert nid_vol not in s.graph.nodes
+
+    def test_new_action_clears_redo(self):
+        s, _, nid_vol, _ = build_session()
+        s.save_undo_state()
+        s.graph.remove_node(nid_vol)
+        s.undo()
+        s.save_undo_state()  # new action
+        assert not s.redo_stack
+        assert not s.redo()
+
+    def test_undo_cap(self):
+        s, *_ = build_session()
+        for _ in range(40):
+            s.save_undo_state()
+        assert len(s.undo_stack) <= s.settings.editor.max_undo_levels
+
+    def test_processor_instances_shared_in_snapshots(self):
+        """The reference snapshots share processor objects (shallow Graph
+        copy) — parameter edits are NOT undone."""
+        s, _, nid_vol, _ = build_session()
+        s.save_undo_state()
+        s.graph.nodes[nid_vol].processor.set_volume(5.0)
+        s.undo()
+        assert s.graph.nodes[nid_vol].processor.volume == 5.0
+
+    def test_compression_keeps_recent(self):
+        s, *_ = build_session()
+        for i in range(30):
+            s.save_undo_state()
+        # after compression the stack is smaller but the most recent states
+        # survive verbatim
+        assert len(s.undo_stack) < 30
+        assert s.undo()
+
+
+class TestCopyPaste:
+    def test_copy_paste_subgraph(self):
+        s, nid_in, nid_vol, nid_out = build_session()
+        s.graph.nodes[nid_vol].processor.set_volume(2.0)
+        n = s.copy_nodes([nid_vol, nid_out])
+        assert n == 2
+        before_nodes = set(s.graph.nodes)
+        pasted = s.paste_nodes()
+        # audio_output is a singleton already present -> skipped
+        assert len(pasted) == 1
+        new_vol = pasted[0]
+        assert new_vol not in before_nodes
+        # the vol->out link could not be pasted (out skipped); no new links
+        # between pasted nodes
+        proc = s.graph.nodes[new_vol].processor
+        assert isinstance(proc, AudioVol)
+        # volume is NOT in serde (reference quirk) -> default on paste
+        assert proc.volume == 1.0
+
+    def test_paste_links_between_pasted_nodes(self):
+        s, nid_in, nid_vol, nid_out = build_session()
+        vol2 = s.graph.add_node(AudioVol())
+        # chain vol -> vol2
+        s.graph.remove_link_between(
+            s.graph.nodes[nid_vol].pin_name_map["output"],
+            s.graph.nodes[nid_out].pin_name_map["input"],
+        )
+        s.graph.add_link(
+            s.graph.nodes[nid_vol].pin_name_map["output"],
+            s.graph.nodes[vol2].pin_name_map["input"],
+        )
+        s.copy_nodes([nid_vol, vol2])
+        links_before = len(s.graph.links)
+        pasted = s.paste_nodes()
+        assert len(pasted) == 2
+        assert len(s.graph.links) == links_before + 1  # internal link kept
+
+    def test_paste_empty_clipboard(self):
+        s, *_ = build_session()
+        assert s.paste_nodes() == []
+
+    def test_cascading_paste_offset(self):
+        s, nid_in, nid_vol, _ = build_session()
+        s.copy_nodes([nid_vol])
+        a = s.paste_nodes()[0]
+        b = s.paste_nodes()[0]
+        pa = s.graph.nodes[a].position
+        pb = s.graph.nodes[b].position
+        assert pa != pb  # each paste lands offset from the last
+
+
+class TestSettings:
+    def test_roundtrip_schema(self, tmp_path):
+        settings = AppSettings()
+        settings.ui.grid_size = 32.0
+        settings.editor.max_undo_levels = 10
+        settings.export_settings.default_output_directory = "/tmp/out"
+        path = tmp_path / "settings.json"
+        assert settings.save_to_file(str(path))
+        blob = json.loads(path.read_text())
+        # reference schema: top-level ui/editor/render (settings.cpp:71-77)
+        assert set(blob) == {"ui", "editor", "render"}
+        assert blob["render"]["default_output_directory"] == "/tmp/out"
+
+        fresh = AppSettings()
+        fresh.load_from_file(str(path))
+        assert fresh.ui.grid_size == 32.0
+        assert fresh.editor.max_undo_levels == 10
+
+    def test_missing_file_keeps_defaults(self, tmp_path):
+        settings = AppSettings()
+        settings.load_from_file(str(tmp_path / "nope.json"))
+        assert settings.ui.grid_size == 20.0
+
+    def test_reset(self):
+        settings = AppSettings()
+        settings.ui.grid_size = 99.0
+        settings.reset_to_defaults()
+        assert settings.ui.grid_size == 20.0
+
+
+class TestProjectIO:
+    def test_save_open_roundtrip(self, tmp_path):
+        s, _, nid_vol, _ = build_session()
+        path = str(tmp_path / "proj.json")
+        s.save_project(path)
+        assert not s.graph.modified
+
+        s2 = SessionService()
+        s2.open_project(path)
+        assert set(s2.graph.nodes) == set(s.graph.nodes)
+        assert len(s2.graph.links) == 2
+
+    def test_autosave(self, tmp_path):
+        s, *_ = build_session()
+        path = str(tmp_path / "proj.json")
+        s.save_project(path)
+        s.settings.editor.auto_save_interval = 0
+        s.graph.modified = True
+        s._last_autosave = -1e9
+        auto = s.maybe_autosave()
+        assert auto and auto.endswith(".autosave")
+        blob = json.loads(open(auto).read())
+        assert set(blob) == {"nodes", "links"}
+
+    def test_autosave_disabled(self, tmp_path):
+        s, *_ = build_session()
+        s.save_project(str(tmp_path / "p.json"))
+        s.settings.editor.auto_save = False
+        s.graph.modified = True
+        s._last_autosave = -1e9
+        assert s.maybe_autosave() is None
+
+
+def test_shallow_copy_independent_structure():
+    s, _, nid_vol, _ = build_session()
+    snap = shallow_copy_graph(s.graph)
+    s.graph.remove_node(nid_vol)
+    assert nid_vol in snap.nodes
+    assert snap.nodes[nid_vol].processor is not None
