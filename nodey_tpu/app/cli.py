@@ -62,6 +62,37 @@ def cmd_run(args) -> int:
             f"device {metrics.device_seconds:.3f}s, "
             f"encode {metrics.encode_seconds:.2f}s)"
         )
+    elif args.realtime:
+        # Streaming preview: device-resident render, block egress through
+        # the bounded queue, consumer paced at 1.0x — the headless stand-in
+        # for the reference's SDL playback pipeline (audio-io.cpp:504-637).
+        import numpy as np
+
+        from nodey_tpu import config as cfg
+        from nodey_tpu.core.streaming import StreamingSession
+
+        session = StreamingSession(graph).start()
+        received = []
+        t0 = time.perf_counter()
+        for block in session.blocks(realtime=True):
+            received.append(block)
+            if len(received) % 32 == 0:
+                print(
+                    f"  queue fill {session.queue.stats.fill_ratio:5.0%} "
+                    f"underruns {session.queue.stats.consumer_waits}",
+                    file=sys.stderr,
+                )
+        session.stop()
+        wall = time.perf_counter() - t0
+        out = args.preview or "preview.wav"
+        master = np.concatenate(received, axis=1)
+        host_decode.write_wav(out, master, cfg.SAMPLE_RATE)
+        print(
+            f"streamed {session.duration_seconds:.2f} audio-s in "
+            f"{wall:.2f} s wall (compute RTF {session.stats.rtf_compute:.0f}x,"
+            f" {session.stats.blocks} blocks, "
+            f"{session.stats.underruns} underruns) -> {out}"
+        )
     else:
         result = runner.preview()
         if result.master is None:
@@ -71,19 +102,6 @@ def cmd_run(args) -> int:
                 "preview output missing",
             )
         out = args.preview or "preview.wav"
-        if args.realtime:
-            # Paced playback emulation: feed the sink at 1.0x wall-clock in
-            # playback-buffer packets, mirroring the reference's SDL
-            # backpressure pacing (audio-io.cpp:620-624).
-            from nodey_tpu import config as cfg
-
-            n = result.master.shape[1]
-            t0 = time.perf_counter()
-            for start in range(0, n, cfg.BUFFER_SIZE):
-                target = start / cfg.SAMPLE_RATE
-                while time.perf_counter() - t0 < target:
-                    time.sleep(0.001)
-            print(f"realtime preview pacing done ({n / cfg.SAMPLE_RATE:.2f} s)")
         host_decode.write_wav(out, result.master, result.rate)
         m = result.metrics
         print(

@@ -1,0 +1,280 @@
+"""Streaming execution: real-time preview and chunked long-clip rendering.
+
+Two modes on top of the fused offline program (core.compiler):
+
+1. **Preview streaming** (StreamingSession): decoded inputs are uploaded to
+   HBM once, the fused graph renders the full preview mix on device (at
+   1000x real-time this costs milliseconds), and a producer thread streams
+   playback-buffer-sized blocks HBM -> host through a bounded queue (cap 16,
+   the reference's channel depth) while the consumer paces at 1.0x. The
+   queue's occupancy gauge is the diagnostics feed (SURVEY.md §5.1). This
+   inverts the reference's incremental pipeline — compute leads, I/O
+   streams — which strictly lowers first-sample latency while preserving
+   the bounded-memory hand-off.
+
+2. **Chunked rendering** (render_chunked): for clips too long for one HBM
+   residency, the graph runs per time-chunk with a left halo sized by the
+   pipeline's receptive field, discarding halo-derived output (overlap-
+   discard). Chunk lengths stay multiples of every resampler's input stride
+   M and the STFT hop so chunk outputs concatenate exactly. Valid for the
+   LTI node set (gain/mix/resample/split/spectrum/output); time-variant
+   nodes (velocity/pitch WSOLA) need the sequential carry path and fall
+   back to whole-clip rendering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nodey_tpu import config as cfg
+from nodey_tpu.core import compiler
+from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.graph import Graph
+from nodey_tpu.core.runner import Runner
+from nodey_tpu.host.streamio import BoundedBlockQueue, RealtimePacer
+
+# Nodes whose offline lowering is time-invariant + stride-aligned, making
+# overlap-discard chunking exact.
+_LTI_NODES = {
+    "audio_input", "audio_output", "audio_volume_adjust", "audio_amix",
+    "audio_bimix", "audio_bimix_v2", "audio_split", "audio_resample",
+    "audio_spectrum",
+}
+
+
+@dataclasses.dataclass
+class StreamStats:
+    blocks: int = 0
+    underruns: int = 0
+    fill_ratio: float = 0.0
+    rtf_compute: float = 0.0
+
+
+class StreamingSession:
+    """Real-time preview: device-resident render + block egress pipeline."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        block_samples: int = cfg.BUFFER_SIZE * 8,
+        queue_capacity: int = cfg.AUDIO_STREAM_BUFFER_SIZE,
+    ):
+        self.runner = Runner(graph)
+        self.block_samples = block_samples
+        self.queue = BoundedBlockQueue(queue_capacity)
+        self._stop = threading.Event()
+        self._producer: Optional[threading.Thread] = None
+        self._master = None  # device array [2, N]
+        self._length = 0
+        self.stats = StreamStats()
+        self._fetch = jax.jit(
+            lambda m, i: jax.lax.dynamic_slice(
+                m, (0, i * block_samples), (2, block_samples)
+            ),
+            static_argnums=(),
+        )
+
+    def start(self) -> "StreamingSession":
+        """Render the preview mix on device and start the egress producer."""
+        import time
+
+        arrays, lengths, sources = self.runner._decode_inputs()
+        compiled, _ = self.runner._compile(sources, "preview")
+        args = {
+            key: (jnp.asarray(arrays[key]), jnp.int32(lengths[key]))
+            for key in compiled.input_keys
+        }
+        t0 = time.perf_counter()
+        out = compiled.fn(args)
+        if "preview" not in out:
+            raise ProcessorRuntimeError(
+                "Preview produced no audio",
+                "The graph has no audio_output node receiving a stream.",
+                "preview output missing",
+            )
+        master, length = out["preview"]
+        self._length = int(jax.device_get(length))
+        compute_s = time.perf_counter() - t0
+        audio_s = self._length / cfg.SAMPLE_RATE
+        self.stats.rtf_compute = audio_s / compute_s if compute_s else 0.0
+        # Pad master so every block slice is in-bounds.
+        n_blocks = -(-self._length // self.block_samples)
+        pad = n_blocks * self.block_samples - master.shape[1]
+        if pad > 0:
+            master = jnp.pad(master, ((0, 0), (0, pad)))
+        self._master = master
+
+        def produce() -> None:
+            for b in range(n_blocks):
+                if self._stop.is_set():
+                    break
+                block = np.asarray(self._fetch(self._master, b))
+                valid = min(
+                    self.block_samples,
+                    self._length - b * self.block_samples,
+                )
+                if not self.queue.push(block[:, :valid], stop=self._stop):
+                    break
+            self.queue.set_eof()
+
+        self._producer = threading.Thread(target=produce, daemon=True)
+        self._producer.start()
+        return self
+
+    def blocks(self, realtime: bool = False) -> Iterator[np.ndarray]:
+        """Consumer iterator; paces at 1.0x when realtime."""
+        pacer = RealtimePacer() if realtime else None
+        while True:
+            block = self.queue.pop(stop=self._stop)
+            if block is None:
+                break
+            if pacer is not None:
+                pacer.wait(block.shape[1])
+            self.stats.blocks += 1
+            self.stats.fill_ratio = self.queue.stats.fill_ratio
+            yield block
+        self.stats.underruns = self.queue.stats.consumer_waits
+
+    def stop(self) -> None:
+        """Cooperative cancellation — the stop_source analog
+        (reference: include/infra/runner.hpp:47, runner.cpp:53-63)."""
+        self._stop.set()
+        self.queue.set_eof()
+        if self._producer is not None:
+            self._producer.join(timeout=5.0)
+
+    @property
+    def duration_seconds(self) -> float:
+        return self._length / cfg.SAMPLE_RATE
+
+
+def _chunk_quantum(graph: Graph) -> int:
+    """Chunk-length quantum: lcm of every possible resampler input stride
+    and the STFT hop, so chunk outputs concatenate exactly."""
+    from nodey_tpu.ops.resample import _rational
+
+    q = 1
+    # Mixer/preview normalization targets 48k; strides come from source and
+    # node rates. Collect conservatively from the standard rate set plus any
+    # explicit resample nodes.
+    rates = {44_100, 48_000, 32_000, 22_050}
+    for node in graph.nodes.values():
+        target = getattr(node.processor, "target_rate", None)
+        if target:
+            rates.add(int(target))
+        hop = getattr(node.processor, "hop", None)
+        if hop:
+            q = math.lcm(q, int(hop))
+    for r in rates:
+        _, M = _rational(r, 48_000)
+        q = math.lcm(q, M)
+    return q
+
+
+def supports_chunked(graph: Graph) -> bool:
+    return all(
+        node.processor.info().identifier in _LTI_NODES
+        for node in graph.nodes.values()
+    )
+
+
+def render_chunked(
+    graph: Graph,
+    chunk_seconds: float = 30.0,
+    halo_seconds: float = 0.25,
+    progress: Optional[Callable[[float], None]] = None,
+):
+    """Overlap-discard chunked export render for LTI graphs.
+
+    Returns (master [2 or C, n], rate, fmt). Memory high-water on device is
+    one chunk + halo regardless of clip length (the TPU answer to the
+    reference's O(nodes x 16 frames) streaming bound, SURVEY.md §5.7).
+    """
+    if not supports_chunked(graph):
+        raise ProcessorRuntimeError(
+            "Graph not chunkable",
+            "Time-variant nodes (velocity/pitch) require whole-clip "
+            "rendering; use Runner.render instead.",
+            "render_chunked",
+        )
+    runner = Runner(graph)
+    arrays, lengths, sources = runner._decode_inputs()
+    if not sources:
+        raise ProcessorRuntimeError(
+            "Graph has no inputs",
+            "Chunked rendering requires at least one audio_input slot.",
+            "render_chunked",
+        )
+
+    # One common input rate keeps chunk alignment simple; mixed-rate graphs
+    # fall back to whole-clip rendering.
+    rates = {spec.rate for spec in sources.values()}
+    if len(rates) != 1:
+        raise ProcessorRuntimeError(
+            "Mixed input rates not chunkable",
+            "Chunked rendering currently requires equal input rates.",
+            f"rates: {sorted(rates)}",
+        )
+    in_rate = rates.pop()
+
+    quantum = _chunk_quantum(graph)
+    chunk = max(1, int(chunk_seconds * in_rate) // quantum) * quantum
+    halo = -(-int(halo_seconds * in_rate) // quantum) * quantum
+
+    total = max(lengths.values())
+    n_chunks = max(1, -(-total // chunk))
+
+    # Window = left halo + chunk + right halo; both halos are discarded from
+    # the output (the right halo covers the resampler taps reading past the
+    # chunk end).
+    window = halo + chunk + halo
+    chunk_sources = {
+        key: dataclasses.replace(spec, capacity=window)
+        for key, spec in sources.items()
+    }
+    compiled = compiler.compile_graph(graph, chunk_sources, mode="export")
+
+    pieces = []
+    out_meta = None
+    for c in range(n_chunks):
+        start = c * chunk - halo
+        cargs: Dict[str, np.ndarray] = {}
+        clens: Dict[str, int] = {}
+        for key in compiled.input_keys:
+            src = arrays[key]
+            buf = np.zeros((src.shape[0], window), dtype=np.float32)
+            lo = max(0, start)
+            hi = min(src.shape[1], start + window)
+            if hi > lo:
+                buf[:, lo - start : hi - start] = src[:, lo:hi]
+            cargs[key] = buf
+            # Valid samples within this chunk window for this input.
+            clens[key] = max(0, min(lengths[key] - start, window))
+        out = compiled.run(cargs, clens)
+        data, length = out["master"]
+        meta = compiled.output_meta["master"]
+        out_meta = meta
+        out_rate = meta["rate"]
+        # Exact output coordinates of the halo and chunk in this window.
+        halo_out = halo * out_rate // in_rate
+        chunk_out = chunk * out_rate // in_rate
+        piece = np.asarray(data)[:, halo_out : halo_out + chunk_out]
+        pieces.append(piece)
+        if progress is not None:
+            progress(min(total, (c + 1) * chunk) / in_rate)
+
+    master = np.concatenate(pieces, axis=1)
+    total_out_len = _ceil_div_mul(total, out_meta["rate"], in_rate)
+    master = master[:, :total_out_len]
+    return master, out_meta["rate"], out_meta["fmt"]
+
+
+def _ceil_div_mul(n: int, num: int, den: int) -> int:
+    return -(-n * num // den)

@@ -1,0 +1,133 @@
+"""Pallas TPU kernel for the rational polyphase resampler.
+
+Same math as nodey_tpu.ops.resample (one [groups, W] x [W, L] matmul per
+block of output groups) but hand-scheduled: the input stays in HBM and each
+grid step DMAs its overlapping window into a VMEM scratch with double
+buffering, overlapping the next window's DMA with the current block's MXU
+matmul — overlapping windows (stride M, width W > M) don't fit
+``BlockSpec`` index-map tiling, which is exactly the case for manual DMA.
+
+The filter bank is identical to the XLA path's, so outputs agree to float32
+rounding; tests/test_pallas.py holds the two paths together in interpreter
+mode on CPU, and the TPU bench can A/B them.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nodey_tpu.ops import resample as resample_ops
+
+# Output groups of L samples computed per grid step. 128 groups keeps the
+# matmul MXU-shaped ([128, W] x [W, L]) and the VMEM window modest
+# (128*M + taps floats per channel).
+BLOCK_GROUPS = 128
+
+
+def _window_len(M: int, taps: int) -> int:
+    return (BLOCK_GROUPS - 1) * M + (M + taps - 1)
+
+
+def resample_data_pallas(
+    data,
+    in_rate: int,
+    out_rate: int,
+    taps: int = resample_ops.DEFAULT_TAPS,
+    beta: float = resample_ops.DEFAULT_BETA,
+    cutoff: float = resample_ops.DEFAULT_CUTOFF,
+    interpret: bool = False,
+):
+    """Resample [C, N] float32; matches resample_data to f32 rounding."""
+    if in_rate == out_rate:
+        return data
+    L, M = resample_ops._rational(in_rate, out_rate)
+    taps = resample_ops._effective_taps(L, M, taps)
+    C, N = data.shape
+    n_out = -(-N * L // M)
+    G = -(-n_out // L)                       # total output groups
+    GB = -(-G // BLOCK_GROUPS)               # grid steps
+    W = M + taps - 1
+    win = _window_len(M, taps)
+
+    bank = jnp.asarray(
+        resample_ops._design_filter_bank(L, M, taps, beta, cutoff)
+    )  # [L, W]
+
+    # Pad input so every window read is in-bounds:
+    # leftmost read = -taps//2 + 1; rightmost = (GB*BLOCK_GROUPS-1)*M + W.
+    left = taps // 2 - 1
+    need = (GB * BLOCK_GROUPS - 1) * M + W
+    x = jnp.pad(data, ((0, 0), (left, max(0, need - left - N))))
+
+    def kernel(x_hbm, bank_ref, out_ref, scratch, sems):
+        g = pl.program_id(0)
+        n_steps = pl.num_programs(0)
+
+        def get_dma(slot, step):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(step * (BLOCK_GROUPS * M), win)],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        # Warm up the pipeline on the first step, then keep one DMA in
+        # flight ahead of compute (double buffering, guide pattern).
+        @pl.when(g == 0)
+        def _():
+            get_dma(0, 0).start()
+
+        slot = g % 2
+
+        @pl.when(g + 1 < n_steps)
+        def _():
+            get_dma((g + 1) % 2, g + 1).start()
+
+        get_dma(slot, g).wait()
+        window = scratch[slot]  # [C, win]
+
+        # Build the [BLOCK_GROUPS, W] patch matrix per channel and hit the
+        # MXU once per channel. The strided patch extraction is a static
+        # unroll of cheap VMEM slices.
+        for c in range(C):
+            patches = jnp.stack(
+                [
+                    jax.lax.dynamic_slice(
+                        window[c], (i * M,), (W,)
+                    )
+                    for i in range(BLOCK_GROUPS)
+                ],
+                axis=0,
+            )  # [BLOCK_GROUPS, W]
+            y = jnp.dot(
+                patches, bank_ref[:].T, preferred_element_type=jnp.float32
+            )  # [BLOCK_GROUPS, L]
+            out_ref[c, :, :] = y
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(GB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bank resident in VMEM
+        ],
+        out_specs=pl.BlockSpec(
+            (C, BLOCK_GROUPS, L),
+            lambda g: (0, g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, GB * BLOCK_GROUPS, L), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, win), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, bank)
+
+    return out.reshape(C, GB * BLOCK_GROUPS * L)[:, :n_out]
