@@ -42,9 +42,20 @@ def cmd_validate(args) -> int:
 
 
 def cmd_run(args) -> int:
+    import contextlib
+
+    from nodey_tpu.app import diagnostics
+
     graph = _load_graph(args.project)
     runner = Runner(graph)
 
+    stack = contextlib.ExitStack()
+    stack.enter_context(diagnostics.maybe_trace(args.trace))
+    with stack:
+        return _run_inner(args, graph, runner, diagnostics)
+
+
+def _run_inner(args, graph, runner, diagnostics) -> int:
     if args.export:
         last = [0.0]
 
@@ -62,6 +73,8 @@ def cmd_run(args) -> int:
             f"device {metrics.device_seconds:.3f}s, "
             f"encode {metrics.encode_seconds:.2f}s)"
         )
+        if args.diagnostics:
+            print(json.dumps(diagnostics.run_report(graph, metrics), indent=1))
     elif args.realtime:
         # Streaming preview: device-resident render, block egress through
         # the bounded queue, consumer paced at 1.0x — the headless stand-in
@@ -93,6 +106,20 @@ def cmd_run(args) -> int:
             f" {session.stats.blocks} blocks, "
             f"{session.stats.underruns} underruns) -> {out}"
         )
+        if args.diagnostics:
+            from nodey_tpu.core.runner import RunMetrics
+
+            m = RunMetrics(
+                audio_seconds=session.duration_seconds, wall_seconds=wall
+            )
+            print(
+                json.dumps(
+                    diagnostics.run_report(
+                        graph, m, queue_stats=session.queue.stats
+                    ),
+                    indent=1,
+                )
+            )
     else:
         result = runner.preview()
         if result.master is None:
@@ -125,6 +152,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--preview", help="preview WAV output path")
     p_run.add_argument("--realtime", action="store_true",
                        help="pace preview at 1x wall-clock")
+    p_run.add_argument("--diagnostics", action="store_true",
+                       help="print the run diagnostics report (JSON)")
+    p_run.add_argument("--trace", help="write a jax.profiler trace here")
     p_run.set_defaults(fn=cmd_run)
 
     p_val = sub.add_parser("validate", help="validate a project file")
