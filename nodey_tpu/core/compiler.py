@@ -130,6 +130,7 @@ class CompiledGraph:
     input_keys: List[str]
     output_meta: Dict[str, Any]
     mode: str
+    _batched_fn: Optional[Callable] = None
 
     def run(
         self,
@@ -145,6 +146,40 @@ class CompiledGraph:
             for key in self.input_keys
         }
         out = self.fn(args)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def run_batch(
+        self,
+        arrays: Dict[str, np.ndarray],   # [B, C, capacity] per key
+        lengths: Dict[str, np.ndarray],  # [B] per key
+        mesh=None,
+        dp_axis: str = "dp",
+    ) -> Dict[str, Any]:
+        """Data-parallel serving: vmap the fused program over a clip batch.
+
+        The TPU-scale version of the reference's per-file fan-out
+        (audio-io.cpp:242-279): B independent clips run as one batched
+        program. With ``mesh`` given, the batch dim shards over ``dp_axis``
+        so clips spread across chips (jax.sharding handles the rest — no
+        per-clip dispatch)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        args = {
+            key: (
+                jnp.asarray(arrays[key]),
+                jnp.asarray(lengths[key], dtype=jnp.int32),
+            )
+            for key in self.input_keys
+        }
+        if mesh is not None:
+            def shard(leaf):
+                spec = P(dp_axis, *([None] * (leaf.ndim - 1)))
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+            args = jax.tree_util.tree_map(shard, args)
+        if self._batched_fn is None:
+            self._batched_fn = jax.jit(jax.vmap(self.fn))
+        out = self._batched_fn(args)
         return jax.tree_util.tree_map(np.asarray, out)
 
 

@@ -94,15 +94,11 @@ def resample_data_pallas(
 
         # Build the [BLOCK_GROUPS, W] patch matrix per channel and hit the
         # MXU once per channel. The strided patch extraction is a static
-        # unroll of cheap VMEM slices.
+        # unroll of VMEM slices (static bounds — Mosaic has no
+        # dynamic_slice on loaded vectors).
         for c in range(C):
             patches = jnp.stack(
-                [
-                    jax.lax.dynamic_slice(
-                        window[c], (i * M,), (W,)
-                    )
-                    for i in range(BLOCK_GROUPS)
-                ],
+                [window[c, i * M : i * M + W] for i in range(BLOCK_GROUPS)],
                 axis=0,
             )  # [BLOCK_GROUPS, W]
             y = jnp.dot(

@@ -27,13 +27,31 @@ def magnitude_spectrogram(stream: Stream, n_fft: int = 1024, hop: int = 512):
     if num_frames == 0:
         return jnp.zeros((C, 0, n_fft // 2 + 1), dtype=jnp.float32)
     window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
-    starts = np.arange(num_frames) * hop
-    # Static strided framing: gather contiguous slices via reshape of a
-    # sliding window view built from dynamic_slice-free indexing.
-    idx = starts[:, None] + np.arange(n_fft)[None, :]  # [F, n_fft] static
-    frames = data[:, idx]  # [C, F, n_fft]
+    frames = _frame(data, num_frames, n_fft, hop)  # [C, F, n_fft]
     spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
     return jnp.abs(spec).astype(jnp.float32)
+
+
+def _frame(data, num_frames: int, n_fft: int, hop: int):
+    """Overlapping framing without gathers.
+
+    When hop divides n_fft the frame matrix is k = n_fft/hop shifted
+    hop-aligned reshapes concatenated — pure layout ops that XLA fuses,
+    avoiding TPU's slow scalar gather path. Irregular hops fall back to a
+    (static) gather."""
+    C, N = data.shape
+    if n_fft % hop == 0:
+        k = n_fft // hop
+        segs_needed = num_frames - 1 + k
+        pad = segs_needed * hop - N
+        x = jnp.pad(data, ((0, 0), (0, max(0, pad))))
+        segs = x[:, : segs_needed * hop].reshape(C, segs_needed, hop)
+        parts = [segs[:, i : i + num_frames, :] for i in range(k)]
+        return jnp.concatenate(parts, axis=-1)
+    idx = (
+        np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    )
+    return data[:, idx]
 
 
 def magnitude_spectrogram_reference(
