@@ -15,6 +15,7 @@ import ctypes
 import dataclasses
 import os
 import struct
+from typing import Optional
 
 import numpy as np
 
@@ -158,6 +159,81 @@ def _decode_wav_python(path: str) -> DecodedAudio:
         rate=int(rate),
         fmt=fmt,
     )
+
+
+class StreamDecoder:
+    """Streaming pull decoder with bounded host memory (native API:
+    na_decoder_* in nodey_tpu/host/native/decode.cpp). The analog of the
+    reference's incremental decode fiber (audio-io.cpp:86-226) for clips too
+    long to hold decoded in RAM."""
+
+    def __init__(self, path: str):
+        lib = native_lib.load()
+        if lib is None:
+            raise ProcessorRuntimeError(
+                "Streaming decoder unavailable",
+                "The native host runtime (libnodey_host) could not be "
+                "loaded.",
+                "na_decoder_open",
+            )
+        self._lib = lib
+        info = native_lib.NaDecoded()
+        errbuf = ctypes.create_string_buffer(512)
+        self._handle = lib.na_decoder_open(
+            path.encode(), ctypes.byref(info), errbuf, len(errbuf)
+        )
+        if not self._handle:
+            raise ProcessorRuntimeError(
+                errbuf.value.decode() or "Failed to open input file",
+                "The program fails to open the input file, check if the "
+                "path is valid",
+                f"File path: {path}",
+            )
+        self.rate = int(info.sample_rate)
+        self.channels = int(info.channels)
+        self.fmt = _FMT_FROM_TAG.get(int(info.fmt), FMT_FLT)
+        self.pts0_us = int(info.pts0_us)
+
+    def read(self, max_samples: int) -> Optional[np.ndarray]:
+        """Next planar [channels, n] block (n <= max_samples); None at EOF."""
+        if self._handle is None:
+            return None
+        buf = np.empty(max_samples * self.channels, dtype=np.float32)
+        n = self._lib.na_decoder_read(
+            self._handle,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_samples,
+        )
+        if n < 0:
+            raise ProcessorRuntimeError(
+                "Failed to decode input file",
+                "The program cannot decode the audio file, check the audio "
+                "file",
+                "na_decoder_read",
+            )
+        if n == 0:
+            return None
+        block = buf[: n * self.channels].reshape(n, self.channels).T
+        return np.ascontiguousarray(block, dtype=np.float32)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.na_decoder_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def blocks(self, block_samples: int):
+        """Iterate planar blocks until EOF."""
+        while True:
+            block = self.read(block_samples)
+            if block is None:
+                return
+            yield block
 
 
 def write_wav(path: str, data: np.ndarray, rate: int) -> None:

@@ -1,18 +1,21 @@
-// Full-file audio decode: demux + decode + normalize to interleaved f32.
+// Audio decode: demux + decode + normalize to interleaved f32.
 //
 // TPU-era counterpart of the reference's per-file decode fiber
 // (reference: src/processor/audio-io.cpp:86-226): same libavformat/libavcodec
-// pipeline, but the result is one contiguous pinned buffer ready for
-// host->HBM transfer instead of a stream of AVFrames through a fiber channel.
-// pts gaps become zero-filled spans here, which is where the reference's
-// export path would synthesize silence (audio-io.cpp:666-694).
+// pipeline, exposed two ways:
+//   * na_decode_file  — whole clip into one contiguous buffer (offline path)
+//   * na_decoder_*    — streaming pull API with bounded memory (the chunked
+//                       long-clip path; the analog of the reference's
+//                       O(16-frame) channel bound, SURVEY.md §5.7)
+// pts gaps become zero-filled spans, where the reference's export path
+// would synthesize silence (audio-io.cpp:666-694).
 
 #include "nodey_host.h"
 
 #include <algorithm>
 #include <cstdio>
 #include <cstring>
-#include <limits>
+#include <deque>
 #include <vector>
 
 extern "C" {
@@ -49,14 +52,14 @@ template <>
 float norm<double>(double v) { return static_cast<float>(v); }
 
 template <typename T>
-void append_interleaved(std::vector<float>& dst, const AVFrame* f, int ch) {
+void append_interleaved(std::deque<float>& dst, const AVFrame* f, int ch) {
   const T* src = reinterpret_cast<const T*>(f->data[0]);
   const int64_t n = static_cast<int64_t>(f->nb_samples) * ch;
   for (int64_t i = 0; i < n; ++i) dst.push_back(norm<T>(src[i]));
 }
 
 template <typename T>
-void append_planar(std::vector<float>& dst, const AVFrame* f, int ch) {
+void append_planar(std::deque<float>& dst, const AVFrame* f, int ch) {
   for (int i = 0; i < f->nb_samples; ++i) {
     for (int c = 0; c < ch; ++c) {
       const T* src = reinterpret_cast<const T*>(f->data[c]);
@@ -65,7 +68,6 @@ void append_planar(std::vector<float>& dst, const AVFrame* f, int ch) {
   }
 }
 
-// Returns the origin-format tag, or -1 for unsupported formats.
 int fmt_tag(AVSampleFormat fmt) {
   switch (fmt) {
     case AV_SAMPLE_FMT_S16:
@@ -79,7 +81,7 @@ int fmt_tag(AVSampleFormat fmt) {
   }
 }
 
-bool append_frame(std::vector<float>& pcm, const AVFrame* f, int ch,
+bool append_frame(std::deque<float>& pcm, const AVFrame* f, int ch,
                   char* errbuf, int errlen) {
   switch (static_cast<AVSampleFormat>(f->format)) {
     case AV_SAMPLE_FMT_FLT:  append_interleaved<float>(pcm, f, ch); return true;
@@ -100,137 +102,196 @@ bool append_frame(std::vector<float>& pcm, const AVFrame* f, int ch,
 
 }  // namespace
 
-extern "C" int na_decode_file(const char* path, na_decoded* out, char* errbuf,
-                              int errbuf_len) {
-  av_log_set_level(AV_LOG_QUIET);
-  std::memset(out, 0, sizeof(*out));
-
+struct na_decoder {
   AVFormatContext* fmt_ctx = nullptr;
-  if (avformat_open_input(&fmt_ctx, path, nullptr, nullptr) < 0) {
-    set_err(errbuf, errbuf_len, "Failed to open input file");
-    return -1;
-  }
-  struct FmtGuard {
-    AVFormatContext** p;
-    ~FmtGuard() { avformat_close_input(p); }
-  } fmt_guard{&fmt_ctx};
+  AVCodecContext* codec_ctx = nullptr;
+  AVPacket* packet = nullptr;
+  AVFrame* frame = nullptr;
+  int stream_idx = -1;
+  double time_base = 0.0;
 
-  if (avformat_find_stream_info(fmt_ctx, nullptr) < 0) {
-    set_err(errbuf, errbuf_len, "Failed to find stream info");
-    return -1;
-  }
-
-  const int stream_idx =
-      av_find_best_stream(fmt_ctx, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
-  if (stream_idx < 0) {
-    set_err(errbuf, errbuf_len, "No audio stream found");
-    return -1;
-  }
-  AVStream* stream = fmt_ctx->streams[stream_idx];
-
-  const AVCodec* codec = avcodec_find_decoder(stream->codecpar->codec_id);
-  if (!codec) {
-    set_err(errbuf, errbuf_len, "No decoder for codec");
-    return -1;
-  }
-  AVCodecContext* codec_ctx = avcodec_alloc_context3(codec);
-  if (!codec_ctx) {
-    set_err(errbuf, errbuf_len, "Failed to allocate codec context");
-    return -1;
-  }
-  struct CodecGuard {
-    AVCodecContext** p;
-    ~CodecGuard() { avcodec_free_context(p); }
-  } codec_guard{&codec_ctx};
-
-  if (avcodec_parameters_to_context(codec_ctx, stream->codecpar) < 0 ||
-      avcodec_open2(codec_ctx, codec, nullptr) < 0) {
-    set_err(errbuf, errbuf_len, "Failed to open decoder");
-    return -1;
-  }
-
-  std::vector<float> pcm;
+  std::deque<float> pending;  // interleaved normalized samples
   int channels = 0;
   int sample_rate = 0;
   int tag = NA_FMT_FLT;
   bool first = true;
+  bool eof = false;
+  bool failed = false;
   int64_t pts0_us = 0;
-  const double tb = av_q2d(stream->time_base);
+  int64_t written = 0;  // per-channel samples handed out or pending
+  char err[256] = {0};
 
-  AVPacket* packet = av_packet_alloc();
-  AVFrame* frame = av_frame_alloc();
-  struct PktGuard {
-    AVPacket** pkt;
-    AVFrame** frm;
-    ~PktGuard() {
-      av_packet_free(pkt);
-      av_frame_free(frm);
-    }
-  } pkt_guard{&packet, &frame};
+  ~na_decoder() {
+    if (packet) av_packet_free(&packet);
+    if (frame) av_frame_free(&frame);
+    if (codec_ctx) avcodec_free_context(&codec_ctx);
+    if (fmt_ctx) avformat_close_input(&fmt_ctx);
+  }
 
-  auto handle_frame = [&](const AVFrame* f) -> bool {
+  bool handle_frame(const AVFrame* f) {
     if (first) {
       first = false;
       channels = f->ch_layout.nb_channels;
       sample_rate = f->sample_rate;
       tag = fmt_tag(static_cast<AVSampleFormat>(f->format));
       if (f->pts != AV_NOPTS_VALUE) {
-        pts0_us = static_cast<int64_t>(f->pts * tb * 1e6);
+        pts0_us = static_cast<int64_t>(f->pts * time_base * 1e6);
       }
     }
-    if (f->ch_layout.nb_channels != channels || f->sample_rate != sample_rate) {
-      set_err(errbuf, errbuf_len, "Stream changed format mid-file");
+    if (f->ch_layout.nb_channels != channels ||
+        f->sample_rate != sample_rate) {
+      set_err(err, sizeof(err), "Stream changed format mid-file");
       return false;
     }
-    // Gap fill: if this frame's pts lands beyond the samples written so far,
-    // zero-fill the difference (>= 10 ms, mirroring the tolerance implicit in
-    // the reference's silence_time handling, audio-io.cpp:833-843).
+    // Gap fill (>= 10 ms) from pts discontinuities.
     if (f->pts != AV_NOPTS_VALUE) {
-      const double t = f->pts * tb - static_cast<double>(pts0_us) / 1e6;
-      const int64_t written = static_cast<int64_t>(pcm.size()) / channels;
-      const int64_t expect =
-          static_cast<int64_t>(t * sample_rate + 0.5);
-      if (expect > written + sample_rate / 100) {
-        pcm.resize(pcm.size() +
-                       static_cast<size_t>((expect - written) * channels),
-                   0.0f);
+      const double t = f->pts * time_base - static_cast<double>(pts0_us) / 1e6;
+      const int64_t total =
+          written + static_cast<int64_t>(pending.size()) / channels;
+      const int64_t expect = static_cast<int64_t>(t * sample_rate + 0.5);
+      if (expect > total + sample_rate / 100) {
+        pending.insert(pending.end(),
+                       static_cast<size_t>((expect - total) * channels),
+                       0.0f);
       }
     }
-    return append_frame(pcm, f, channels, errbuf, errbuf_len);
-  };
-
-  auto drain = [&](bool flush) -> int {
-    if (flush) avcodec_send_packet(codec_ctx, nullptr);
-    while (true) {
-      const int r = avcodec_receive_frame(codec_ctx, frame);
-      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
-      if (r < 0) {
-        set_err(errbuf, errbuf_len, "Decode error");
-        return -1;
-      }
-      if (!handle_frame(frame)) return -1;
-    }
-  };
-
-  while (av_read_frame(fmt_ctx, packet) >= 0) {
-    if (packet->stream_index == stream_idx) {
-      if (avcodec_send_packet(codec_ctx, packet) == 0) {
-        if (drain(false) < 0) {
-          av_packet_unref(packet);
-          return -1;
-        }
-      }
-    }
-    av_packet_unref(packet);
+    return append_frame(pending, f, channels, err, sizeof(err));
   }
-  if (drain(true) < 0) return -1;
 
-  if (first) {
+  // Decode until `pending` holds >= want per-channel samples or EOF.
+  // (`first` forces at least one decoded frame so `channels` is known.)
+  bool fill(int64_t want) {
+    while (!eof &&
+           (first ||
+            static_cast<int64_t>(pending.size()) < want * channels)) {
+      int r = av_read_frame(fmt_ctx, packet);
+      if (r < 0) {
+        avcodec_send_packet(codec_ctx, nullptr);  // flush
+        eof = true;
+      } else if (packet->stream_index == stream_idx) {
+        avcodec_send_packet(codec_ctx, packet);
+      }
+      if (r >= 0) av_packet_unref(packet);
+      while (true) {
+        const int rr = avcodec_receive_frame(codec_ctx, frame);
+        if (rr == AVERROR(EAGAIN) || rr == AVERROR_EOF) break;
+        if (rr < 0) {
+          set_err(err, sizeof(err), "Decode error");
+          return false;
+        }
+        if (!handle_frame(frame)) return false;
+      }
+    }
+    return true;
+  }
+};
+
+extern "C" na_decoder* na_decoder_open(const char* path, na_decoded* info,
+                                       char* errbuf, int errbuf_len) {
+  av_log_set_level(AV_LOG_QUIET);
+  if (info) std::memset(info, 0, sizeof(*info));
+
+  auto d = new na_decoder;
+  if (avformat_open_input(&d->fmt_ctx, path, nullptr, nullptr) < 0) {
+    set_err(errbuf, errbuf_len, "Failed to open input file");
+    delete d;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt_ctx, nullptr) < 0) {
+    set_err(errbuf, errbuf_len, "Failed to find stream info");
+    delete d;
+    return nullptr;
+  }
+  d->stream_idx =
+      av_find_best_stream(d->fmt_ctx, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+  if (d->stream_idx < 0) {
+    set_err(errbuf, errbuf_len, "No audio stream found");
+    delete d;
+    return nullptr;
+  }
+  AVStream* stream = d->fmt_ctx->streams[d->stream_idx];
+  d->time_base = av_q2d(stream->time_base);
+
+  const AVCodec* codec = avcodec_find_decoder(stream->codecpar->codec_id);
+  if (!codec) {
+    set_err(errbuf, errbuf_len, "No decoder for codec");
+    delete d;
+    return nullptr;
+  }
+  d->codec_ctx = avcodec_alloc_context3(codec);
+  if (!d->codec_ctx ||
+      avcodec_parameters_to_context(d->codec_ctx, stream->codecpar) < 0 ||
+      avcodec_open2(d->codec_ctx, codec, nullptr) < 0) {
+    set_err(errbuf, errbuf_len, "Failed to open decoder");
+    delete d;
+    return nullptr;
+  }
+  d->packet = av_packet_alloc();
+  d->frame = av_frame_alloc();
+
+  // Pull the first frame so the caller learns the stream format.
+  if (!d->fill(1)) {
+    set_err(errbuf, errbuf_len, d->err[0] ? d->err : "Decode error");
+    delete d;
+    return nullptr;
+  }
+  if (d->first) {
     set_err(errbuf, errbuf_len, "File contains no audio frames");
+    delete d;
+    return nullptr;
+  }
+  if (info) {
+    info->sample_rate = d->sample_rate;
+    info->channels = d->channels;
+    info->fmt = d->tag;
+    info->num_samples = -1;  // unknown until EOF
+    info->pts0_us = d->pts0_us;
+    info->data = nullptr;
+  }
+  return d;
+}
+
+extern "C" int64_t na_decoder_read(na_decoder* d, float* out,
+                                   int64_t max_samples) {
+  if (d->failed) return -1;
+  if (!d->fill(max_samples)) {
+    d->failed = true;
     return -1;
   }
+  const int64_t have =
+      static_cast<int64_t>(d->pending.size()) / d->channels;
+  const int64_t n = std::min(max_samples, have);
+  const int64_t count = n * d->channels;
+  std::copy(d->pending.begin(), d->pending.begin() + count, out);
+  d->pending.erase(d->pending.begin(), d->pending.begin() + count);
+  d->written += n;
+  return n;
+}
 
-  const int64_t num_samples = static_cast<int64_t>(pcm.size()) / channels;
+extern "C" void na_decoder_close(na_decoder* d) { delete d; }
+
+extern "C" int na_decode_file(const char* path, na_decoded* out, char* errbuf,
+                              int errbuf_len) {
+  na_decoded info;
+  na_decoder* d = na_decoder_open(path, &info, errbuf, errbuf_len);
+  if (!d) return -1;
+
+  std::vector<float> pcm;
+  const int64_t chunk = 1 << 18;
+  std::vector<float> buf(static_cast<size_t>(chunk) * info.channels);
+  while (true) {
+    const int64_t n = na_decoder_read(d, buf.data(), chunk);
+    if (n < 0) {
+      set_err(errbuf, errbuf_len, d->err[0] ? d->err : "Decode error");
+      na_decoder_close(d);
+      return -1;
+    }
+    if (n == 0) break;
+    pcm.insert(pcm.end(), buf.begin(),
+               buf.begin() + static_cast<size_t>(n) * info.channels);
+  }
+  na_decoder_close(d);
+
   float* data = static_cast<float*>(
       std::malloc(pcm.size() * sizeof(float) + sizeof(float)));
   if (!data) {
@@ -239,11 +300,11 @@ extern "C" int na_decode_file(const char* path, na_decoded* out, char* errbuf,
   }
   std::memcpy(data, pcm.data(), pcm.size() * sizeof(float));
 
-  out->sample_rate = sample_rate;
-  out->channels = channels;
-  out->fmt = tag;
-  out->num_samples = num_samples;
-  out->pts0_us = pts0_us;
+  out->sample_rate = info.sample_rate;
+  out->channels = info.channels;
+  out->fmt = info.fmt;
+  out->num_samples = static_cast<int64_t>(pcm.size()) / info.channels;
+  out->pts0_us = info.pts0_us;
   out->data = data;
   return 0;
 }

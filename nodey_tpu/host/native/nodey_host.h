@@ -38,6 +38,19 @@ int na_decode_file(const char* path, na_decoded* out,
                    char* errbuf, int errbuf_len);
 void na_free_decoded(na_decoded* d);
 
+// --- streaming decode (bounded host memory for long clips) -----------------
+typedef struct na_decoder na_decoder;
+
+// Open and decode up to the first frame to learn the format. ``info->data``
+// stays NULL; rate/channels/fmt/pts0_us are filled (num_samples = -1,
+// unknown). NULL on failure (errbuf filled).
+na_decoder* na_decoder_open(const char* path, na_decoded* info,
+                            char* errbuf, int errbuf_len);
+// Read up to max_samples per-channel samples of normalized interleaved f32.
+// Returns the count (< max only at EOF), 0 at EOF, -1 on error.
+int64_t na_decoder_read(na_decoder* d, float* out, int64_t max_samples);
+void na_decoder_close(na_decoder* d);
+
 // --- MP3 encode (LAME, CBR quality 2 — reference: audio-io.cpp:809-831) ---
 typedef struct na_mp3 na_mp3;
 

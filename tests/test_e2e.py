@@ -171,3 +171,28 @@ def test_compile_cache_reused(tone_wav_s16):
             node.processor.set_volume(3.0)
     r3 = runner.render()
     assert r3.metrics.compile_seconds > 0.0
+
+
+@needs_native
+def test_stream_decoder_matches_whole_file(tmp_path):
+    """Bounded-memory streaming decode == whole-file decode, block by block
+    (native na_decoder_* API)."""
+    from nodey_tpu.host.decode import StreamDecoder
+
+    data = make_tone(rate=48_000, seconds=1.0, channels=2)
+    path = tmp_path / "sd.wav"
+    host_decode.write_wav_s16(str(path), data, 48_000)
+    whole = host_decode.decode_file(str(path))
+    with StreamDecoder(str(path)) as dec:
+        assert (dec.rate, dec.channels, dec.fmt) == (48_000, 2, "s16")
+        blocks = list(dec.blocks(7_001))
+    streamed = np.concatenate(blocks, axis=1)
+    np.testing.assert_array_equal(streamed, whole.data)
+
+
+@needs_native
+def test_stream_decoder_missing_file():
+    from nodey_tpu.host.decode import StreamDecoder
+
+    with pytest.raises(ProcessorRuntimeError):
+        StreamDecoder("/tmp/definitely-missing.wav")
