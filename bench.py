@@ -53,8 +53,8 @@ def main() -> int:
     from nodey_tpu.host import decode as host_decode
     import __graft_entry__ as graft
 
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 300.0
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     rate = 44_100
     n = int(rate * seconds)
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
@@ -94,19 +94,27 @@ def main() -> int:
         jax.block_until_ready(device_args)
         ingest_s = time.perf_counter() - t0
 
-        # Warmup (remote compile + first execution).
+        # NOTE on methodology: on this rig jax.block_until_ready returns
+        # before remote execution finishes (axon relay quirk), so completion
+        # is forced with a tiny device_get probe. Sustained throughput =
+        # `iters` back-to-back dispatches + one probe, amortized — the
+        # number that answers "audio-seconds processed per second".
+        def probe(o):
+            return jax.device_get(o["master"][0].ravel()[:4])
+
+        # Warmup (remote compile + first execution + cold d2h path).
         t0 = time.perf_counter()
         out = compiled.fn(device_args)
-        jax.block_until_ready(out)
+        probe(out)
         warmup_s = time.perf_counter() - t0
 
-        # Timed: fused graph program, device-resident in/out.
         times = []
-        for _ in range(iters):
+        for _ in range(3):
             t0 = time.perf_counter()
-            out = compiled.fn(device_args)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
+            for _ in range(iters):
+                out = compiled.fn(device_args)
+            probe(out)
+            times.append((time.perf_counter() - t0) / iters)
         pipeline_s = min(times)
 
         master, length = out["master"]

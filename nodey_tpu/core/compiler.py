@@ -148,6 +148,18 @@ class CompiledGraph:
         out = self.fn(args)
         return jax.tree_util.tree_map(np.asarray, out)
 
+    def run_device(
+        self,
+        arrays: Dict[str, np.ndarray],
+        lengths: Dict[str, int],
+    ) -> Dict[str, Any]:
+        """Execute and leave outputs device-resident (no HBM->host pull)."""
+        args = {
+            key: (jnp.asarray(arrays[key]), jnp.int32(lengths[key]))
+            for key in self.input_keys
+        }
+        return self.fn(args)
+
     def run_batch(
         self,
         arrays: Dict[str, np.ndarray],   # [B, C, capacity] per key

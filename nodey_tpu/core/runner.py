@@ -65,6 +65,10 @@ class RunResult:
     fmt: str
     spectra: Dict[str, np.ndarray]
     metrics: RunMetrics
+    # Device-resident master (set when rendered with fetch=False) — lets the
+    # export path stream HBM->host egress overlapped with encoding.
+    device_master: Optional[Any] = None
+    master_length: int = 0
 
 
 def _bucket(n: int, quantum: int) -> int:
@@ -155,13 +159,17 @@ class Runner:
 
     # -- execute ------------------------------------------------------------
 
-    def render(self, mode: str = "export") -> RunResult:
+    def render(self, mode: str = "export", fetch: bool = True) -> RunResult:
         """Run the graph once; returns the master mix (+ spectra).
 
         ``mode='export'`` leaves the master at native rate for the encoder
         (LAME resamples, like the reference); ``mode='preview'`` produces
         clamped 48 kHz stereo (reference: do_preview, audio-io.cpp:504-637).
+        ``fetch=False`` keeps the master device-resident (RunResult.
+        device_master) so the caller can stream the egress.
         """
+        import jax
+
         self.state = RunnerState.RUNNING
         self.error = None
         metrics = RunMetrics()
@@ -174,10 +182,12 @@ class Runner:
             compiled, metrics.compile_seconds = self._compile(sources, mode)
 
             t0 = time.perf_counter()
-            outputs = compiled.run(arrays, lengths)
+            outputs = compiled.run_device(arrays, lengths)
             metrics.device_seconds = time.perf_counter() - t0
 
             master = None
+            device_master = None
+            master_len = 0
             rate = cfg.SAMPLE_RATE
             fmt = "flt"
             spectra: Dict[str, np.ndarray] = {}
@@ -185,19 +195,23 @@ class Runner:
             for key, meta in compiled.output_meta.items():
                 if meta["kind"] == "stream" and key == master_key:
                     data, length = outputs[key]
-                    master = np.asarray(data)[:, : int(length)]
+                    master_len = int(jax.device_get(length))
                     rate = meta["rate"]
                     fmt = meta["fmt"]
+                    if fetch:
+                        master = np.asarray(data)[:, :master_len]
+                    else:
+                        device_master = data
                 elif meta["kind"] == "array":
                     spectra[key] = np.asarray(outputs[key])
 
             metrics.wall_seconds = time.perf_counter() - wall0
-            if master is not None:
-                metrics.audio_seconds = master.shape[1] / rate
+            metrics.audio_seconds = master_len / rate if rate else 0.0
             self.state = RunnerState.FINISHED
             return RunResult(
                 master=master, rate=rate, fmt=fmt, spectra=spectra,
-                metrics=metrics,
+                metrics=metrics, device_master=device_master,
+                master_length=master_len,
             )
         except BaseException as exc:
             # Error capture mirrors the reference's per-fiber catch
@@ -211,30 +225,89 @@ class Runner:
         path: str,
         kbps: int = 320,
         progress: Optional[Callable[[float], None]] = None,
+        block_seconds: float = 4.0,
     ) -> RunMetrics:
         """Render + MP3-encode (reference: create_export_runner,
-        app.cpp:2042-2094, and do_export, audio-io.cpp:640-844)."""
-        result = self.render(mode="export")
-        if result.master is None:
+        app.cpp:2042-2094, and do_export, audio-io.cpp:640-844).
+
+        The master stays device-resident; egress streams block-by-block
+        through a bounded queue while LAME encodes — HBM->host transfer and
+        encoding overlap (the double-buffered pipeline SURVEY.md §5.8 calls
+        for at the export boundary)."""
+        import threading
+
+        import jax
+        import jax.numpy as jnp
+
+        from nodey_tpu.host.streamio import BoundedBlockQueue
+
+        result = self.render(mode="export", fetch=False)
+        if result.device_master is None:
             raise ProcessorRuntimeError(
                 "Export produced no audio",
                 "The graph has no audio_output node receiving a stream.",
                 "master output missing",
             )
         t0 = time.perf_counter()
-        try:
-            host_encode.encode_mp3(
-                path,
-                result.master,
-                rate=result.rate,
-                kbps=kbps,
-                fmt=result.fmt,
-                progress=progress,
+        n = result.master_length
+        channels = result.device_master.shape[0]
+        block = max(1, int(block_seconds * result.rate))
+        n_blocks = max(1, -(-n // block))
+        pad = n_blocks * block - result.device_master.shape[1]
+        master = (
+            jnp.pad(result.device_master, ((0, 0), (0, pad)))
+            if pad > 0
+            else result.device_master
+        )
+        fetch = jax.jit(
+            lambda m, i: jax.lax.dynamic_slice(
+                m, (0, i * block), (channels, block)
             )
-        except NodeyError as exc:
+        )
+
+        queue = BoundedBlockQueue()
+        stop = threading.Event()
+        producer_error: list = []
+
+        def produce() -> None:
+            try:
+                for b in range(n_blocks):
+                    if stop.is_set():
+                        break
+                    host_block = np.asarray(fetch(master, b))
+                    valid = min(block, n - b * block)
+                    if not queue.push(host_block[:, :valid], stop=stop):
+                        break
+            except BaseException as exc:  # surfaced by the consumer
+                producer_error.append(exc)
+            finally:
+                queue.set_eof()
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            written = 0
+            with host_encode.Mp3Encoder(
+                path, result.rate, channels, kbps, result.fmt
+            ) as enc:
+                while True:
+                    host_block = queue.pop(stop=stop)
+                    if host_block is None:
+                        break
+                    enc.write(host_block)
+                    written += host_block.shape[1]
+                    if progress is not None:
+                        progress(written / result.rate)
+            if producer_error:
+                raise producer_error[0]
+        except BaseException as exc:
+            stop.set()
             self.state = RunnerState.ERROR
             self.error = exc
             raise
+        finally:
+            stop.set()
+            thread.join(timeout=10.0)
         result.metrics.encode_seconds = time.perf_counter() - t0
         result.metrics.wall_seconds += result.metrics.encode_seconds
         return result.metrics

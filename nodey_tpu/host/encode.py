@@ -20,6 +20,101 @@ from nodey_tpu.host import native_lib
 _CHUNK = 1 << 18  # samples per lame call; keeps the scratch buffer bounded
 
 
+class Mp3Encoder:
+    """Incremental MP3 encoder (planar float32 blocks in, file out).
+
+    The streaming counterpart of the reference's do_export LAME sink
+    (audio-io.cpp:640-844); used by the block-pipelined export path so
+    HBM->host egress overlaps encoding.
+    """
+
+    def __init__(self, path: str, rate: int, channels: int, kbps: int,
+                 fmt: str = "flt", out_rate: int = config.SAMPLE_RATE):
+        lib = native_lib.load()
+        if lib is None:
+            raise ProcessorRuntimeError(
+                "MP3 encoder unavailable",
+                "The native host runtime (libnodey_host) could not be "
+                "loaded.",
+                "na_mp3_open",
+            )
+        self._lib = lib
+        self._fmt = fmt
+        self._path = path
+        errbuf = ctypes.create_string_buffer(512)
+        self._handle = lib.na_mp3_open(
+            path.encode(), int(rate), int(channels), int(kbps),
+            int(out_rate), errbuf, len(errbuf),
+        )
+        if not self._handle:
+            raise ProcessorRuntimeError(
+                errbuf.value.decode() or "Failed to open output file",
+                "Cannot open the output file for writing. Check if the path "
+                "is valid and writable.",
+                f"Output path: {path}",
+            )
+
+    def write(self, block: np.ndarray) -> None:
+        """Append a planar [channels, n] float32 block."""
+        if self._handle is None:
+            raise ProcessorRuntimeError(
+                "Encoder already closed", "Mp3Encoder.write after close.",
+                self._path,
+            )
+        chunk = np.ascontiguousarray(block.T, dtype=np.float32)
+        if self._fmt == FMT_S16:
+            # Integer-origin samples are exact multiples of 1/32768, so this
+            # re-quantization is lossless — reproducing the reference's S16
+            # LAME path (audio-io.cpp:705-714).
+            ints = np.clip(
+                np.trunc(chunk * 32768.0), -32768, 32767
+            ).astype(np.int16)
+            rc = self._lib.na_mp3_write_s16(
+                self._handle,
+                np.ascontiguousarray(ints).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int16)
+                ),
+                chunk.shape[0],
+            )
+        else:
+            rc = self._lib.na_mp3_write_flt(
+                self._handle,
+                chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                chunk.shape[0],
+            )
+        if rc != 0:
+            self.close()
+            raise ProcessorRuntimeError(
+                "Failed to encode audio frame",
+                "Cannot encode the audio frame. Internal error may have "
+                "occurred.",
+                f"Output path: {self._path}",
+            )
+
+    def close(self) -> None:
+        if self._handle is not None:
+            rc = self._lib.na_mp3_close(self._handle)
+            self._handle = None
+            if rc != 0:
+                raise ProcessorRuntimeError(
+                    "Failed to finalize MP3 file",
+                    "Flushing/closing the encoder failed.",
+                    f"Output path: {self._path}",
+                )
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *rest):
+        if exc_type is None:
+            self.close()
+        elif self._handle is not None:
+            try:
+                self._lib.na_mp3_close(self._handle)
+            finally:
+                self._handle = None
+
+
 def encode_mp3(
     path: str,
     data: np.ndarray,
@@ -29,68 +124,16 @@ def encode_mp3(
     out_rate: int = config.SAMPLE_RATE,
     progress=None,
 ) -> None:
-    """Encode planar float32 [channels, n] to an MP3 file.
+    """Encode planar float32 [channels, n] to an MP3 file in one call.
 
     ``progress``: optional callable(seconds_done) — the host-side stand-in
     for the reference's shared atomic<double> progress channel
     (include/processor/audio-io.hpp:67, app.cpp:2074).
     """
-    lib = native_lib.load()
-    if lib is None:
-        raise ProcessorRuntimeError(
-            "MP3 encoder unavailable",
-            "The native host runtime (libnodey_host) could not be loaded.",
-            "na_mp3_open",
-        )
     channels, n = data.shape
-    errbuf = ctypes.create_string_buffer(512)
-    handle = lib.na_mp3_open(
-        path.encode(), int(rate), int(channels), int(kbps), int(out_rate),
-        errbuf, len(errbuf),
-    )
-    if not handle:
-        raise ProcessorRuntimeError(
-            errbuf.value.decode() or "Failed to open output file",
-            "Cannot open the output file for writing. Check if the path is "
-            "valid and writable.",
-            f"Output path: {path}",
-        )
-
-    interleaved = np.ascontiguousarray(data.T, dtype=np.float32)
-    ok = True
-    try:
+    with Mp3Encoder(path, rate, channels, kbps, fmt, out_rate) as enc:
         for start in range(0, n, _CHUNK):
-            chunk = interleaved[start : start + _CHUNK]
-            if fmt == FMT_S16:
-                # Integer-origin samples are exact multiples of 1/32768, so
-                # this re-quantization is lossless — reproducing the
-                # reference's S16 LAME path (audio-io.cpp:705-714).
-                ints = np.clip(
-                    np.trunc(chunk * 32768.0), -32768, 32767
-                ).astype(np.int16)
-                rc = lib.na_mp3_write_s16(
-                    handle,
-                    np.ascontiguousarray(ints).ctypes.data_as(
-                        ctypes.POINTER(ctypes.c_int16)
-                    ),
-                    chunk.shape[0],
-                )
-            else:
-                rc = lib.na_mp3_write_flt(
-                    handle,
-                    chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    chunk.shape[0],
-                )
-            if rc != 0:
-                ok = False
-                break
+            block = data[:, start : start + _CHUNK]
+            enc.write(block)
             if progress is not None:
-                progress((start + chunk.shape[0]) / rate)
-    finally:
-        rc_close = lib.na_mp3_close(handle)
-    if not ok or rc_close != 0:
-        raise ProcessorRuntimeError(
-            "Failed to encode audio frame",
-            "Cannot encode the audio frame. Internal error may have occurred.",
-            f"Output path: {path}",
-        )
+                progress((start + block.shape[1]) / rate)

@@ -66,7 +66,7 @@ def resample_data_pallas(
     need = (GB * BLOCK_GROUPS - 1) * M + W
     x = jnp.pad(data, ((0, 0), (left, max(0, need - left - N))))
 
-    def kernel(x_hbm, bank_ref, out_ref, scratch, sems):
+    def kernel(x_hbm, bank_ref, out_ref, scratch, patches, sems):
         g = pl.program_id(0)
         n_steps = pl.num_programs(0)
 
@@ -90,27 +90,26 @@ def resample_data_pallas(
             get_dma((g + 1) % 2, g + 1).start()
 
         get_dma(slot, g).wait()
-        window = scratch[slot]  # [C, win]
 
-        # Build the [BLOCK_GROUPS, W] patch matrix per channel and hit the
-        # MXU once per channel. The strided patch extraction is a static
-        # unroll of VMEM slices (static bounds — Mosaic has no
-        # dynamic_slice on loaded vectors).
+        # Gather the [BLOCK_GROUPS, W] patch matrix per channel into VMEM
+        # scratch via dynamic-offset ref loads (Mosaic supports pl.ds on
+        # refs, not dynamic_slice on loaded vectors), then hit the MXU once
+        # per channel.
+        def fill_row(i, _):
+            patches[:, i, :] = scratch[slot, :, pl.ds(i * M, W)]
+            return 0
+
+        jax.lax.fori_loop(0, BLOCK_GROUPS, fill_row, 0)
         for c in range(C):
-            patches = jnp.stack(
-                [window[c, i * M : i * M + W] for i in range(BLOCK_GROUPS)],
-                axis=0,
-            )  # [BLOCK_GROUPS, W]
-            y = jnp.dot(
-                patches, bank_ref[:].T, preferred_element_type=jnp.float32
+            out_ref[c, :, :] = jnp.dot(
+                patches[c], bank_ref[:].T, preferred_element_type=jnp.float32
             )  # [BLOCK_GROUPS, L]
-            out_ref[c, :, :] = y
 
     out = pl.pallas_call(
         kernel,
         grid=(GB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bank resident in VMEM
         ],
         out_specs=pl.BlockSpec(
@@ -121,6 +120,7 @@ def resample_data_pallas(
         out_shape=jax.ShapeDtypeStruct((C, GB * BLOCK_GROUPS, L), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, C, win), jnp.float32),
+            pltpu.VMEM((C, BLOCK_GROUPS, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
