@@ -223,6 +223,8 @@ def compile_graph(
     meta_holder: Dict[str, Any] = {}
 
     def program(args: Dict[str, Any]) -> Dict[str, Any]:
+        from nodey_tpu.core.errors import ProcessorRuntimeError
+
         ctx = LowerCtx(mode, sources, args)
         pin_values: Dict[int, Stream] = {}  # output pin id -> Stream
         for nid in order:
@@ -233,7 +235,20 @@ def compile_graph(
                 if from_pin in pin_values
             }
             ctx.node_id = nid
-            outs = node.processor.lower(ctx, node_inputs)
+            try:
+                outs = node.processor.lower(ctx, node_inputs)
+            except ProcessorRuntimeError as exc:
+                # Attribute the failure to its node, like the reference's
+                # per-fiber capture keyed by processor resource
+                # (runner.cpp:87-136, app.cpp:2097-2122).
+                info = node.processor.info()
+                if f"[node {nid}" not in exc.detail:
+                    raise ProcessorRuntimeError(
+                        exc.message,
+                        exc.explanation,
+                        f"{exc.detail} [node {nid}: {info.identifier}]",
+                    ) from exc
+                raise
             for pin_name, value in outs.items():
                 pin_id = node.pin_name_map.get(pin_name)
                 if pin_id is None:

@@ -65,25 +65,21 @@ def wsola_stretch_at_rate(data, length, tempo: float, rate: int):
     return _wsola_impl(data, length, float(tempo), int(rate))
 
 
-def _wsola_impl(data, length, tempo, rate):
-    C, N = data.shape
-    seq, seek, overlap = _params(rate)
+def _wsola_scan(x, tail0, k0, K, num, den, seq, seek, overlap, win_start=0):
+    """Scan WSOLA frames k in [k0, k0+K) over ``x``.
+
+    ``x`` must cover absolute input positions
+    [pos(k0) - win_start, pos(k0+K-1) - win_start + seek + seq). The carry is
+    the previous output tail — the ONLY state WSOLA threads between frames,
+    which is what makes exact chunked/streaming execution possible
+    (SURVEY.md §7 hard part 3)."""
+    C = x.shape[0]
     stride_out = seq - overlap
-    K = _out_chunks(N, tempo, seq, overlap)
-
-    # Integer stepping for input positions: pos_k = round(k*stride_out*tempo).
-    num = int(round(stride_out * tempo * 65536))
-    den = 65536
-
-    # Pad the input so every window read is in-bounds.
-    pad = seek + seq + 2
-    x = jnp.pad(data, ((0, 0), (0, pad + max(0, num // den * K + pad - N))))
-
     fade_in = (jnp.arange(overlap, dtype=jnp.float32) + 0.5) / overlap
     fade_out = 1.0 - fade_in
 
     def step(tail, k):
-        pos = (k * num + den // 2) // den
+        pos = (k * num + den // 2) // den - win_start
         window = lax.dynamic_slice(x, (0, pos), (C, seek + seq))
         # Normalized cross-correlation of the previous output tail against
         # every candidate offset in one conv (SoundTouch's seekBestOverlap
@@ -116,10 +112,32 @@ def _wsola_impl(data, length, tempo, rate):
         new_tail = seg[:, stride_out : stride_out + overlap]
         return new_tail, chunk
 
-    tail0 = x[:, :overlap]
-    _, chunks = lax.scan(step, tail0, jnp.arange(K, dtype=jnp.int32))
-    # chunks: [K, C, stride_out] -> [C, overlap + K*stride_out]
+    tail, chunks = lax.scan(
+        step, tail0, k0 + jnp.arange(K, dtype=jnp.int32)
+    )
+    # chunks: [K, C, stride_out] -> [C, K*stride_out]
     body = jnp.transpose(chunks, (1, 0, 2)).reshape(C, K * stride_out)
+    return tail, body
+
+
+def _wsola_impl(data, length, tempo, rate):
+    C, N = data.shape
+    seq, seek, overlap = _params(rate)
+    stride_out = seq - overlap
+    K = _out_chunks(N, tempo, seq, overlap)
+
+    # Integer stepping for input positions: pos_k = round(k*stride_out*tempo).
+    num = int(round(stride_out * tempo * 65536))
+    den = 65536
+
+    # Pad the input so every window read is in-bounds.
+    pad = seek + seq + 2
+    x = jnp.pad(data, ((0, 0), (0, pad + max(0, num // den * K + pad - N))))
+
+    tail0 = x[:, :overlap]
+    _, body = _wsola_scan(
+        x, tail0, jnp.int32(0), K, num, den, seq, seek, overlap
+    )
     out = jnp.concatenate([x[:, :overlap], body], axis=1)
 
     out_length = jnp.minimum(
@@ -129,6 +147,48 @@ def _wsola_impl(data, length, tempo, rate):
     idx = jnp.arange(out.shape[1])[None, :]
     out = jnp.where(idx < out_length, out, 0.0)
     return out, out_length
+
+
+def wsola_stream_plan(tempo: float, rate: int, chunk_frames: int):
+    """Static plan for exact chunked/streaming WSOLA execution."""
+    seq, seek, overlap = _params(rate)
+    num = int(round((seq - overlap) * tempo * 65536))
+    return {
+        "seq": seq,
+        "seek": seek,
+        "overlap": overlap,
+        "stride_out": seq - overlap,
+        "num": num,
+        "den": 65536,
+        "chunk_frames": chunk_frames,
+        # Input window needed by one chunk of frames starting at k0:
+        # pos(k0) .. pos(k0 + chunk_frames - 1) + seek + seq.
+        "window": (chunk_frames - 1) * num // 65536 + seek + seq + 2,
+    }
+
+
+def wsola_stream_step(plan, x_window, tail, k0):
+    """One streaming WSOLA step: process ``chunk_frames`` output frames.
+
+    ``x_window``: [C, plan['window']] input slice starting at absolute input
+    position pos(k0) (zero-padded past EOF). ``tail``: carry from the
+    previous step (for the first step: the clip's first ``overlap`` samples).
+    Returns (new_tail, out_chunk [C, chunk_frames*stride_out]). Splice
+    decisions equal the whole-clip path; samples agree to float rounding
+    (tested)."""
+    win_start = (k0 * plan["num"] + plan["den"] // 2) // plan["den"]
+    return _wsola_scan(
+        x_window,
+        tail,
+        k0,
+        plan["chunk_frames"],
+        plan["num"],
+        plan["den"],
+        plan["seq"],
+        plan["seek"],
+        plan["overlap"],
+        win_start=win_start,
+    )
 
 
 def _rational_factor(factor: float, max_den: int = 600):

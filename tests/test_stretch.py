@@ -204,3 +204,63 @@ def test_config4_graph(tmp_path):
     y = result.master[0, 2000 : n - 2000]
     p = 2.0 ** (4.0 / 12.0)
     assert abs(dominant_freq(y, 48_000) - 440.0 * p) / (440.0 * p) < 0.01
+
+
+class TestStreamingWsola:
+    """Exact chunked execution via the carried-tail scan (the 'streaming
+    with stateful kernels under jit' hard part, SURVEY.md §7)."""
+
+    def test_stream_steps_match_whole_clip(self):
+        import jax
+        from nodey_tpu.ops.stretch import (
+            _params,
+            wsola_stream_plan,
+            wsola_stream_step,
+        )
+
+        tempo = 1.4
+        x = tone(freq=330.0, seconds=0.8, channels=2)
+        data = jnp.asarray(x)
+        whole, whole_len = wsola_stretch_at_rate(
+            data, jnp.int32(x.shape[-1]), tempo, RATE
+        )
+        whole = np.asarray(whole)
+
+        seq, seek, overlap = _params(RATE)
+        plan = wsola_stream_plan(tempo, RATE, chunk_frames=4)
+        stride_out = plan["stride_out"]
+
+        # Pad enough that every window slice is fully in-bounds even for the
+        # last frame (dynamic_slice clamps out-of-bounds starts, which would
+        # silently shift the window).
+        stride_est = plan["stride_out"]
+        max_frames = (x.shape[-1] + stride_est) // stride_est + 8
+        needed = (max_frames * plan["num"]) // plan["den"] + plan["window"] + 16
+        xp = jnp.pad(data, ((0, 0), (0, max(0, needed - x.shape[-1]))))
+        step = jax.jit(
+            lambda w, t, k: wsola_stream_step(plan, w, t, k)
+        )
+
+        pieces = [np.asarray(data[:, :overlap])]  # initial prefix
+        tail = data[:, :overlap]
+        total_frames = 0
+        target_frames = (int(whole_len) - overlap) // stride_out
+        k0 = 0
+        while total_frames < target_frames:
+            win_start = (k0 * plan["num"] + plan["den"] // 2) // plan["den"]
+            window = jax.lax.dynamic_slice(
+                xp, (0, win_start), (2, plan["window"])
+            )
+            tail, chunk = step(window, tail, jnp.int32(k0))
+            pieces.append(np.asarray(chunk))
+            total_frames += plan["chunk_frames"]
+            k0 += plan["chunk_frames"]
+
+        streamed = np.concatenate(pieces, axis=1)
+        n = min(int(whole_len), streamed.shape[1])
+        # Same splice decisions; amplitudes agree to float rounding (the two
+        # compiled programs may fuse the crossfade arithmetic differently,
+        # so exact bit equality across programs is not guaranteed).
+        np.testing.assert_allclose(
+            streamed[:, :n], whole[:, :n], atol=2e-7
+        )
