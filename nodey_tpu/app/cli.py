@@ -140,6 +140,128 @@ def _run_inner(args, graph, runner, diagnostics) -> int:
     return 0
 
 
+def _parse_param_value(value: str):
+    """JSON value when parseable, else the raw string (so
+    ``--param file_path='["a.wav"]'`` and ``--param export_path=/x`` both
+    work)."""
+    try:
+        return json.loads(value)
+    except json.JSONDecodeError:
+        return value
+
+
+def _save_graph(graph: Graph, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(graph.serialize(), f, indent=1)
+
+
+def _resolve_pin(graph: Graph, spec: str):
+    """'<node_id>.<pin_name>' -> pin id."""
+    node_str, _, pin_name = spec.partition(".")
+    try:
+        node_id = int(node_str)
+    except ValueError:
+        raise NodeyError(f"bad pin spec '{spec}' (want <node>.<pin>)") from None
+    node = graph.nodes.get(node_id)
+    if node is None:
+        raise NodeyError(f"no node {node_id}")
+    pin = node.pin_name_map.get(pin_name)
+    if pin is None:
+        raise NodeyError(
+            f"node {node_id} has no pin '{pin_name}' "
+            f"(has: {sorted(node.pin_name_map)})"
+        )
+    return pin
+
+
+def cmd_edit(args) -> int:
+    """Headless graph editing — the engine-level equivalents of the
+    reference editor's mutations (add node from registry, validated link
+    creation with rollback, app.cpp:1700-1839)."""
+    graph = _load_graph(args.project)
+
+    if args.edit_command == "add-node":
+        info = registry.processor_map.get(args.identifier)
+        if info is None:
+            print(
+                f"error: unknown identifier '{args.identifier}' "
+                f"(have: {sorted(registry.processor_map)})",
+                file=sys.stderr,
+            )
+            return 1
+        proc = info.generate()
+        if args.param:
+            blob = proc.serialize()
+            if isinstance(blob, dict):
+                for kv in args.param:
+                    key, _, value = kv.partition("=")
+                    blob[key] = _parse_param_value(value)
+                proc.deserialize(blob)
+        nid = graph.add_node(proc)
+        if args.pos:
+            x, _, y = args.pos.partition(",")
+            graph.nodes[nid].position = (float(x), float(y))
+        print(f"added node {nid} ({args.identifier})")
+    elif args.edit_command == "remove-node":
+        graph.remove_node(args.node_id)
+        print(f"removed node {args.node_id}")
+    elif args.edit_command == "link":
+        from_pin = _resolve_pin(graph, args.from_pin)
+        to_pin = _resolve_pin(graph, args.to_pin)
+        link_id = graph.add_link(from_pin, to_pin)
+        try:
+            # Validate-and-rollback, exactly the app's link flow
+            # (app.cpp:1826-1839).
+            graph.check_graph()
+        except NodeyError as exc:
+            graph.remove_link(link_id)
+            print(f"error: link rejected: {exc}", file=sys.stderr)
+            return 1
+        print(f"linked {args.from_pin} -> {args.to_pin}")
+    elif args.edit_command == "unlink":
+        from_pin = _resolve_pin(graph, args.from_pin)
+        to_pin = _resolve_pin(graph, args.to_pin)
+        graph.remove_link_between(from_pin, to_pin)
+        print(f"unlinked {args.from_pin} -> {args.to_pin}")
+    elif args.edit_command == "set":
+        node = graph.nodes.get(args.node_id)
+        if node is None:
+            print(f"error: no node {args.node_id}", file=sys.stderr)
+            return 1
+        blob = node.processor.serialize()
+        if not isinstance(blob, dict):
+            blob = {}
+        for kv in args.param:
+            key, _, value = kv.partition("=")
+            blob[key] = _parse_param_value(value)
+        node.processor.deserialize(blob)
+        graph.update_node_pin(args.node_id)  # arity may have changed
+        print(f"updated node {args.node_id}: {blob}")
+    elif args.edit_command == "show":
+        for nid, node in sorted(graph.nodes.items()):
+            info = node.processor.info()
+            print(f"node {nid}: {info.identifier} "
+                  f"pins={sorted(node.pin_name_map)} "
+                  f"info={node.processor.serialize()}")
+        for lid, link in sorted(graph.links.items()):
+            fp, tp = graph.pins[link.from_pin], graph.pins[link.to_pin]
+            print(
+                f"link {lid}: {fp.parent}.{fp.attribute.identifier} -> "
+                f"{tp.parent}.{tp.attribute.identifier}"
+            )
+        return 0
+
+    _save_graph(graph, args.project)
+    return 0
+
+
+def cmd_new(args) -> int:
+    registry.register_all_processors()
+    _save_graph(Graph(), args.project)
+    print(f"created empty project {args.project}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="nodey_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -160,6 +282,32 @@ def main(argv=None) -> int:
     p_val = sub.add_parser("validate", help="validate a project file")
     p_val.add_argument("project")
     p_val.set_defaults(fn=cmd_validate)
+
+    p_new = sub.add_parser("new", help="create an empty project")
+    p_new.add_argument("project")
+    p_new.set_defaults(fn=cmd_new)
+
+    p_edit = sub.add_parser("edit", help="edit a project graph")
+    p_edit.add_argument("project")
+    esub = p_edit.add_subparsers(dest="edit_command", required=True)
+    e_add = esub.add_parser("add-node")
+    e_add.add_argument("identifier")
+    e_add.add_argument("--pos", help="x,y editor position")
+    e_add.add_argument("--param", action="append", default=[],
+                       help="key=json_value (repeatable)")
+    e_rm = esub.add_parser("remove-node")
+    e_rm.add_argument("node_id", type=int)
+    e_link = esub.add_parser("link")
+    e_link.add_argument("from_pin", help="<node>.<pin>")
+    e_link.add_argument("to_pin", help="<node>.<pin>")
+    e_unlink = esub.add_parser("unlink")
+    e_unlink.add_argument("from_pin")
+    e_unlink.add_argument("to_pin")
+    e_set = esub.add_parser("set")
+    e_set.add_argument("node_id", type=int)
+    e_set.add_argument("param", nargs="+", help="key=json_value")
+    esub.add_parser("show")
+    p_edit.set_defaults(fn=cmd_edit)
 
     args = parser.parse_args(argv)
     try:

@@ -8,13 +8,33 @@ one large batched FFT instead of FFTW's per-frame plans.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
 from nodey_tpu.core.stream import Stream
 
 
-def magnitude_spectrogram(stream: Stream, n_fft: int = 1024, hop: int = 512):
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(n_fft: int):
+    """Real-DFT basis [n_fft, n_fft//2+1] (cos, -sin), float32.
+
+    On TPU an explicit DFT matmul rides the MXU and beats the generic FFT
+    lowering for the frame sizes a spectrogram uses (n_fft <= 4096):
+    frames x basis is one [F, n_fft] x [n_fft, bins] GEMM per part.
+    """
+    k = np.arange(n_fft)[:, None] * np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * k / n_fft
+    return (
+        np.cos(ang).astype(np.float32),
+        (-np.sin(ang)).astype(np.float32),
+    )
+
+
+def magnitude_spectrogram(
+    stream: Stream, n_fft: int = 1024, hop: int = 512, use_matmul: bool = True
+):
     """Return ``[channels, frames, n_fft//2 + 1]`` float32 magnitudes.
 
     Frames starting beyond the valid length contain window-of-padding zeros;
@@ -28,7 +48,19 @@ def magnitude_spectrogram(stream: Stream, n_fft: int = 1024, hop: int = 512):
         return jnp.zeros((C, 0, n_fft // 2 + 1), dtype=jnp.float32)
     window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
     frames = _frame(data, num_frames, n_fft, hop)  # [C, F, n_fft]
-    spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
+    windowed = frames * window[None, None, :]
+    if use_matmul and n_fft <= 4096:
+        cos_m, sin_m = _dft_matrices(n_fft)
+        re = jnp.einsum(
+            "cfn,nk->cfk", windowed, jnp.asarray(cos_m),
+            preferred_element_type=jnp.float32,
+        )
+        im = jnp.einsum(
+            "cfn,nk->cfk", windowed, jnp.asarray(sin_m),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sqrt(re * re + im * im)
+    spec = jnp.fft.rfft(windowed, axis=-1)
     return jnp.abs(spec).astype(jnp.float32)
 
 
