@@ -95,10 +95,11 @@ def sharded_resample(
 
         def one(x):
             ext = _halo_exchange(x, left_halo, right_halo, sp_axis)
-            # Local conv over the extended buffer; groups start at
-            # ext[left_halo + g*M - (taps//2 - 1)] == ext[g*M] exactly.
-            nl = x.shape[-1]
-            Gl = nl // M
+            # Local patch-GEMM over the extended buffer; local group g reads
+            # ext[:, g*M : g*M + W] == global window, since ext index 0 is
+            # shard_start - (taps//2 - 1). Same kernel as the unsharded path
+            # (resample_ops.apply_filter_bank) so outputs match exactly.
+            Gl = x.shape[-1] // M
             W = M + taps - 1
             bank = jnp.asarray(
                 resample_ops._design_filter_bank(
@@ -106,19 +107,7 @@ def sharded_resample(
                     resample_ops.DEFAULT_BETA, resample_ops.DEFAULT_CUTOFF,
                 )
             )
-            need = (Gl - 1) * M + W
-            ext = ext[:, :need] if ext.shape[-1] >= need else jnp.pad(
-                ext, ((0, 0), (0, need - ext.shape[-1]))
-            )
-            out = lax.conv_general_dilated(
-                ext[:, None, :],
-                bank[:, None, :],
-                window_strides=(M,),
-                padding=[(0, 0)],
-                dimension_numbers=("NCH", "OIH", "NCH"),
-                preferred_element_type=jnp.float32,
-            )
-            return jnp.transpose(out, (0, 2, 1)).reshape(x.shape[0], Gl * L)
+            return resample_ops.apply_filter_bank(ext, Gl, M, W, bank)
 
         y2 = jax.vmap(one)(x2)
         return y2.reshape(lead + y2.shape[-2:])
