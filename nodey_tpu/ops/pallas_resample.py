@@ -14,8 +14,6 @@ mode on CPU, and the TPU bench can A/B them.
 
 from __future__ import annotations
 
-import functools
-import math
 
 import numpy as np
 import jax

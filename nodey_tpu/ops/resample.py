@@ -11,14 +11,13 @@ Design (TPU-first, not a translation):
   position t_j = j*M/L. Group outputs into blocks of L: within a group all L
   phase filters read from one shared input window of width W = M + T - 1
   (T = taps per output). Embedding each phase's taps at its integer offset
-  into a [L, W] filter bank turns the whole resample into a single strided
-  cross-correlation:
+  into a [L, W] filter bank turns the whole resample into
 
       y[c, g*L + p] = sum_w  x[c, g*M + w] * H[p, w]
 
-  i.e. ``lax.conv_general_dilated`` with stride M and L output features —
-  which XLA lowers to an implicit [G, W] x [W, L] matmul on the MXU. No
-  gathers, no scalar loops, no per-sample control flow.
+  — overlapping [G, W] patch rows (built from ceil(W/M) shifted M-aligned
+  reshapes, no gathers) against the bank in ONE explicit GEMM on the MXU
+  (see ``apply_filter_bank``). No scalar loops, no per-sample control flow.
 
 * The filter bank is a Kaiser windowed sinc designed host-side in float64
   (NumPy) and baked into the program as a constant. Parameters default to
@@ -39,9 +38,7 @@ import functools
 import math
 
 import numpy as np
-import jax
 import jax.numpy as jnp
-from jax import lax
 
 from nodey_tpu.core.errors import ProcessorRuntimeError
 from nodey_tpu.core.stream import FMT_FLT, Stream

@@ -12,10 +12,7 @@ local outputs concatenate to the EXACT single-device result (tested on the
 
 from __future__ import annotations
 
-import math
-from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
