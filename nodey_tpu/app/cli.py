@@ -150,6 +150,41 @@ def _parse_param_value(value: str):
         return value
 
 
+def _apply_params(proc, params) -> dict:
+    """Apply key=value params to a processor.
+
+    A dedicated ``set_<key>`` setter wins (it applies live-state semantics
+    like clamping and default-1.0 volume padding — e.g. the gain node's
+    volume, which is deliberately NOT in the serde, reference quirk); other
+    keys merge through serialize()/deserialize(). Returns what was applied.
+    Raises NodeyError for keys neither settable nor serializable."""
+    applied = {}
+    serde_updates = {}
+    for kv in params:
+        key, _, value = kv.partition("=")
+        parsed = _parse_param_value(value)
+        setter = getattr(proc, f"set_{key}", None)
+        if callable(setter):
+            setter(parsed)
+            applied[key] = parsed
+        else:
+            serde_updates[key] = parsed
+    if serde_updates:
+        blob = proc.serialize()
+        if not isinstance(blob, dict):
+            blob = {}
+        unknown = [k for k in serde_updates if k not in blob]
+        if unknown:
+            raise NodeyError(
+                f"{type(proc).__name__} has no settable parameter(s) "
+                f"{unknown} (serde fields: {sorted(blob)})"
+            )
+        blob.update(serde_updates)
+        proc.deserialize(blob)
+        applied.update(serde_updates)
+    return applied
+
+
 def _save_graph(graph: Graph, path: str) -> None:
     with open(path, "w") as f:
         json.dump(graph.serialize(), f, indent=1)
@@ -191,18 +226,16 @@ def cmd_edit(args) -> int:
             return 1
         proc = info.generate()
         if args.param:
-            blob = proc.serialize()
-            if isinstance(blob, dict):
-                for kv in args.param:
-                    key, _, value = kv.partition("=")
-                    blob[key] = _parse_param_value(value)
-                proc.deserialize(blob)
+            _apply_params(proc, args.param)
         nid = graph.add_node(proc)
         if args.pos:
             x, _, y = args.pos.partition(",")
             graph.nodes[nid].position = (float(x), float(y))
         print(f"added node {nid} ({args.identifier})")
     elif args.edit_command == "remove-node":
+        if args.node_id not in graph.nodes:
+            print(f"error: no node {args.node_id}", file=sys.stderr)
+            return 1
         graph.remove_node(args.node_id)
         print(f"removed node {args.node_id}")
     elif args.edit_command == "link":
@@ -228,15 +261,9 @@ def cmd_edit(args) -> int:
         if node is None:
             print(f"error: no node {args.node_id}", file=sys.stderr)
             return 1
-        blob = node.processor.serialize()
-        if not isinstance(blob, dict):
-            blob = {}
-        for kv in args.param:
-            key, _, value = kv.partition("=")
-            blob[key] = _parse_param_value(value)
-        node.processor.deserialize(blob)
+        applied = _apply_params(node.processor, args.param)
         graph.update_node_pin(args.node_id)  # arity may have changed
-        print(f"updated node {args.node_id}: {blob}")
+        print(f"updated node {args.node_id}: {applied}")
     elif args.edit_command == "show":
         for nid, node in sorted(graph.nodes.items()):
             info = node.processor.info()

@@ -152,9 +152,15 @@ class Graph:
             pin_set.add(pin_id)
             self.pins[pin_id] = Pin(parent=node_id, attribute=attribute)
 
+            # Endpoint pins may themselves have been deleted above when a
+            # link connected the node to itself; drop such links instead of
+            # dereferencing a dead pin (the reference crashes here,
+            # graph.cpp:92-105 — a hardening, not a behavior change for
+            # valid graphs).
             prev_from = prev_input_link.get(attribute.identifier)
             if (
                 prev_from is not None
+                and prev_from in self.pins
                 and attribute.type is self.pins[prev_from].attribute.type
             ):
                 self.links[_find_empty(self.links)] = Link(
@@ -162,7 +168,10 @@ class Graph:
                 )
 
             for prev_to in prev_output_link.get(attribute.identifier, ()):
-                if attribute.type is self.pins[prev_to].attribute.type:
+                if (
+                    prev_to in self.pins
+                    and attribute.type is self.pins[prev_to].attribute.type
+                ):
                     self.links[_find_empty(self.links)] = Link(
                         from_pin=pin_id, to_pin=prev_to
                     )
@@ -177,8 +186,11 @@ class Graph:
         self.modified = True
 
     def add_link(self, from_pin: int, to_pin: int) -> int:
-        """Add a validated link; returns its ID
-        (reference: src/infra/graph.cpp:116-130)."""
+        """Add a link with product-type and coarse fan-in checks; returns
+        its ID (reference: src/infra/graph.cpp:116-130). Full validation
+        (incl. the second-link-into-a-pin case and cycles) happens in
+        check_graph — callers follow the reference app's
+        add -> check_graph -> rollback flow."""
         if not self.check_node_type_match(from_pin, to_pin):
             raise MismatchedPinError(from_pin, to_pin)
         if not self.check_multiple_input(to_pin):
@@ -234,8 +246,14 @@ class Graph:
         )
 
     def check_multiple_input(self, pin_id: int) -> bool:
-        """True iff adding one more input to ``pin_id`` keeps fan-in <= 1
-        (reference: include/infra/graph.hpp:173-183)."""
+        """True while ``pin_id`` has at most ONE existing incoming link
+        (reference: include/infra/graph.hpp:173-183).
+
+        NOTE deliberate reference parity: because this counts EXISTING
+        links, add_link still accepts the second link into an occupied
+        input pin; the violation is caught by check_graph, which the app
+        layer uses for its add -> validate -> rollback flow
+        (app.cpp:1826-1839)."""
         count = sum(1 for link in self.links.values() if link.to_pin == pin_id)
         return count <= 1
 

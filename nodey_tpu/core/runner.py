@@ -181,10 +181,11 @@ class Runner:
 
             compiled, metrics.compile_seconds = self._compile(sources, mode)
 
+            # Time the device stage to COMPLETION: dispatch is async (and
+            # block_until_ready is unreliable on the axon relay), so the
+            # scalar length fetch doubles as the completion probe.
             t0 = time.perf_counter()
             outputs = compiled.run_device(arrays, lengths)
-            metrics.device_seconds = time.perf_counter() - t0
-
             master = None
             device_master = None
             master_len = 0
@@ -198,11 +199,14 @@ class Runner:
                     master_len = int(jax.device_get(length))
                     rate = meta["rate"]
                     fmt = meta["fmt"]
-                    if fetch:
-                        master = np.asarray(data)[:, :master_len]
-                    else:
-                        device_master = data
-                elif meta["kind"] == "array":
+                    device_master = data
+            metrics.device_seconds = time.perf_counter() - t0
+            # Host transfers happen after the compute timing window.
+            if fetch and device_master is not None:
+                master = np.asarray(device_master)[:, :master_len]
+                device_master = None
+            for key, meta in compiled.output_meta.items():
+                if meta["kind"] == "array":
                     spectra[key] = np.asarray(outputs[key])
 
             metrics.wall_seconds = time.perf_counter() - wall0
@@ -236,9 +240,6 @@ class Runner:
         for at the export boundary)."""
         import threading
 
-        import jax
-        import jax.numpy as jnp
-
         from nodey_tpu.host.streamio import BoundedBlockQueue
 
         result = self.render(mode="export", fetch=False)
@@ -248,43 +249,19 @@ class Runner:
                 "The graph has no audio_output node receiving a stream.",
                 "master output missing",
             )
+        from nodey_tpu.core.streaming import start_block_egress
+
         t0 = time.perf_counter()
         n = result.master_length
         channels = result.device_master.shape[0]
         block = max(1, int(block_seconds * result.rate))
-        n_blocks = max(1, -(-n // block))
-        pad = n_blocks * block - result.device_master.shape[1]
-        master = (
-            jnp.pad(result.device_master, ((0, 0), (0, pad)))
-            if pad > 0
-            else result.device_master
-        )
-        fetch = jax.jit(
-            lambda m, i: jax.lax.dynamic_slice(
-                m, (0, i * block), (channels, block)
-            )
-        )
 
         queue = BoundedBlockQueue()
         stop = threading.Event()
         producer_error: list = []
-
-        def produce() -> None:
-            try:
-                for b in range(n_blocks):
-                    if stop.is_set():
-                        break
-                    host_block = np.asarray(fetch(master, b))
-                    valid = min(block, n - b * block)
-                    if not queue.push(host_block[:, :valid], stop=stop):
-                        break
-            except BaseException as exc:  # surfaced by the consumer
-                producer_error.append(exc)
-            finally:
-                queue.set_eof()
-
-        thread = threading.Thread(target=produce, daemon=True)
-        thread.start()
+        thread = start_block_egress(
+            result.device_master, n, block, queue, stop, producer_error
+        )
         try:
             written = 0
             with host_encode.Mp3Encoder(

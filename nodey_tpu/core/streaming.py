@@ -57,6 +57,51 @@ class StreamStats:
     rtf_compute: float = 0.0
 
 
+def start_block_egress(
+    master,
+    length: int,
+    block_samples: int,
+    queue: BoundedBlockQueue,
+    stop: threading.Event,
+    errors: list,
+) -> threading.Thread:
+    """Start a producer thread streaming a device-resident master to a
+    bounded queue in [C, <=block_samples] host blocks.
+
+    Shared by the preview StreamingSession and the export pipeline so the
+    egress path (pad-to-blocks, jitted dynamic_slice fetch, backpressure,
+    EOF, error capture) exists exactly once. Producer exceptions land in
+    ``errors`` for the consumer to re-raise."""
+    channels = master.shape[0]
+    n_blocks = max(1, -(-length // block_samples))
+    pad = n_blocks * block_samples - master.shape[1]
+    if pad > 0:
+        master = jnp.pad(master, ((0, 0), (0, pad)))
+    fetch = jax.jit(
+        lambda m, i: jax.lax.dynamic_slice(
+            m, (0, i * block_samples), (channels, block_samples)
+        )
+    )
+
+    def produce() -> None:
+        try:
+            for b in range(n_blocks):
+                if stop.is_set():
+                    break
+                block = np.asarray(fetch(master, b))
+                valid = min(block_samples, length - b * block_samples)
+                if not queue.push(block[:, :valid], stop=stop):
+                    break
+        except BaseException as exc:
+            errors.append(exc)
+        finally:
+            queue.set_eof()
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    return thread
+
+
 class StreamingSession:
     """Real-time preview: device-resident render + block egress pipeline."""
 
@@ -71,15 +116,10 @@ class StreamingSession:
         self.queue = BoundedBlockQueue(queue_capacity)
         self._stop = threading.Event()
         self._producer: Optional[threading.Thread] = None
+        self._producer_errors: list = []
         self._master = None  # device array [2, N]
         self._length = 0
         self.stats = StreamStats()
-        self._fetch = jax.jit(
-            lambda m, i: jax.lax.dynamic_slice(
-                m, (0, i * block_samples), (2, block_samples)
-            ),
-            static_argnums=(),
-        )
 
     def start(self) -> "StreamingSession":
         """Render the preview mix on device and start the egress producer."""
@@ -104,28 +144,11 @@ class StreamingSession:
         compute_s = time.perf_counter() - t0
         audio_s = self._length / cfg.SAMPLE_RATE
         self.stats.rtf_compute = audio_s / compute_s if compute_s else 0.0
-        # Pad master so every block slice is in-bounds.
-        n_blocks = -(-self._length // self.block_samples)
-        pad = n_blocks * self.block_samples - master.shape[1]
-        if pad > 0:
-            master = jnp.pad(master, ((0, 0), (0, pad)))
         self._master = master
-
-        def produce() -> None:
-            for b in range(n_blocks):
-                if self._stop.is_set():
-                    break
-                block = np.asarray(self._fetch(self._master, b))
-                valid = min(
-                    self.block_samples,
-                    self._length - b * self.block_samples,
-                )
-                if not self.queue.push(block[:, :valid], stop=self._stop):
-                    break
-            self.queue.set_eof()
-
-        self._producer = threading.Thread(target=produce, daemon=True)
-        self._producer.start()
+        self._producer = start_block_egress(
+            master, self._length, self.block_samples, self.queue,
+            self._stop, self._producer_errors,
+        )
         return self
 
     def blocks(self, realtime: bool = False) -> Iterator[np.ndarray]:
@@ -141,6 +164,8 @@ class StreamingSession:
             self.stats.fill_ratio = self.queue.stats.fill_ratio
             yield block
         self.stats.underruns = self.queue.stats.consumer_waits
+        if self._producer_errors:
+            raise self._producer_errors[0]
 
     def stop(self) -> None:
         """Cooperative cancellation — the stop_source analog
@@ -155,16 +180,18 @@ class StreamingSession:
         return self._length / cfg.SAMPLE_RATE
 
 
-def _chunk_quantum(graph: Graph) -> int:
-    """Chunk-length quantum: lcm of every possible resampler input stride
-    and the STFT hop, so chunk outputs concatenate exactly."""
+def _chunk_quantum(graph: Graph, in_rate: int) -> int:
+    """Chunk-length quantum (in INPUT samples): every rate conversion the
+    graph can perform must see chunk boundaries at multiples of its input
+    stride M, and the end-to-end input->output coordinate mapping must be
+    integral, so chunk outputs concatenate exactly. Take the lcm of M over
+    every ordered pair of reachable rates (conversions may occur in either
+    direction, e.g. an audio_resample node going 48k -> 32k), plus every
+    STFT hop."""
     from nodey_tpu.ops.resample import _rational
 
     q = 1
-    # Mixer/preview normalization targets 48k; strides come from source and
-    # node rates. Collect conservatively from the standard rate set plus any
-    # explicit resample nodes.
-    rates = {44_100, 48_000, 32_000, 22_050}
+    rates = {in_rate, 48_000}
     for node in graph.nodes.values():
         target = getattr(node.processor, "target_rate", None)
         if target:
@@ -172,9 +199,11 @@ def _chunk_quantum(graph: Graph) -> int:
         hop = getattr(node.processor, "hop", None)
         if hop:
             q = math.lcm(q, int(hop))
-    for r in rates:
-        _, M = _rational(r, 48_000)
-        q = math.lcm(q, M)
+    for a in rates:
+        for b in rates:
+            if a != b:
+                _, M = _rational(a, b)
+                q = math.lcm(q, M)
     return q
 
 
@@ -224,7 +253,7 @@ def render_chunked(
         )
     in_rate = rates.pop()
 
-    quantum = _chunk_quantum(graph)
+    quantum = _chunk_quantum(graph, in_rate)
     chunk = max(1, int(chunk_seconds * in_rate) // quantum) * quantum
     halo = -(-int(halo_seconds * in_rate) // quantum) * quantum
 
@@ -262,7 +291,17 @@ def render_chunked(
         meta = compiled.output_meta["master"]
         out_meta = meta
         out_rate = meta["rate"]
-        # Exact output coordinates of the halo and chunk in this window.
+        # Exact output coordinates of the halo and chunk in this window —
+        # the quantum guarantees integrality; guard it in case a processor
+        # introduces a rate outside the set _chunk_quantum saw.
+        if (halo * out_rate) % in_rate or (chunk * out_rate) % in_rate:
+            raise ProcessorRuntimeError(
+                "Chunk alignment failure",
+                "The graph converts to a sample rate the chunk planner did "
+                "not account for; use whole-clip rendering.",
+                f"in_rate={in_rate} out_rate={out_rate} chunk={chunk} "
+                f"halo={halo}",
+            )
         halo_out = halo * out_rate // in_rate
         chunk_out = chunk * out_rate // in_rate
         piece = np.asarray(data)[:, halo_out : halo_out + chunk_out]

@@ -141,12 +141,24 @@ def _wsola_impl(data, length, tempo, rate):
     out = jnp.concatenate([x[:, :overlap], body], axis=1)
 
     out_length = jnp.minimum(
-        (length.astype(jnp.float32) / tempo).astype(jnp.int32),
-        out.shape[1],
+        _scale_length_exact(length, tempo), out.shape[1]
     )
     idx = jnp.arange(out.shape[1])[None, :]
     out = jnp.where(idx < out_length, out, 0.0)
     return out, out_length
+
+
+def _scale_length_exact(length, tempo: float):
+    """floor(length * 65536 / round(tempo * 65536)) in overflow-safe int32
+    arithmetic (traced). float32 division loses ulps above 2^24 samples
+    (~6 min at 48 kHz), drifting the reported master length on long clips;
+    this carry-decomposed integer form is exact for any out-length < 2^31."""
+    num = int(round(tempo * 65536))
+    q1 = length // num
+    r1 = length % num                     # < num <= ~196k
+    s = (r1 * 256) // num                 # products stay < 2^26
+    t = (r1 * 256) % num
+    return q1 * 65536 + s * 256 + (t * 256) // num
 
 
 def wsola_stream_plan(tempo: float, rate: int, chunk_frames: int):

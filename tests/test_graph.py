@@ -292,3 +292,21 @@ def test_spectrum_tap_in_graph():
         g.nodes[nid_out].pin_name_map["input"],
     )
     g.check_graph()
+
+
+def test_self_link_survives_update_node_pin():
+    """A self-link (legal until check_graph) must not crash pin
+    re-derivation; the dangling link is dropped (hardening vs the
+    reference, which dereferences a dead pin here)."""
+    g = Graph()
+    a = g.add_node(AudioVol())
+    g.add_link(
+        g.nodes[a].pin_name_map["output"], g.nodes[a].pin_name_map["input"]
+    )
+    g.update_node_pin(a)  # must not raise
+    assert len(g.links) == 0
+    with pytest.raises(LoopDetectedError):
+        g.add_link(
+            g.nodes[a].pin_name_map["output"],
+            g.nodes[a].pin_name_map["input"],
+        ) or g.check_graph()

@@ -180,3 +180,64 @@ class TestChunkedRender:
         assert not supports_chunked(g)
         with pytest.raises(ProcessorRuntimeError):
             render_chunked(g)
+
+
+class TestChunkAlignmentWithResampleNode:
+    def test_chunked_with_explicit_downsample_node(self, tmp_path):
+        """48k input -> amix passthrough is not needed; use vol -> resample
+        48k->32k -> output: chunk planning must account for the inverted
+        conversion stride (review finding: _chunk_quantum used the wrong
+        direction)."""
+        from nodey_tpu.processors.resample_node import AudioResample
+
+        rate = 44_100
+        data = make_tone(rate, 2.0, 220, channels=2)
+        path = tmp_path / "in.wav"
+        host_decode.write_wav(str(path), data, rate)
+
+        g = Graph()
+        src = g.add_node(AudioInput())
+        g.nodes[src].processor.file_paths = [str(path)]
+        g.update_node_pin(src)
+        vol = g.add_node(AudioVol())
+        g.nodes[vol].processor.set_volume(0.8)
+        rs = g.add_node(AudioResample())
+        g.nodes[rs].processor.set_target_rate(32_000)
+        out = g.add_node(AudioOutput())
+        pin = lambda n, p: g.nodes[n].pin_name_map[p]  # noqa: E731
+        g.add_link(pin(src, "output_0"), pin(vol, "input"))
+        g.add_link(pin(vol, "output"), pin(rs, "input"))
+        g.add_link(pin(rs, "output"), pin(out, "input"))
+
+        whole = Runner(g).render(mode="export")
+        master, out_rate, _ = render_chunked(
+            g, chunk_seconds=0.5, halo_seconds=0.1
+        )
+        assert out_rate == whole.rate == 32_000
+        assert master.shape == whole.master.shape
+        assert snr_db(whole.master, master) > 120.0
+
+
+def test_producer_error_captured_not_silent():
+    """A failure inside the egress producer lands in the errors list and the
+    queue still reaches EOF, so consumers can re-raise instead of hanging
+    (review finding: silent producer death)."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from nodey_tpu.core.streaming import start_block_egress
+
+    class ExplodingQueue(BoundedBlockQueue):
+        def push(self, item, stop=None, timeout=0.1):
+            raise RuntimeError("boom in push")
+
+    queue = ExplodingQueue()
+    errors: list = []
+    master = jnp.zeros((2, 8192), dtype=jnp.float32)
+    thread = start_block_egress(
+        master, 8192, 2048, queue, threading.Event(), errors
+    )
+    thread.join(timeout=10.0)
+    assert errors and "boom in push" in str(errors[0])
+    assert queue.pop() is None  # EOF reached despite the failure

@@ -264,3 +264,15 @@ class TestStreamingWsola:
         np.testing.assert_allclose(
             streamed[:, :n], whole[:, :n], atol=2e-7
         )
+
+
+def test_scale_length_exact_on_long_clips():
+    """Integer out-length math stays exact where float32 drifts (review
+    finding: >2^24-sample clips)."""
+    from nodey_tpu.ops.stretch import _scale_length_exact
+
+    for tempo in (0.5, 0.77, 1.0, 1.4, 3.0):
+        num = int(round(tempo * 65536))
+        for length in (86_400_000, 2**24 + 12345, 500_000_000):
+            got = int(_scale_length_exact(jnp.int32(length), tempo))
+            assert got == length * 65536 // num
