@@ -73,7 +73,7 @@ class LowerCtx:
             t0_us=spec.t0_us,
         )
 
-    def emit(self, key: str, value: Any) -> None:
+    def emit(self, key: str, value: Any, meta: Optional[Dict] = None) -> None:
         if key in self.outputs:
             raise LogicError(f"Duplicate emitted output '{key}'")
         if isinstance(value, Stream):
@@ -87,7 +87,7 @@ class LowerCtx:
             }
         else:
             self.outputs[key] = value
-            self.output_meta[key] = {"kind": "array"}
+            self.output_meta[key] = {"kind": "array", **(meta or {})}
 
 
 def external_key(node_id: int, pin: str) -> str:

@@ -52,6 +52,36 @@ def _halo_exchange(x, left_halo: int, right_halo: int, axis_name: str):
     return jnp.concatenate([left, x, right], axis=1)
 
 
+def halo_exchange_nd(x, left_halo: int, right_halo: int, axis_name: str):
+    """``_halo_exchange`` generalized to ``[..., N]`` (time axis last).
+
+    Device i receives the previous shard's tail as its left halo and the
+    next shard's head as its right halo; edge shards receive zeros (matching
+    the zero padding of the unsharded computation)."""
+    size = lax.axis_size(axis_name)
+    parts = []
+    if left_halo:
+        left = jnp.zeros(x.shape[:-1] + (left_halo,), x.dtype)
+        if size > 1:
+            left = lax.ppermute(
+                x[..., -left_halo:],
+                axis_name,
+                [(i, i + 1) for i in range(size - 1)],
+            )
+        parts.append(left)
+    parts.append(x)
+    if right_halo:
+        right = jnp.zeros(x.shape[:-1] + (right_halo,), x.dtype)
+        if size > 1:
+            right = lax.ppermute(
+                x[..., :right_halo],
+                axis_name,
+                [(i + 1, i) for i in range(size - 1)],
+            )
+        parts.append(right)
+    return jnp.concatenate(parts, axis=-1)
+
+
 def sharded_resample(
     mesh: Mesh,
     data,

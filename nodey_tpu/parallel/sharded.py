@@ -1,0 +1,365 @@
+"""Sharded execution of REAL compiled graphs: the user's validated DAG runs
+as one fused program under ``shard_map`` over a dp x sp device mesh.
+
+This is the multi-chip form of the framework's runtime, not a demo step:
+``compile_graph_sharded`` traces the SAME per-node ``lower()`` pipeline the
+single-device compiler uses (core/compiler.py), but over per-shard time
+windows. Sharding layout:
+
+* **sp (sequence/time)** — each device owns a contiguous chunk of the sample
+  axis plus left/right halos fetched from its neighbors over ICI
+  (``lax.ppermute``, parallel/ops.halo_exchange_nd). Halos cover every
+  kernel's receptive field (polyphase resampler taps, STFT windows), and
+  chunk boundaries sit at multiples of the graph's chunk quantum (every
+  resampler input stride M and every STFT hop), so trimmed per-shard outputs
+  concatenate to EXACTLY the single-device result — the same overlap-discard
+  algebra core/streaming.render_chunked uses sequentially, executed spatially
+  across the mesh. This is the TPU answer to the reference's time-streaming
+  pipeline (SURVEY.md §5.7/§5.8; reference frames flow through capacity-16
+  channels, include/processor/audio-stream.hpp:48).
+
+* **dp (data/batch)** — independent clips/track-sets shard over dp; the
+  per-shard program vmaps over its local batch slice (the scaled-up analog of
+  the reference's per-file decode fan-out, src/processor/audio-io.cpp:242-279).
+
+Valid-length algebra: the global valid length of a sharded stream output is
+``psum`` of each shard's clamped local contribution, which is exact because
+validity is a contiguous prefix (streams are zero-padded past their length).
+
+Restrictions (checked, with the structured error surface):
+* LTI node set only — WSOLA velocity/pitch is time-variant and streams via
+  the sequential carry path instead (ops/stretch.wsola_stream_step).
+* equal input sample rates, zero start offsets (t0_us == 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nodey_tpu.core import compiler
+from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.graph import Graph
+from nodey_tpu.parallel.ops import halo_exchange_nd, shard_map
+
+
+def _round_up(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
+@dataclasses.dataclass
+class ShardPlan:
+    """Static time-axis decomposition for one sharded compile."""
+
+    in_rate: int
+    quantum: int      # chunk/halo alignment quantum (input samples)
+    sp: int           # number of time shards
+    chunk: int        # input samples per shard (multiple of quantum)
+    halo: int         # halo size on each side (multiple of quantum)
+
+    @property
+    def window(self) -> int:
+        return self.halo + self.chunk + self.halo
+
+    @property
+    def capacity(self) -> int:
+        return self.sp * self.chunk
+
+
+def plan_sharded(
+    graph: Graph,
+    sources: Dict[Tuple[int, str], compiler.SourceSpec],
+    mesh: Mesh,
+    sp_axis: str = "sp",
+    halo_seconds: float = 0.25,
+) -> ShardPlan:
+    """Validate shardability and compute the time decomposition.
+
+    The returned plan's ``capacity`` is what every input buffer must be
+    padded to (use ``plan_capacity_for`` to get it from raw clip lengths).
+    """
+    from nodey_tpu.core.streaming import _chunk_quantum, supports_chunked
+
+    if not supports_chunked(graph):
+        raise ProcessorRuntimeError(
+            "Graph not time-shardable",
+            "Time-variant nodes (velocity/pitch WSOLA) cannot shard the "
+            "sample axis; run them via the streaming carry path or "
+            "single-device rendering.",
+            "plan_sharded",
+        )
+    rates = {spec.rate for spec in sources.values()}
+    if len(rates) != 1:
+        raise ProcessorRuntimeError(
+            "Mixed input rates not time-shardable",
+            "Sharded execution currently requires equal input sample rates.",
+            f"rates: {sorted(rates)}",
+        )
+    if any(spec.t0_us for spec in sources.values()):
+        raise ProcessorRuntimeError(
+            "Nonzero stream start offsets not time-shardable",
+            "Inputs with pts start offsets (t0_us != 0) need global "
+            "placement; render single-device.",
+            "plan_sharded",
+        )
+    in_rate = rates.pop()
+    quantum = _chunk_quantum(graph, in_rate)
+    sp = mesh.shape[sp_axis]
+
+    capacities = {spec.capacity for spec in sources.values()}
+    if len(capacities) != 1:
+        raise ProcessorRuntimeError(
+            "Unequal input capacities",
+            "All sharded inputs must be padded to one shared capacity.",
+            f"capacities: {sorted(capacities)}",
+        )
+    capacity = capacities.pop()
+    if capacity % (quantum * sp) != 0:
+        raise ProcessorRuntimeError(
+            "Capacity not shard-aligned",
+            f"Input capacity must be a multiple of quantum*sp = "
+            f"{quantum * sp}; pad with plan_capacity_for first.",
+            f"capacity={capacity} quantum={quantum} sp={sp}",
+        )
+    chunk = capacity // sp
+
+    # Halo >= every receptive field: resampler taps stretch by at most M/L
+    # (<= a few hundred input samples) and STFT windows need n_fft samples at
+    # the node's (possibly resampled) rate; cover both with margin.
+    max_n_fft = max(
+        [getattr(n.processor, "n_fft", 0) for n in graph.nodes.values()]
+        + [0]
+    )
+    halo_min = max(int(halo_seconds * in_rate), 2 * max_n_fft, 1024)
+    halo = _round_up(halo_min, quantum)
+    return ShardPlan(
+        in_rate=in_rate, quantum=quantum, sp=sp, chunk=chunk, halo=halo
+    )
+
+
+def plan_capacity_for(
+    graph: Graph,
+    in_rate: int,
+    max_length: int,
+    mesh: Mesh,
+    sp_axis: str = "sp",
+) -> int:
+    """Smallest shard-aligned capacity covering ``max_length`` samples."""
+    from nodey_tpu.core.streaming import _chunk_quantum
+
+    quantum = _chunk_quantum(graph, in_rate)
+    sp = mesh.shape[sp_axis]
+    return _round_up(max(max_length, 1), quantum * sp)
+
+
+@dataclasses.dataclass
+class ShardedCompiledGraph:
+    """A graph program compiled for dp x sp execution on a mesh."""
+
+    fn: Any                      # jitted shard_map program
+    mesh: Mesh
+    plan: ShardPlan
+    input_keys: List[str]
+    output_meta: Dict[str, Any]
+    mode: str
+    batched: bool
+    dp_axis: Optional[str]
+    sp_axis: str
+    dropped_outputs: List[str]   # array outputs whose framing didn't align
+
+    def run(
+        self,
+        arrays: Dict[str, np.ndarray],
+        lengths: Dict[str, Any],
+    ) -> Dict[str, Any]:
+        """Execute on the mesh; returns host numpy results.
+
+        Unbatched: ``arrays[key]`` is [C, capacity]. Batched: [B, C,
+        capacity] with B divisible by the dp size, ``lengths[key]`` [B].
+        """
+        args = {}
+        for key in self.input_keys:
+            data = jnp.asarray(arrays[key])
+            length = jnp.asarray(lengths[key], dtype=jnp.int32)
+            dspec, lspec = self._arg_specs(data.ndim)
+            args[key] = (
+                jax.device_put(data, NamedSharding(self.mesh, dspec)),
+                jax.device_put(length, NamedSharding(self.mesh, lspec)),
+            )
+        out = self.fn(args)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def _arg_specs(self, ndim: int):
+        if self.batched:
+            return P(self.dp_axis, None, self.sp_axis), P(self.dp_axis)
+        return P(None, self.sp_axis), P()
+
+
+def compile_graph_sharded(
+    graph: Graph,
+    sources: Dict[Tuple[int, str], compiler.SourceSpec],
+    mesh: Mesh,
+    mode: str = "export",
+    sp_axis: str = "sp",
+    dp_axis: Optional[str] = None,
+    halo_seconds: float = 0.25,
+    jit: bool = True,
+) -> ShardedCompiledGraph:
+    """Compile the real graph for sharded execution over ``mesh``.
+
+    The fused per-window program is produced by the SAME compile path as
+    single-device execution (compiler.compile_graph over window-sized
+    sources), so per-sample outputs are bitwise identical to the
+    single-device program: every output sample is the same dot
+    product/elementwise chain over the same input values in the same order.
+    """
+    plan = plan_sharded(graph, sources, mesh, sp_axis, halo_seconds)
+    batched = dp_axis is not None
+
+    window_sources = {
+        k: dataclasses.replace(spec, capacity=plan.window)
+        for k, spec in sources.items()
+    }
+    inner = compiler.compile_graph(graph, window_sources, mode=mode, jit=False)
+    meta = inner.output_meta
+
+    # Static trim geometry per output, derived from the window program's
+    # metadata. Stream outputs must land on an integral grid; array outputs
+    # (STFT frames) additionally need hop-aligned shard boundaries — those
+    # that don't align are dropped (recorded, never silent).
+    halo_in, chunk_in, in_rate = plan.halo, plan.chunk, plan.in_rate
+    trims: Dict[str, Dict[str, int]] = {}
+    dropped: List[str] = []
+    for key, m in meta.items():
+        if m["kind"] == "stream":
+            out_rate = m["rate"]
+            if (halo_in * out_rate) % in_rate or (chunk_in * out_rate) % in_rate:
+                raise ProcessorRuntimeError(
+                    "Shard alignment failure",
+                    "The graph converts to a sample rate the shard planner "
+                    "did not account for.",
+                    f"in_rate={in_rate} out_rate={out_rate}",
+                )
+            trims[key] = {
+                "halo": halo_in * out_rate // in_rate,
+                "chunk": chunk_in * out_rate // in_rate,
+            }
+        else:
+            hop, node_rate = m.get("hop"), m.get("rate")
+            if not hop or not node_rate:
+                dropped.append(key)
+                continue
+            if (halo_in * node_rate) % in_rate or (
+                chunk_in * node_rate
+            ) % in_rate:
+                dropped.append(key)
+                continue
+            halo_r = halo_in * node_rate // in_rate
+            chunk_r = chunk_in * node_rate // in_rate
+            if halo_r % hop or chunk_r % hop:
+                dropped.append(key)
+                continue
+            trims[key] = {"frame0": halo_r // hop, "frames": chunk_r // hop}
+
+    def shard_step(args: Dict[str, Any]) -> Dict[str, Any]:
+        idx = lax.axis_index(sp_axis)
+        start = idx * chunk_in - halo_in
+
+        def one(local_args):
+            windows = {}
+            for key, (data, length) in local_args.items():
+                ext = halo_exchange_nd(data, halo_in, halo_in, sp_axis)
+                local_len = jnp.clip(length - start, 0, plan.window)
+                windows[key] = (ext, local_len.astype(jnp.int32))
+            out = inner.fn(windows)
+            result = {}
+            for key, m in meta.items():
+                if m["kind"] == "stream":
+                    data_w, len_w = out[key]
+                    t = trims[key]
+                    trimmed = lax.dynamic_slice_in_dim(
+                        data_w, t["halo"], t["chunk"], axis=-1
+                    )
+                    contrib = jnp.clip(len_w - t["halo"], 0, t["chunk"])
+                    glen = lax.psum(contrib, sp_axis)
+                    result[key] = (trimmed, glen)
+                elif key in trims:
+                    t = trims[key]
+                    result[key] = lax.dynamic_slice_in_dim(
+                        out[key], t["frame0"], t["frames"], axis=1
+                    )
+            return result
+
+        if batched:
+            return jax.vmap(
+                lambda d, l: one(
+                    {k: (d[k], l[k]) for k in d}
+                )
+            )(
+                {k: v[0] for k, v in args.items()},
+                {k: v[1] for k, v in args.items()},
+            )
+        return one(args)
+
+    # in/out specs mirror the args/result pytrees.
+    def dspec(*tail):
+        return P(dp_axis, *tail) if batched else P(*tail)
+
+    in_specs = {
+        compiler.external_key(nid, pin): (dspec(None, sp_axis), dspec())
+        for (nid, pin) in sources
+    }
+    out_specs = {}
+    for key, m in meta.items():
+        if m["kind"] == "stream":
+            out_specs[key] = (dspec(None, sp_axis), dspec())
+        elif key in trims:
+            out_specs[key] = dspec(None, sp_axis, None)
+
+    fn = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(in_specs,),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    if jit:
+        fn = jax.jit(fn)
+
+    # Surface trace-time errors eagerly (shape mismatch, alignment...).
+    cap = plan.capacity
+    abstract = {
+        compiler.external_key(nid, pin): (
+            jax.ShapeDtypeStruct(
+                ((mesh.shape[dp_axis], spec.channels, cap) if batched
+                 else (spec.channels, cap)),
+                jnp.float32,
+            ),
+            jax.ShapeDtypeStruct(
+                (mesh.shape[dp_axis],) if batched else (), jnp.int32
+            ),
+        )
+        for (nid, pin), spec in sources.items()
+    }
+    jax.eval_shape(fn, abstract)
+
+    out_meta = {k: dict(m) for k, m in meta.items() if k in out_specs}
+    return ShardedCompiledGraph(
+        fn=fn,
+        mesh=mesh,
+        plan=plan,
+        input_keys=sorted(in_specs),
+        output_meta=out_meta,
+        mode=mode,
+        batched=batched,
+        dp_axis=dp_axis,
+        sp_axis=sp_axis,
+        dropped_outputs=dropped,
+    )

@@ -44,13 +44,16 @@ class AudioSpectrum(Processor):
         return {"n_fft": self.n_fft, "hop": self.hop}
 
     def deserialize(self, value: Any) -> None:
+        # Tolerant load clamps out-of-range values (a hand-edited project
+        # file with hop=0 would otherwise reach math.lcm/division as a raw
+        # ZeroDivisionError instead of the structured error surface).
         if isinstance(value, dict):
             n_fft = value.get("n_fft")
             hop = value.get("hop")
             if isinstance(n_fft, int) and not isinstance(n_fft, bool):
-                self.n_fft = n_fft
+                self.n_fft = max(2, n_fft)
             if isinstance(hop, int) and not isinstance(hop, bool):
-                self.hop = hop
+                self.hop = max(1, hop)
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         stream = inputs.get("input")
@@ -65,5 +68,11 @@ class AudioSpectrum(Processor):
         spectrum = stft_ops.magnitude_spectrogram(
             stream, n_fft=self.n_fft, hop=self.hop
         )
-        ctx.emit(f"spectrum_{ctx.node_id}", spectrum)
+        ctx.emit(
+            f"spectrum_{ctx.node_id}",
+            spectrum,
+            # Framing metadata lets sharded/chunked executors trim and
+            # concatenate per-shard frames exactly (frame axis = 1).
+            meta={"hop": self.hop, "n_fft": self.n_fft, "rate": stream.rate},
+        )
         return {"output": stream}

@@ -88,7 +88,10 @@ class VelocityModifier(Processor):
         if isinstance(value, dict):
             v = value.get("velocity")
             if isinstance(v, (int, float)) and not isinstance(v, bool):
-                self.velocity = float(v)
+                # Clamp like the setter: the reference UI can only produce
+                # 0.5-3.0x, but a hand-edited project file may carry
+                # anything — tolerant load must not yield absurd tempos.
+                self.set_velocity(float(v))
             kp = value.get("keep_pitch")
             if isinstance(kp, bool):
                 self.keep_pitch = kp

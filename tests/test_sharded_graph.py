@@ -1,0 +1,178 @@
+"""Sharded execution of REAL compiled graphs (parallel/sharded.py).
+
+The framework's multi-chip mode must execute the user's actual validated
+DAG — not a lookalike step — and produce the single-device compiler's exact
+output when the sample axis shards over sp and the clip batch over dp
+(single-host multi-device simulation per SURVEY.md §4.4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nodey_tpu.core import compiler, registry
+from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.graph import Graph
+from nodey_tpu.parallel.mesh import make_mesh
+from nodey_tpu.parallel import sharded
+from nodey_tpu.processors.amix import AudioAmix
+from nodey_tpu.processors.audio_input import AudioInput
+from nodey_tpu.processors.audio_output import AudioOutput
+from nodey_tpu.processors.audio_vol import AudioVol
+from nodey_tpu.processors.spectrum import AudioSpectrum
+from nodey_tpu.processors.velocity import VelocityModifier
+
+from conftest import make_tone
+
+
+def _flagship(n_inputs=2, with_spectrum=True):
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = [f"{i}.wav" for i in range(n_inputs)]
+    g.update_node_pin(src)
+    vol = g.add_node(AudioVol())
+    g.nodes[vol].processor.set_volume(1.5)
+    amix = g.add_node(AudioAmix())
+    g.nodes[amix].processor.set_input_num(n_inputs)
+    g.nodes[amix].processor.volumes = [0.6, 0.4][:n_inputs]
+    out = g.add_node(AudioOutput())
+
+    def pin(n, p):
+        return g.nodes[n].pin_name_map[p]
+
+    g.add_link(pin(src, "output_0"), pin(vol, "input"))
+    g.add_link(pin(vol, "output"), pin(amix, "input_1"))
+    for i in range(1, n_inputs):
+        g.add_link(pin(src, f"output_{i}"), pin(amix, f"input_{i + 1}"))
+    last_pin = pin(amix, "output")
+    if with_spectrum:
+        spec = g.add_node(AudioSpectrum())
+        g.add_link(last_pin, pin(spec, "input"))
+        last_pin = pin(spec, "output")
+    g.add_link(last_pin, pin(out, "input"))
+    return g, src
+
+
+def _sources_and_args(g, src, mesh, rate=44_100, seconds=1.7, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    n = int(rate * seconds)
+    cap = sharded.plan_capacity_for(g, rate, n, mesh)
+    arrays, lengths, sources = {}, {}, {}
+    for i in range(2):
+        tone = make_tone(rate=rate, seconds=seconds, freq=220.0 * (i + 1),
+                         channels=2)
+        tone = tone + 0.01 * rng.standard_normal(tone.shape).astype(np.float32)
+        padded = np.zeros((2, cap), dtype=np.float32)
+        # Give the inputs different valid lengths to exercise the masking
+        # algebra across shard boundaries.
+        valid = n - 4321 * i
+        padded[:, :valid] = tone[:, :valid]
+        key = compiler.external_key(src, f"output_{i}")
+        arrays[key] = padded
+        lengths[key] = valid
+        sources[(src, f"output_{i}")] = compiler.SourceSpec(
+            rate=rate, channels=2, fmt="s16", capacity=cap
+        )
+    return arrays, lengths, sources
+
+
+def test_sharded_graph_matches_single_device():
+    """sp=8: the sharded compiled graph equals the single-device program."""
+    mesh = make_mesh({"sp": 8})
+    g, src = _flagship()
+    arrays, lengths, sources = _sources_and_args(g, src, mesh)
+
+    single = compiler.compile_graph(g, sources, mode="export")
+    ref = single.run(arrays, lengths)
+    ref_master, ref_len = ref["master"]
+
+    sc = sharded.compile_graph_sharded(g, sources, mesh, mode="export")
+    out = sc.run(arrays, lengths)
+    master, glen = out["master"]
+
+    assert int(glen) == int(ref_len)
+    np.testing.assert_array_equal(master, ref_master)
+
+    # Spectrum tap: sharded frames match the single-device frames over the
+    # offline frame count (sharded computes a few extra zero-window tail
+    # frames the offline framing never starts).
+    spec_key = [k for k in out if k.startswith("spectrum_")]
+    assert spec_key and not sc.dropped_outputs
+    k = spec_key[0]
+    f_ref = ref[k].shape[1]
+    np.testing.assert_allclose(
+        out[k][:, :f_ref, :], ref[k], rtol=0, atol=1e-4
+    )
+
+
+def test_sharded_graph_dp_sp_batched():
+    """dp=2 x sp=4: batched clips shard over dp, time over sp; every batch
+    element equals its single-device render."""
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    g, src = _flagship(with_spectrum=False)
+    arrays, lengths, sources = _sources_and_args(g, src, mesh)
+
+    B = 4
+    rng = np.random.default_rng(7)
+    batched_arrays = {}
+    batched_lengths = {}
+    for key, arr in arrays.items():
+        stack = np.stack([arr] + [
+            arr * rng.uniform(0.5, 1.0) for _ in range(B - 1)
+        ])
+        batched_arrays[key] = stack.astype(np.float32)
+        batched_lengths[key] = np.array(
+            [lengths[key]] * B, dtype=np.int32
+        )
+
+    sc = sharded.compile_graph_sharded(
+        g, sources, mesh, mode="export", dp_axis="dp"
+    )
+    out = sc.run(batched_arrays, batched_lengths)
+    master, glen = out["master"]
+    assert master.shape[0] == B
+
+    single = compiler.compile_graph(g, sources, mode="export")
+    for b in range(B):
+        ref = single.run(
+            {k: batched_arrays[k][b] for k in batched_arrays},
+            {k: int(batched_lengths[k][b]) for k in batched_lengths},
+        )
+        ref_master, ref_len = ref["master"]
+        assert int(glen[b]) == int(ref_len)
+        np.testing.assert_array_equal(master[b], ref_master)
+
+
+def test_sharded_rejects_time_variant_nodes():
+    mesh = make_mesh({"sp": 8})
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = ["a.wav"]
+    g.update_node_pin(src)
+    vel = g.add_node(VelocityModifier())
+    out = g.add_node(AudioOutput())
+    pin = lambda n, p: g.nodes[n].pin_name_map[p]  # noqa: E731
+    g.add_link(pin(src, "output_0"), pin(vel, "input"))
+    g.add_link(pin(vel, "output"), pin(out, "input"))
+    sources = {
+        (src, "output_0"): compiler.SourceSpec(
+            rate=48_000, channels=2, fmt="flt", capacity=48_000 * 8
+        )
+    }
+    with pytest.raises(ProcessorRuntimeError, match="not time-shardable"):
+        sharded.compile_graph_sharded(g, sources, mesh)
+
+
+def test_plan_capacity_alignment():
+    mesh = make_mesh({"sp": 8})
+    g, _src = _flagship()
+    cap = sharded.plan_capacity_for(g, 44_100, 44_100, mesh)
+    assert cap >= 44_100
+    # divisible by quantum * sp
+    from nodey_tpu.core.streaming import _chunk_quantum
+
+    q = _chunk_quantum(g, 44_100)
+    assert cap % (q * 8) == 0
