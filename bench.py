@@ -1,20 +1,18 @@
-"""Benchmark: the BASELINE 5-node stereo graph on one chip.
+"""Benchmark: the 5 BASELINE configs + the headline 5-node stereo graph.
 
-Metric (BASELINE.json): audio-seconds processed / sec / chip (RTF) on the
-5-node stereo graph — audio_input (2 x 44.1 kHz stereo tracks) -> gain ->
-amix (with on-device 44.1->48 kHz polyphase resample) -> STFT spectrum tap ->
-audio_output.
+Metric (BASELINE.json): audio-seconds processed / sec / chip (RTF). Each
+config builds its graph through the public node API, compiles it with the
+production compiler, and times the fused XLA program on device-resident PCM.
 
-Timed region: the fused XLA graph program on device-resident PCM
-(block_until_ready on device outputs) — the work the reference performs as
-its fiber graph at 1.0x real-time (src/processor/audio-io.cpp:620-624).
-Host->HBM ingest, HBM->host egress, file decode and MP3 encode are measured
-and reported separately on stderr: in production they overlap compute via
-double-buffered streaming, and on this rig device<->host runs through the
-axon loopback relay whose egress bandwidth (~14 MB/s warm) is an artifact of
-the tunnel, not of v5e PCIe.
+Timed region: the fused graph program to COMPLETION (device_get probe — on
+this rig jax.block_until_ready returns before remote execution finishes, an
+axon-relay quirk). Host->HBM ingest, HBM->host egress, file decode and MP3
+encode are measured and reported separately on stderr: in production they
+overlap compute via the streaming executor, and on this rig device<->host
+runs through the axon loopback relay whose egress bandwidth (~14 MB/s warm)
+is an artifact of the tunnel, not of v5e PCIe.
 
-Prints ONE JSON line:
+Prints one JSON line per config, the headline metric LAST:
   {"metric": "rtf_5node_stereo", "value": <RTF>, "unit":
    "audio_seconds_per_second_per_chip", "vs_baseline": <RTF/1000 target>}
 """
@@ -22,6 +20,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import tempfile
@@ -32,6 +31,257 @@ import numpy as np
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def _tone(n, rate, f0, channels, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    base = 0.3 * np.sin(2 * np.pi * f0 * t) + 0.1 * np.sin(
+        2 * np.pi * 3.1 * f0 * t
+    )
+    ch0 = (base + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    if channels == 1:
+        return ch0[None, :]
+    return np.stack([ch0, np.roll(ch0, 211)])
+
+
+def _write_tracks(tmp, count, seconds, rate, channels):
+    from nodey_tpu.host import decode as host_decode
+
+    n = int(rate * seconds)
+    paths = []
+    for i in range(count):
+        p = f"{tmp}/track{i}.wav"
+        host_decode.write_wav_s16(p, _tone(n, rate, 220.0 * (i + 1), channels, i), rate)
+        paths.append(p)
+    return paths
+
+
+# -- graph builders (one per BASELINE config) --------------------------------
+
+
+def _new_graph(paths):
+    from nodey_tpu.core import registry
+    from nodey_tpu.core.graph import Graph
+    from nodey_tpu.processors.audio_input import AudioInput
+
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = list(paths)
+    g.update_node_pin(src)
+    return g, src
+
+
+def _pin(g, n, p):
+    return g.nodes[n].pin_name_map[p]
+
+
+def config1_passthrough(tmp, seconds):
+    """Decode WAV -> gain -> export, single mono 44.1 kHz clip."""
+    from nodey_tpu.processors.audio_output import AudioOutput
+    from nodey_tpu.processors.audio_vol import AudioVol
+
+    paths = _write_tracks(tmp, 1, seconds, 44_100, 1)
+    g, src = _new_graph(paths)
+    vol = g.add_node(AudioVol())
+    g.nodes[vol].processor.set_volume(1.2)
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, vol, "input"))
+    g.add_link(_pin(g, vol, "output"), _pin(g, out, "input"))
+    return g, "export"
+
+
+def config2_split_merge(tmp, seconds):
+    """Channel split -> per-channel gain -> merge (multi-edge DAG)."""
+    from nodey_tpu.processors.audio_output import AudioOutput
+    from nodey_tpu.processors.audio_vol import AudioVol
+    from nodey_tpu.processors.bimix import AudioBimix
+    from nodey_tpu.processors.split import AudioSplit
+
+    paths = _write_tracks(tmp, 1, seconds, 44_100, 2)
+    g, src = _new_graph(paths)
+    split = g.add_node(AudioSplit())
+    vl = g.add_node(AudioVol())
+    g.nodes[vl].processor.set_volume(0.8)
+    vr = g.add_node(AudioVol())
+    g.nodes[vr].processor.set_volume(1.4)
+    merge = g.add_node(AudioBimix())
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, split, "input"))
+    g.add_link(_pin(g, split, "output_l"), _pin(g, vl, "input"))
+    g.add_link(_pin(g, split, "output_r"), _pin(g, vr, "input"))
+    g.add_link(_pin(g, vl, "output"), _pin(g, merge, "input_l"))
+    g.add_link(_pin(g, vr, "output"), _pin(g, merge, "input_r"))
+    g.add_link(_pin(g, merge, "output"), _pin(g, out, "input"))
+    return g, "export"
+
+
+def config3_two_track_mix(tmp, seconds):
+    """2x stereo -> amplify -> mix -> export."""
+    from nodey_tpu.processors.amix import AudioAmix
+    from nodey_tpu.processors.audio_output import AudioOutput
+    from nodey_tpu.processors.audio_vol import AudioVol
+
+    paths = _write_tracks(tmp, 2, seconds, 44_100, 2)
+    g, src = _new_graph(paths)
+    v0 = g.add_node(AudioVol())
+    g.nodes[v0].processor.set_volume(1.5)
+    v1 = g.add_node(AudioVol())
+    g.nodes[v1].processor.set_volume(0.9)
+    amix = g.add_node(AudioAmix())
+    g.nodes[amix].processor.set_input_num(2)
+    g.nodes[amix].processor.volumes = [0.6, 0.4]
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, v0, "input"))
+    g.add_link(_pin(g, src, "output_1"), _pin(g, v1, "input"))
+    g.add_link(_pin(g, v0, "output"), _pin(g, amix, "input_1"))
+    g.add_link(_pin(g, v1, "output"), _pin(g, amix, "input_2"))
+    g.add_link(_pin(g, amix, "output"), _pin(g, out, "input"))
+    return g, "export"
+
+
+def config4_resample_pitch_tempo(tmp, seconds):
+    """44.1k->48k polyphase + pitch +4 semitones + tempo 1.25x."""
+    from nodey_tpu.processors.audio_output import AudioOutput
+    from nodey_tpu.processors.resample_node import AudioResample
+    from nodey_tpu.processors.velocity import PitchModifier, VelocityModifier
+
+    paths = _write_tracks(tmp, 1, seconds, 44_100, 2)
+    g, src = _new_graph(paths)
+    rs = g.add_node(AudioResample())
+    g.nodes[rs].processor.target_rate = 48_000
+    pitch = g.add_node(PitchModifier())
+    g.nodes[pitch].processor.pitch = 4.0
+    vel = g.add_node(VelocityModifier())
+    g.nodes[vel].processor.set_velocity(1.25)
+    g.nodes[vel].processor.keep_pitch = True
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, rs, "input"))
+    g.add_link(_pin(g, rs, "output"), _pin(g, pitch, "input"))
+    g.add_link(_pin(g, pitch, "output"), _pin(g, vel, "input"))
+    g.add_link(_pin(g, vel, "output"), _pin(g, out, "input"))
+    return g, "export"
+
+
+def config5_full_editor(tmp, seconds):
+    """4 tracks -> split/mix/pitch + STFT spectrum tap, preview stream."""
+    from nodey_tpu.processors.amix import AudioAmix
+    from nodey_tpu.processors.audio_output import AudioOutput
+    from nodey_tpu.processors.audio_vol import AudioVol
+    from nodey_tpu.processors.bimix import AudioBimix
+    from nodey_tpu.processors.spectrum import AudioSpectrum
+    from nodey_tpu.processors.split import AudioSplit
+    from nodey_tpu.processors.velocity import PitchModifier
+
+    paths = _write_tracks(tmp, 4, seconds, 44_100, 2)
+    g, src = _new_graph(paths)
+    # Track 0: split -> per-channel gain -> merge
+    split = g.add_node(AudioSplit())
+    vl = g.add_node(AudioVol())
+    g.nodes[vl].processor.set_volume(0.7)
+    vr = g.add_node(AudioVol())
+    g.nodes[vr].processor.set_volume(1.3)
+    merge = g.add_node(AudioBimix())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, split, "input"))
+    g.add_link(_pin(g, split, "output_l"), _pin(g, vl, "input"))
+    g.add_link(_pin(g, split, "output_r"), _pin(g, vr, "input"))
+    g.add_link(_pin(g, vl, "output"), _pin(g, merge, "input_l"))
+    g.add_link(_pin(g, vr, "output"), _pin(g, merge, "input_r"))
+    # Track 1: pitch shift
+    pitch = g.add_node(PitchModifier())
+    g.nodes[pitch].processor.pitch = -3.0
+    g.add_link(_pin(g, src, "output_1"), _pin(g, pitch, "input"))
+    # Mix all four branches
+    amix = g.add_node(AudioAmix())
+    g.nodes[amix].processor.set_input_num(4)
+    g.nodes[amix].processor.volumes = [0.3, 0.3, 0.2, 0.2]
+    g.update_node_pin(amix)  # re-derive input_1..input_4 pins
+    g.add_link(_pin(g, merge, "output"), _pin(g, amix, "input_1"))
+    g.add_link(_pin(g, pitch, "output"), _pin(g, amix, "input_2"))
+    g.add_link(_pin(g, src, "output_2"), _pin(g, amix, "input_3"))
+    g.add_link(_pin(g, src, "output_3"), _pin(g, amix, "input_4"))
+    # Spectrum tap -> output (preview mode: the real-time stream target)
+    spec = g.add_node(AudioSpectrum())
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, amix, "output"), _pin(g, spec, "input"))
+    g.add_link(_pin(g, spec, "output"), _pin(g, out, "input"))
+    return g, "preview"
+
+
+def flagship_5node(tmp, seconds):
+    """The headline 5-node stereo graph (audio_input x2 -> gain -> amix ->
+    spectrum -> output)."""
+    import __graft_entry__ as graft
+
+    paths = _write_tracks(tmp, 2, seconds, 44_100, 2)
+    g, _src = graft._flagship_graph(paths)
+    return g, "export"
+
+
+# -- measurement --------------------------------------------------------------
+
+
+def measure_device_rtf(graph, mode, iters):
+    """Compile + run the fused program; return (rtf, detail dict).
+
+    Sustained throughput: `iters` back-to-back dispatches + one completion
+    probe, amortized — the number that answers "audio-seconds processed per
+    second of device time"."""
+    import jax
+    import jax.numpy as jnp
+
+    from nodey_tpu.core.runner import Runner
+
+    runner = Runner(graph)
+    t0 = time.perf_counter()
+    arrays, lengths, sources = runner._decode_inputs()
+    decode_s = time.perf_counter() - t0
+
+    compiled, compile_s = runner._compile(sources, mode)
+
+    t0 = time.perf_counter()
+    device_args = {
+        key: (jnp.asarray(arrays[key]), jnp.int32(lengths[key]))
+        for key in compiled.input_keys
+    }
+    jax.block_until_ready(device_args)
+    ingest_s = time.perf_counter() - t0
+
+    master_key = "master" if mode == "export" else "preview"
+
+    def probe(o):
+        return jax.device_get(o[master_key][0].ravel()[:4])
+
+    t0 = time.perf_counter()
+    out = compiled.fn(device_args)
+    probe(out)
+    warmup_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = compiled.fn(device_args)
+        probe(out)
+        times.append((time.perf_counter() - t0) / iters)
+    pipeline_s = min(times)
+
+    master, length = out[master_key]
+    rate = compiled.output_meta[master_key]["rate"]
+    audio_seconds = float(jax.device_get(length)) / rate
+    rtf = audio_seconds / pipeline_s
+    return rtf, {
+        "audio_s": audio_seconds,
+        "decode_s": decode_s,
+        "compile_s": compile_s,
+        "ingest_s": ingest_s,
+        "warmup_s": warmup_s,
+        "pipeline_ms": pipeline_s * 1e3,
+        "times_ms": [t * 1e3 for t in times],
+        "master": master,
+        "out": out,
+    }
 
 
 def main() -> int:
@@ -47,99 +297,74 @@ def main() -> int:
     except Exception as exc:  # cache flags vary across jax versions
         log(f"compile cache unavailable: {exc}")
 
-    import jax.numpy as jnp
-
-    from nodey_tpu.core.runner import Runner
-    from nodey_tpu.host import decode as host_decode
-    import __graft_entry__ as graft
-
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 300.0
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    rate = 44_100
-    n = int(rate * seconds)
+    config_seconds = 30.0  # BASELINE config clips are 30 s
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
-    rng = np.random.default_rng(0)
-    t = np.arange(n) / rate
+    configs = [
+        ("rtf_config1_passthrough", config1_passthrough, config_seconds, iters),
+        ("rtf_config2_split_merge", config2_split_merge, config_seconds, iters),
+        ("rtf_config3_two_track_mix", config3_two_track_mix, config_seconds, iters),
+        ("rtf_config4_resample_pitch_tempo", config4_resample_pitch_tempo,
+         config_seconds, max(1, iters // 4)),
+        ("rtf_config5_full_editor_preview", config5_full_editor,
+         config_seconds, max(1, iters // 2)),
+    ]
 
-    def track(f0):
-        base = 0.3 * np.sin(2 * np.pi * f0 * t) + 0.1 * np.sin(
-            2 * np.pi * 3.1 * f0 * t
-        )
-        noise = 0.02 * rng.standard_normal(n)
-        ch0 = (base + noise).astype(np.float32)
-        ch1 = np.roll(ch0, 211)
-        return np.stack([ch0, ch1])
+    # Optional subset (e.g. NODEY_BENCH_ONLY="1,4" or "headline") — lets the
+    # first cold-cache population run piecewise; the full run then hits the
+    # persistent compile cache.
+    only = os.environ.get("NODEY_BENCH_ONLY", "")
+    if only:
+        wanted = {s.strip() for s in only.split(",")}
+        configs = [
+            c for i, c in enumerate(configs, start=1) if str(i) in wanted
+        ]
+        run_headline = "headline" in wanted or not wanted.isdisjoint({"6"})
+    else:
+        run_headline = True
 
+    results = []
     with tempfile.TemporaryDirectory() as tmp:
-        paths = [f"{tmp}/a.wav", f"{tmp}/b.wav"]
-        host_decode.write_wav_s16(paths[0], track(220.0), rate)
-        host_decode.write_wav_s16(paths[1], track(330.0), rate)
+        for name, builder, secs, it in configs:
+            graph, mode = builder(tmp, secs)
+            rtf, d = measure_device_rtf(graph, mode, it)
+            log(
+                f"{name}: audio={d['audio_s']:.1f}s decode={d['decode_s']:.2f}s "
+                f"compile={d['compile_s']:.2f}s ingest={d['ingest_s']:.3f}s "
+                f"warmup={d['warmup_s']:.1f}s pipeline={d['pipeline_ms']:.1f}ms "
+                f"({', '.join(f'{x:.1f}' for x in d['times_ms'])} ms) "
+                f"RTF={rtf:.0f}x"
+            )
+            results.append((name, rtf))
 
-        graph, _src = graft._flagship_graph(paths)
-        runner = Runner(graph)
+        if run_headline:
+            # Headline: the 5-node stereo graph on a long clip.
+            graph, mode = flagship_5node(tmp, seconds)
+            rtf, d = measure_device_rtf(graph, mode, iters)
 
-        t0 = time.perf_counter()
-        arrays, lengths, sources = runner._decode_inputs()
-        decode_s = time.perf_counter() - t0
-
-        compiled, compile_s = runner._compile(sources, "export")
-
-        # Host->HBM ingest (timed separately; overlapped in streaming mode).
-        t0 = time.perf_counter()
-        device_args = {
-            key: (jnp.asarray(arrays[key]), jnp.int32(lengths[key]))
-            for key in compiled.input_keys
-        }
-        jax.block_until_ready(device_args)
-        ingest_s = time.perf_counter() - t0
-
-        # NOTE on methodology: on this rig jax.block_until_ready returns
-        # before remote execution finishes (axon relay quirk), so completion
-        # is forced with a tiny device_get probe. Sustained throughput =
-        # `iters` back-to-back dispatches + one probe, amortized — the
-        # number that answers "audio-seconds processed per second".
-        def probe(o):
-            return jax.device_get(o["master"][0].ravel()[:4])
-
-        # Warmup (remote compile + first execution + cold d2h path).
-        t0 = time.perf_counter()
-        out = compiled.fn(device_args)
-        probe(out)
-        warmup_s = time.perf_counter() - t0
-
-        times = []
-        for _ in range(3):
+            # Egress measurement (the export path's d2h), reported separately.
             t0 = time.perf_counter()
-            for _ in range(iters):
-                out = compiled.fn(device_args)
-            probe(out)
-            times.append((time.perf_counter() - t0) / iters)
-        pipeline_s = min(times)
+            host_master = jax.device_get(d["master"])
+            egress_s = time.perf_counter() - t0
+            mb = host_master.nbytes / 1e6
+            log(
+                f"rtf_5node_stereo: audio={d['audio_s']:.1f}s "
+                f"decode={d['decode_s']:.2f}s compile={d['compile_s']:.2f}s "
+                f"ingest={d['ingest_s']:.3f}s warmup={d['warmup_s']:.1f}s "
+                f"pipeline={d['pipeline_ms']:.1f}ms "
+                f"({', '.join(f'{x:.1f}' for x in d['times_ms'])} ms) "
+                f"egress={egress_s:.2f}s ({mb / max(egress_s, 1e-9):.1f} MB/s) "
+                f"RTF={rtf:.0f}x"
+            )
+            results.append(("rtf_5node_stereo", rtf))
 
-        master, length = out["master"]
-        audio_seconds = float(jax.device_get(length)) / 48_000.0
-        rtf = audio_seconds / pipeline_s
-
-        # Egress measurement (the export path's d2h), reported separately.
-        t0 = time.perf_counter()
-        host_master = jax.device_get(master)
-        egress_s = time.perf_counter() - t0
-        mb = host_master.nbytes / 1e6
-
-        log(
-            f"audio={audio_seconds:.1f}s decode={decode_s:.2f}s "
-            f"compile={compile_s:.2f}s ingest={ingest_s:.3f}s "
-            f"warmup={warmup_s:.1f}s "
-            f"pipeline={pipeline_s * 1e3:.1f}ms "
-            f"({', '.join(f'{x * 1e3:.1f}' for x in times)} ms) "
-            f"egress={egress_s:.2f}s ({mb / max(egress_s, 1e-9):.1f} MB/s) "
-            f"RTF={rtf:.0f}x"
-        )
+    for name, rtf in results:
         print(
             json.dumps(
                 {
-                    "metric": "rtf_5node_stereo",
+                    "metric": name,
                     "value": round(rtf, 1),
                     "unit": "audio_seconds_per_second_per_chip",
                     "vs_baseline": round(rtf / 1000.0, 3),

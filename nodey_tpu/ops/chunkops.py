@@ -1,0 +1,414 @@
+"""Chunk-streaming primitives: device FIFOs and stateful op steps.
+
+The reference streams audio as chains of ~1152-sample frames through bounded
+per-edge channels (reference: include/processor/audio-stream.hpp:46-83,
+include/config.hpp:53), so memory stays O(nodes x 16 frames) for any clip
+length (SURVEY.md §5.7). The TPU equivalent implemented here: every stateful
+node owns a small device-resident ring ("FIFO") carried through a jitted
+chunk-step function — all shapes static, all control data-independent, state
+threaded as a pytree (the explicit form of the state the reference kept
+implicitly inside SwrContext/SoundTouch objects, SURVEY.md §7.3).
+
+A FIFO is the pytree ``(buf [C, cap] f32, level int32)`` with the invariant
+that ``buf[:, level:]`` is zero. Consuming reads a static-width window from
+the front (real lookahead samples included) and advances by a traced amount;
+samples past ``level`` read as zeros, which directly reproduces the
+reference's drained-resampler silence semantics for early-EOF mixer inputs
+(reference: src/processor/audio-amix.cpp:279-291).
+
+Streaming op steps in this module are bitwise-exact against their offline
+counterparts (ops/resample.resample_data, ops/stft.magnitude_spectrogram,
+ops/stretch._wsola_impl): identical windows through identical kernels —
+tested in tests/test_chunkops.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from nodey_tpu.ops import resample as resample_ops
+from nodey_tpu.ops import stretch as stretch_ops
+
+
+# -- FIFO ---------------------------------------------------------------------
+
+
+def fifo_init(channels: int, cap: int):
+    """Empty FIFO. ``cap`` must statically bound level + any single push."""
+    return (jnp.zeros((channels, cap), dtype=jnp.float32), jnp.int32(0))
+
+
+def fifo_prefill(channels: int, cap: int, zeros: int):
+    """FIFO pre-loaded with ``zeros`` silence samples (left-context padding
+    or bimix_v2 placement offsets)."""
+    return (jnp.zeros((channels, cap), dtype=jnp.float32), jnp.int32(zeros))
+
+
+def fifo_push(state, data, n):
+    """Append ``data[:, :n]``; samples past ``n`` are masked off.
+
+    Caller guarantees level + data.shape[1] <= cap statically (plan caps
+    accordingly); dynamic_update_slice would silently clamp otherwise.
+    """
+    buf, level = state
+    idx = jnp.arange(data.shape[1], dtype=jnp.int32)[None, :]
+    data = jnp.where(idx < n, data, 0.0)
+    # Write the m-wide block at offset level. Positions [level+n, level+m)
+    # receive zeros, preserving the zero-tail invariant since the buffer
+    # was zero there too.
+    buf = lax.dynamic_update_slice(buf, data, (0, level))
+    return (buf, level + jnp.int32(n))
+
+
+def fifo_window(state, width: int):
+    """Static-width snapshot from the front (zeros past level)."""
+    buf, _ = state
+    return buf[:, :width]
+
+
+def fifo_advance(state, take):
+    """Drop ``take`` samples from the front (traced), re-zeroing the tail."""
+    buf, level = state
+    C, cap = buf.shape
+    rolled = jnp.roll(buf, -take, axis=1)
+    new_level = jnp.maximum(level - take, 0)
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    buf = jnp.where(idx < new_level, rolled, 0.0)
+    return (buf, new_level)
+
+
+def fifo_level(state):
+    return state[1]
+
+
+def round_up(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
+# -- streaming polyphase resampler --------------------------------------------
+
+
+class ResamplePlan(NamedTuple):
+    """Static geometry for one streaming rational resampler."""
+
+    L: int
+    M: int
+    taps: int
+    left_ctx: int      # taps//2 - 1 (the offline left zero-pad)
+    right_ctx: int     # taps - 1 lookahead past the consumed segment
+    push_cap: int      # max input samples pushed per step
+    take_cap: int      # max input samples consumed per step (multiple of M)
+    cap: int           # FIFO capacity
+    out_cap: int       # take_cap * L // M
+
+    @property
+    def rates(self) -> Tuple[int, int]:
+        return self.M, self.L
+
+
+def resample_plan(in_rate: int, out_rate: int, push_cap: int) -> ResamplePlan:
+    L, M = resample_ops._rational(in_rate, out_rate)
+    taps = resample_ops._effective_taps(L, M, resample_ops.DEFAULT_TAPS)
+    left_ctx = taps // 2 - 1
+    right_ctx = taps - 1
+    take_cap = round_up(push_cap, M) + M
+    cap = left_ctx + right_ctx + M + push_cap + take_cap
+    return ResamplePlan(
+        L=L, M=M, taps=taps, left_ctx=left_ctx, right_ctx=right_ctx,
+        push_cap=push_cap, take_cap=take_cap, cap=cap,
+        out_cap=take_cap * L // M,
+    )
+
+
+def resample_stream_init(plan: ResamplePlan, channels: int):
+    """State: FIFO prefilled with the offline left zero-pad, plus the count
+    of input samples still unconsumed at EOF flush time."""
+    return fifo_prefill(channels, plan.cap, plan.left_ctx)
+
+
+def resample_stream_step(plan: ResamplePlan, state, data, n, done):
+    """Push ``data[:, :n]`` then consume as much M-aligned input as the
+    lookahead allows (everything, zero-padded, once ``done``).
+
+    Returns (state, out [C, out_cap], out_n, out_done). Output samples are
+    bitwise-identical to the offline ``resample_data`` of the concatenated
+    input: group windows and the filter bank are the same.
+    """
+    L, M, taps = plan.L, plan.M, plan.taps
+    state = fifo_push(state, data, n)
+    level = fifo_level(state)
+    avail = level - plan.left_ctx  # unconsumed input samples in the FIFO
+
+    # Live: consume only segments whose full tap windows are materialized.
+    # Done: consume everything, rounding the final partial group up into the
+    # zero tail (the offline right pad).
+    take_live = jnp.clip((avail - plan.right_ctx) // M * M, 0, plan.take_cap)
+    take_done = jnp.clip(-(-avail // M) * M, 0, plan.take_cap)
+    take = jnp.where(done, take_done, take_live)
+    out_n_done = (avail // M) * L + ((avail % M) * L + M - 1) // M
+    out_n = jnp.where(
+        done, jnp.clip(out_n_done, 0, plan.out_cap), take * L // M
+    )
+
+    G = plan.take_cap // M
+    W = M + taps - 1
+    bank = jnp.asarray(
+        resample_ops._design_filter_bank(
+            L, M, taps, resample_ops.DEFAULT_BETA, resample_ops.DEFAULT_CUTOFF
+        )
+    )
+    window = fifo_window(state, plan.left_ctx + plan.take_cap + W)
+    y = resample_ops.apply_filter_bank(window, G, M, W, bank)  # [C, G*L]
+    idx = jnp.arange(y.shape[1], dtype=jnp.int32)[None, :]
+    out = jnp.where(idx < out_n, y, 0.0)
+
+    state = fifo_advance(state, take)
+    out_done = done & (fifo_level(state) - plan.left_ctx <= 0)
+    return state, out, out_n, out_done
+
+
+# -- streaming STFT spectrum ---------------------------------------------------
+
+
+class StftPlan(NamedTuple):
+    n_fft: int
+    hop: int
+    push_cap: int
+    frames_cap: int
+    cap: int
+
+
+def stft_plan(n_fft: int, hop: int, push_cap: int) -> StftPlan:
+    frames_cap = push_cap // hop + 2
+    cap = n_fft + push_cap + frames_cap * hop
+    return StftPlan(
+        n_fft=n_fft, hop=hop, push_cap=push_cap, frames_cap=frames_cap,
+        cap=cap,
+    )
+
+
+def stft_stream_init(plan: StftPlan, channels: int):
+    return fifo_init(channels, plan.cap)
+
+
+def stft_stream_step(plan: StftPlan, state, data, n, done):
+    """Emit complete STFT frames as their windows fill.
+
+    Offline framing computes frames whose full n_fft window lies inside the
+    clip ((N - n_fft)//hop + 1, ops/stft.magnitude_spectrogram); streaming
+    emits a frame once n_fft samples past its hop-aligned start are
+    buffered, never zero-padded tails — the concatenated frames equal the
+    offline frame set exactly.
+    """
+    from nodey_tpu.ops import stft as stft_ops
+
+    n_fft, hop = plan.n_fft, plan.hop
+    state = fifo_push(state, data, n)
+    level = fifo_level(state)
+    frames = jnp.clip((level - n_fft) // hop + 1, 0, plan.frames_cap)
+    # A done-flush emits nothing extra: offline never frames past the end.
+    window = fifo_window(state, plan.frames_cap * hop + n_fft)
+    C = window.shape[0]
+    spec = stft_ops.magnitude_spectrogram(
+        _FakeStream(window), n_fft=n_fft, hop=hop
+    )  # [C, frames_cap + ..., bins] — static framing over the window
+    spec = spec[:, : plan.frames_cap, :]
+    fidx = jnp.arange(plan.frames_cap, dtype=jnp.int32)[None, :, None]
+    spec = jnp.where(fidx < frames, spec, 0.0)
+    state = fifo_advance(state, frames * hop)
+    out_done = done & (
+        (fifo_level(state) - n_fft) // hop + 1 <= 0
+    )
+    return state, spec, frames, out_done
+
+
+class _FakeStream:
+    """Minimal duck-typed stream for magnitude_spectrogram (data only)."""
+
+    def __init__(self, data):
+        self.data = data
+
+
+# -- streaming WSOLA -----------------------------------------------------------
+
+
+class WsolaPlan(NamedTuple):
+    seq: int
+    seek: int
+    overlap: int
+    stride_out: int
+    num: int           # input step numerator  (pos_k = (k*num + den//2)//den)
+    num_t: int         # round(tempo * 65536) — the output-length scale
+    den: int
+    push_cap: int
+    k_cap: int         # frames processed per step
+    window: int        # input window needed by k_cap frames
+    cap: int
+    out_cap: int       # overlap + k_cap * stride_out
+
+
+def wsola_plan(tempo: float, rate: int, push_cap: int) -> WsolaPlan:
+    seq, seek, overlap = stretch_ops._params(rate)
+    stride_out = seq - overlap
+    num = int(round(stride_out * tempo * 65536))
+    den = 65536
+    # Enough frames per step to keep up with the push rate, with slack so a
+    # drained FIFO catches up after EOF.
+    k_cap = max(1, int(math.ceil(push_cap * den / num)) + 2)
+    window = (k_cap - 1) * num // den + seek + seq + 2
+    cap = window + push_cap + num // den + 2
+    return WsolaPlan(
+        seq=seq, seek=seek, overlap=overlap, stride_out=stride_out,
+        num=num, num_t=int(round(tempo * 65536)), den=den,
+        push_cap=push_cap, k_cap=k_cap, window=window, cap=cap,
+        out_cap=overlap + k_cap * stride_out,
+    )
+
+
+def wsola_stream_init(plan: WsolaPlan, channels: int):
+    """State: (fifo, tail [C, overlap], k int32, consumed int32, in_len int32,
+    first bool)."""
+    return (
+        fifo_init(channels, plan.cap),
+        jnp.zeros((channels, plan.overlap), dtype=jnp.float32),
+        jnp.int32(0),              # next output frame index k
+        jnp.int32(0),              # input samples dropped from FIFO front
+        jnp.int32(0),              # total valid input samples pushed
+        jnp.bool_(True),           # first-step flag (emits the raw head)
+    )
+
+
+def wsola_stream_step(plan: WsolaPlan, state, data, n, done):
+    """Push a chunk and process every WSOLA frame that is ready.
+
+    Frame k reads the input window at pos(k) = (k*num + den//2)//den.
+    While live, a frame is processed once (a) its window is fully buffered
+    AND (b) its full output chunk lies inside the output-length bound implied
+    by the input received so far (floor(in_len*den/num_t)) — (b) guarantees
+    mid-stream emissions are never retracted, since the bound only grows.
+    Once ``done``, the remaining frames run against the FIFO's zero tail
+    exactly like the offline right pad, and the final chunk is clamped to
+    the exact stretched length. Splice decisions and samples equal the
+    offline ``_wsola_impl`` chain (ops/stretch.py) — tested bitwise.
+
+    Returns (state, out [C, out_cap], out_n, out_done). The raw first
+    ``overlap`` input samples the offline path prepends (ops/stretch.py:141)
+    lead the first emitted chunk.
+    """
+    fifo, tail, k0, consumed, in_len, first = state
+    fifo = fifo_push(fifo, data, n)
+    in_len = in_len + jnp.int32(n)
+    level = fifo_level(fifo)
+
+    # Output-length bound from the input seen so far; final once done.
+    out_total = stretch_ops.scale_length_by_num(in_len, plan.num_t)
+    # Frames fully inside the bound (live) / needed to cover it (done).
+    k_live = jnp.maximum((out_total - plan.overlap) // plan.stride_out, 0)
+    k_fin = jnp.where(
+        out_total > plan.overlap,
+        (out_total - plan.overlap + plan.stride_out - 1) // plan.stride_out,
+        0,
+    )
+    k_bound = jnp.where(done, k_fin, k_live)
+
+    # The step is gated until the raw head (offline prepends x[:, :overlap])
+    # can be emitted and the tail seeded from real samples.
+    can_start = done | ((level >= plan.overlap) & (out_total >= plan.overlap))
+    started = can_start | ~first
+    emit_head = first & can_start
+    head = fifo_window(fifo, plan.overlap)
+    tail = jnp.where(emit_head, head, tail)
+
+    def frame_ready(k):
+        # Window for frame k spans [pos(k), pos(k) + seek + seq) in absolute
+        # input coordinates; ready when fully buffered (or at EOF, where the
+        # zero tail stands in for the offline right pad).
+        end = stretch_ops.frame_pos(k, plan.num, plan.den) + plan.seek + plan.seq
+        return jnp.where(done, True, end <= consumed + level)
+
+    base = consumed  # absolute input position of FIFO front
+    x = fifo_window(fifo, plan.window + plan.push_cap)
+
+    fade_in = (
+        jnp.arange(plan.overlap, dtype=jnp.float32) + 0.5
+    ) / plan.overlap
+    fade_out = 1.0 - fade_in
+    C = x.shape[0]
+
+    def step(carry, k):
+        tail_c, count = carry
+        valid = frame_ready(k) & (k < k_bound) & started
+        pos = jnp.clip(
+            stretch_ops.frame_pos(k, plan.num, plan.den) - base,
+            0,
+            x.shape[1] - (plan.seek + plan.seq),
+        )
+        window = lax.dynamic_slice(
+            x, (0, pos), (C, plan.seek + plan.seq)
+        )
+        cand = window[:, : plan.seek + plan.overlap]
+        corr = lax.conv_general_dilated(
+            cand[None, :, :], tail_c[None, :, :],
+            window_strides=(1,), padding=[(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+        )[0, 0, : plan.seek + 1]
+        energy = lax.conv_general_dilated(
+            (cand * cand)[None, :, :],
+            jnp.ones((1, C, plan.overlap), dtype=jnp.float32),
+            window_strides=(1,), padding=[(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+        )[0, 0, : plan.seek + 1]
+        score = corr * lax.rsqrt(energy + 1e-9)
+        best = jnp.argmax(score).astype(jnp.int32)
+        seg = lax.dynamic_slice(window, (0, best), (C, plan.seq))
+        head_c = (
+            tail_c * fade_out[None, :] + seg[:, : plan.overlap] * fade_in[None, :]
+        )
+        chunk = jnp.concatenate(
+            [head_c, seg[:, plan.overlap :]], axis=1
+        )[:, : plan.stride_out]
+        new_tail = seg[:, plan.stride_out : plan.stride_out + plan.overlap]
+        tail_out = jnp.where(valid, new_tail, tail_c)
+        chunk = jnp.where(valid, chunk, 0.0)
+        return (tail_out, count + valid.astype(jnp.int32)), chunk
+
+    (tail, k_done), chunks = lax.scan(
+        step,
+        (tail, jnp.int32(0)),
+        k0 + jnp.arange(plan.k_cap, dtype=jnp.int32),
+    )
+    body = jnp.transpose(chunks, (1, 0, 2)).reshape(
+        C, plan.k_cap * plan.stride_out
+    )
+
+    out = jnp.concatenate([jnp.where(emit_head, head, 0.0), body], axis=1)
+    body_n = k_done * plan.stride_out
+    out_n = jnp.where(emit_head, plan.overlap + body_n, body_n)
+    # Final clamp to the exact stretched length (only bites once done:
+    # live frames are fully inside the bound by construction).
+    emitted = jnp.where(
+        first, jnp.int32(0), plan.overlap + k0 * plan.stride_out
+    )
+    out_n = jnp.clip(jnp.minimum(out_n, out_total - emitted), 0, out.shape[1])
+    # Shift the body left when no head leads it so valid data starts at 0.
+    out = jnp.where(emit_head, out, jnp.roll(out, -plan.overlap, axis=1))
+    idx = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :]
+    out = jnp.where(idx < out_n, out, 0.0)
+
+    k_next = k0 + k_done
+    # Advance the FIFO: keep everything from pos(k_next) onward.
+    keep_from = stretch_ops.frame_pos(k_next, plan.num, plan.den)
+    advance = jnp.clip(keep_from - consumed, 0, None)
+    fifo = fifo_advance(fifo, advance)
+    consumed = consumed + advance
+
+    out_done = done & (k_next >= k_fin)
+    state = (fifo, tail, k_next, consumed, in_len, first & ~can_start)
+    return state, out, out_n, out_done

@@ -65,6 +65,28 @@ def wsola_stretch_at_rate(data, length, tempo: float, rate: int):
     return _wsola_impl(data, length, float(tempo), int(rate))
 
 
+def frame_pos(k, num, den=65536):
+    """floor((k*num + den//2) / den) in overflow-safe traced int32 arithmetic.
+
+    ``k*num`` overflows int32 beyond ~17 output frames for typical tempos
+    (num ~ 1e8), so the product is carry-decomposed: with q = num//den,
+    r = num%den, k = 256*k_hi + k_lo and A = k_hi*r = 65536*A1 + A0,
+
+        pos = k*q + A1*256 + (A0*256 + k_lo*r + den//2) // den
+
+    every intermediate stays below 2^25 for k < 8.4M frames (~74 h of
+    output). Shared by the offline scan and the streaming step so both
+    paths make identical splice decisions."""
+    q, r = num // den, num % den
+    k_hi = k // 256
+    k_lo = k % 256
+    a = k_hi * r
+    a1 = a // den
+    a0 = a % den
+    rem = a0 * 256 + k_lo * r + den // 2
+    return k * q + a1 * 256 + rem // den
+
+
 def _wsola_scan(x, tail0, k0, K, num, den, seq, seek, overlap, win_start=0):
     """Scan WSOLA frames k in [k0, k0+K) over ``x``.
 
@@ -79,7 +101,7 @@ def _wsola_scan(x, tail0, k0, K, num, den, seq, seek, overlap, win_start=0):
     fade_out = 1.0 - fade_in
 
     def step(tail, k):
-        pos = (k * num + den // 2) // den - win_start
+        pos = frame_pos(k, num, den) - win_start
         window = lax.dynamic_slice(x, (0, pos), (C, seek + seq))
         # Normalized cross-correlation of the previous output tail against
         # every candidate offset in one conv (SoundTouch's seekBestOverlap
@@ -153,7 +175,13 @@ def _scale_length_exact(length, tempo: float):
     arithmetic (traced). float32 division loses ulps above 2^24 samples
     (~6 min at 48 kHz), drifting the reported master length on long clips;
     this carry-decomposed integer form is exact for any out-length < 2^31."""
-    num = int(round(tempo * 65536))
+    return scale_length_by_num(length, int(round(tempo * 65536)))
+
+
+def scale_length_by_num(length, num: int):
+    """floor(length * 65536 / num) in overflow-safe traced int32 arithmetic
+    (num = round(tempo * 65536); shared by the offline path above and the
+    streaming WSOLA step, ops/chunkops.py)."""
     q1 = length // num
     r1 = length % num                     # < num <= ~196k
     s = (r1 * 256) // num                 # products stay < 2^26
@@ -188,7 +216,7 @@ def wsola_stream_step(plan, x_window, tail, k0):
     Returns (new_tail, out_chunk [C, chunk_frames*stride_out]). Splice
     decisions equal the whole-clip path; samples agree to float rounding
     (tested)."""
-    win_start = (k0 * plan["num"] + plan["den"] // 2) // plan["den"]
+    win_start = frame_pos(k0, plan["num"], plan["den"])
     return _wsola_scan(
         x_window,
         tail,

@@ -100,6 +100,24 @@ class TestWsola:
         got = np.asarray(out)
         np.testing.assert_allclose(got[:, :n], ref[:, :n], atol=2e-5)
 
+    def test_device_matches_reference_beyond_int32_frame_positions(self):
+        """Regression: frame positions k*num overflow int32 past ~17 frames
+        (num ~ 1.3e8 at tempo 1.25); the carry-decomposed frame_pos keeps
+        the device scan exact on clips of arbitrary length. 3 s at tempo
+        1.25 spans ~58 frames — well past the overflow point where the old
+        arithmetic silently clamped windows to position 0."""
+        rng = np.random.default_rng(11)
+        x = tone(freq=220.0, seconds=3.0, channels=2)
+        x = x + 0.05 * rng.standard_normal(x.shape).astype(np.float32)
+        out, out_len = wsola_stretch_at_rate(
+            jnp.asarray(x), jnp.int32(x.shape[-1]), 1.25, RATE
+        )
+        ref = wsola_stretch_reference(x, 1.25, RATE)
+        n = min(int(out_len), ref.shape[-1])
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :n], ref[:, :n], atol=2e-5
+        )
+
     def test_deterministic(self):
         x = tone(seconds=0.3)
         a, _ = wsola_stretch_at_rate(
