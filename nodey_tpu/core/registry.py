@@ -89,6 +89,35 @@ class Processor:
         """
         raise NotImplementedError
 
+    # -- chunk-streaming lowering (core/chunkflow.py) -------------------------
+
+    def plan_stream(self, ctx, in_specs: Dict[str, Any]):
+        """Static planning for chunk-streaming execution: given input-pin ->
+        ChunkSpec, return (output-pin -> ChunkSpec, initial carry pytree).
+
+        The carry is this node's device-resident state between chunk steps —
+        the explicit form of the state the reference kept inside per-node
+        SwrContext/SoundTouch/fiber objects (SURVEY.md §7.3)."""
+        from nodey_tpu.core.errors import ProcessorRuntimeError
+
+        raise ProcessorRuntimeError(
+            "Node does not support streaming execution",
+            f"{type(self).__name__} implements only whole-clip lowering.",
+            "plan_stream",
+        )
+
+    def lower_stream(self, ctx, inputs: Dict[str, Any], state):
+        """Per-chunk lowering: (input-pin -> ChunkStream, carry) ->
+        (output-pin -> ChunkStream, new carry). Must match ``lower()``'s
+        whole-clip output when chunk outputs are concatenated."""
+        from nodey_tpu.core.errors import ProcessorRuntimeError
+
+        raise ProcessorRuntimeError(
+            "Node does not support streaming execution",
+            f"{type(self).__name__} implements only whole-clip lowering.",
+            "lower_stream",
+        )
+
 
 # The static registry (reference: include/infra/processor.hpp:80,
 # src/infra/processor.cpp:5).

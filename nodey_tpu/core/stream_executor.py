@@ -1,0 +1,322 @@
+"""The streaming executor: decode ∥ h2d ∥ device chunk-step ∥ d2h ∥ sink.
+
+This is the production driver for chunk-flow programs (core/chunkflow.py) —
+the piece that makes the framework compute WHILE decoding, like the
+reference's decode-fiber → channel → DSP-fiber → sink pipeline
+(reference: src/processor/audio-io.cpp:86-226 feeding capacity-16 channels;
+sink backpressure at :620-636). Stage overlap:
+
+  [decode threads]   one per input stream (native StreamDecoder when the
+                     FFmpeg runtime is present; whole-clip fallback
+                     otherwise), pushing chunk blocks into bounded host
+                     queues — the analog of the reference's per-file decode
+                     fibers (audio-io.cpp:242-279), actually concurrent.
+  [pump loop]        assembles per-source chunk args, uploads (h2d is fast;
+                     ~1 GB/s through this rig's relay), dispatches the
+                     jitted step (async), hands device-resident outputs to
+                     the egress queue without blocking on them.
+  [egress thread]    pulls device chunks to host (the slow direction
+                     through the relay) while the NEXT chunks compute.
+  [sink]             the caller consumes host blocks (LAME encode, WAV
+                     write, realtime playback pacer).
+
+Memory is bounded by queue depths x chunk size on host and by the carry
+FIFOs on device — O(nodes x chunk) for any clip length (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from nodey_tpu import config as cfg
+from nodey_tpu.core import chunkflow, compiler
+from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.graph import Graph
+from nodey_tpu.host import decode as host_decode
+from nodey_tpu.host.streamio import BoundedBlockQueue
+
+
+@dataclasses.dataclass
+class StreamMetrics:
+    audio_seconds: float = 0.0
+    wall_seconds: float = 0.0
+    compile_seconds: float = 0.0
+    steps: int = 0
+    decode_wait_seconds: float = 0.0   # pump stalls waiting on decode
+    egress_wait_seconds: float = 0.0   # pump stalls on egress backpressure
+
+    @property
+    def rtf(self) -> float:
+        return self.audio_seconds / self.wall_seconds if self.wall_seconds else 0.0
+
+
+class _SourceFeed:
+    """Decode-ahead thread for one input stream.
+
+    Pops yield (block [C, chunk], n, is_last). Uses the native streaming
+    decoder when available so host memory stays bounded; falls back to
+    whole-clip decode sliced into chunks (WAV-only Python path)."""
+
+    def __init__(self, path: str, chunk: int, queue_depth: int = 4):
+        self.path = path
+        self.chunk = chunk
+        self.queue = BoundedBlockQueue(queue_depth)
+        self.errors: List[BaseException] = []
+        self._stop = threading.Event()
+        # Probe format up front (raises the structured decode error early,
+        # like the reference's pre-start validation, audio-io.cpp:234-240).
+        self._decoder = None
+        try:
+            self._decoder = host_decode.StreamDecoder(path)
+            self.rate = self._decoder.rate
+            self.channels = self._decoder.channels
+            self.fmt = self._decoder.fmt
+            self.t0_us = self._decoder.pts0_us
+            self._whole = None
+        except ProcessorRuntimeError:
+            decoded = host_decode.decode_file(path)
+            self.rate = decoded.rate
+            self.channels = decoded.channels
+            self.fmt = decoded.fmt
+            self.t0_us = decoded.pts0_us
+            self._whole = decoded.data
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def _blocks(self) -> Iterator[np.ndarray]:
+        if self._decoder is not None:
+            with self._decoder as dec:
+                yield from dec.blocks(self.chunk)
+        else:
+            data = self._whole
+            for start in range(0, data.shape[1], self.chunk):
+                yield data[:, start : start + self.chunk]
+
+    def _run(self) -> None:
+        try:
+            pending: Optional[np.ndarray] = None
+            for block in self._blocks():
+                if self._stop.is_set():
+                    return
+                if pending is not None:
+                    if not self.queue.push((pending, False), stop=self._stop):
+                        return
+                pending = block
+            # Final block carries the EOF mark (one-block lookahead so the
+            # last chunk is flagged in the same step it is delivered).
+            if pending is not None:
+                self.queue.push((pending, True), stop=self._stop)
+        except BaseException as exc:  # surfaced by the pump
+            self.errors.append(exc)
+        finally:
+            self.queue.set_eof()
+
+    def pop(self, stop) -> Tuple[np.ndarray, int, bool]:
+        item = self.queue.pop(stop=stop)
+        if item is None:
+            if self.errors:
+                raise self.errors[0]
+            return np.zeros((self.channels, 0), dtype=np.float32), 0, True
+        block, last = item
+        return block, block.shape[1], last
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+class StreamExecutor:
+    """Executes a graph incrementally; yields host master blocks."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        mode: str = "export",
+        chunk_seconds: float = 2.0,
+        egress_depth: int = cfg.AUDIO_STREAM_BUFFER_SIZE,
+    ):
+        self.graph = graph
+        self.mode = mode
+        self.chunk_seconds = chunk_seconds
+        self.egress_depth = egress_depth
+        self.metrics = StreamMetrics()
+        self._stop = threading.Event()
+        self.spectra: Dict[str, np.ndarray] = {}
+
+    def _open_feeds(self):
+        feeds: Dict[str, _SourceFeed] = {}
+        sources: Dict[Tuple[int, str], compiler.SourceSpec] = {}
+        for nid, node in self.graph.nodes.items():
+            proc = node.processor
+            if proc.info().identifier != cfg.AUDIO_INPUT_NODE_NAME:
+                continue
+            for i, path in enumerate(proc.file_paths):
+                probe_feed = _SourceFeed(path, chunk=1)  # probe only
+                chunk = max(1, int(self.chunk_seconds * probe_feed.rate))
+                probe_feed.stop()
+                feed = _SourceFeed(path, chunk=chunk)
+                key = compiler.external_key(nid, f"output_{i}")
+                feeds[key] = feed
+                sources[(nid, f"output_{i}")] = compiler.SourceSpec(
+                    rate=feed.rate, channels=feed.channels, fmt=feed.fmt,
+                    capacity=chunk, t0_us=float(feed.t0_us),
+                )
+        if not feeds:
+            raise ProcessorRuntimeError(
+                "Graph has no inputs",
+                "Streaming execution requires at least one audio_input slot.",
+                "StreamExecutor",
+            )
+        return feeds, sources
+
+    def run(
+        self,
+        sink: Callable[[np.ndarray], None],
+        progress: Optional[Callable[[float], None]] = None,
+        max_flush_steps: int = 10_000,
+    ) -> StreamMetrics:
+        """Pump the full pipeline; calls ``sink(block)`` on the consumer
+        thread for every host master block, in order."""
+        wall0 = time.perf_counter()
+        feeds, sources = self._open_feeds()
+        t0 = time.perf_counter()
+        compiled = chunkflow.compile_stream_graph(
+            self.graph, sources, mode=self.mode
+        )
+        self.metrics.compile_seconds = time.perf_counter() - t0
+        master_key = "master" if self.mode == "export" else "preview"
+        if master_key not in compiled.output_meta:
+            raise ProcessorRuntimeError(
+                f"{self.mode.capitalize()} produced no audio",
+                "The graph has no audio_output node receiving a stream.",
+                f"{master_key} output missing",
+            )
+        out_rate = compiled.output_meta[master_key]["rate"]
+        frames_keys = [
+            k for k, m in compiled.output_meta.items()
+            if m["kind"] == "frames"
+        ]
+
+        for feed in feeds.values():
+            feed.start()
+
+        egress_q = BoundedBlockQueue(self.egress_depth)
+        egress_errors: List[BaseException] = []
+        sink_done = threading.Event()
+        written = [0]
+
+        def egress():
+            try:
+                while True:
+                    item = egress_q.pop(stop=self._stop)
+                    if item is None:
+                        break
+                    device_data, n = item
+                    host = np.asarray(device_data)[:, :n]
+                    sink(host)
+                    written[0] += n
+                    if progress is not None:
+                        progress(written[0] / out_rate)
+            except BaseException as exc:
+                egress_errors.append(exc)
+                self._stop.set()
+            finally:
+                sink_done.set()
+
+        egress_thread = threading.Thread(target=egress, daemon=True)
+        egress_thread.start()
+
+        states = compiled.init_states
+        source_done = {key: False for key in compiled.input_keys}
+        frame_chunks: Dict[str, List] = {k: [] for k in frames_keys}
+        try:
+            flush_steps = 0
+            while not self._stop.is_set():
+                args = {}
+                for key in compiled.input_keys:
+                    feed = feeds[key]
+                    chunk = compiled.chunk_in[key]
+                    if source_done[key]:
+                        block = np.zeros(
+                            (feed.channels, chunk), dtype=np.float32
+                        )
+                        n, last = 0, True
+                    else:
+                        t0 = time.perf_counter()
+                        raw, n, last = feed.pop(self._stop)
+                        self.metrics.decode_wait_seconds += (
+                            time.perf_counter() - t0
+                        )
+                        block = np.zeros(
+                            (feed.channels, chunk), dtype=np.float32
+                        )
+                        if n:
+                            block[:, :n] = raw
+                        source_done[key] = last
+                    args[key] = (
+                        jnp.asarray(block), jnp.int32(n), jnp.bool_(last)
+                    )
+                states, outs = compiled.step(states, args)
+                self.metrics.steps += 1
+                data, n, odone = outs[master_key]
+                # Device-resident hand-off: the egress thread pulls d2h
+                # while the next step computes. Fetch the tiny scalar n
+                # here (cheap) to size the block.
+                n_host = int(n)
+                if n_host:
+                    t0 = time.perf_counter()
+                    pushed = egress_q.push((data, n_host), stop=self._stop)
+                    self.metrics.egress_wait_seconds += (
+                        time.perf_counter() - t0
+                    )
+                    if not pushed:
+                        break
+                for k in frames_keys:
+                    fdata, f_n, _fd = outs[k]
+                    f_n = int(f_n)
+                    if f_n:
+                        frame_chunks[k].append((fdata, f_n))
+                if bool(odone):
+                    break
+                if all(source_done.values()):
+                    flush_steps += 1
+                    if flush_steps > max_flush_steps:
+                        raise ProcessorRuntimeError(
+                            "Streaming execution stalled",
+                            "The graph did not signal completion while "
+                            "flushing node state after EOF.",
+                            f"steps={self.metrics.steps}",
+                        )
+        finally:
+            egress_q.set_eof()
+            sink_done.wait(timeout=60.0)
+            self._stop.set()
+            for feed in feeds.values():
+                feed.stop()
+        if egress_errors:
+            raise egress_errors[0]
+        for key in feeds:
+            if feeds[key].errors:
+                raise feeds[key].errors[0]
+
+        for k, chunks in frame_chunks.items():
+            if chunks:
+                self.spectra[k] = np.concatenate(
+                    [np.asarray(d)[:, :n, :] for d, n in chunks], axis=1
+                )
+
+        self.metrics.wall_seconds = time.perf_counter() - wall0
+        self.metrics.audio_seconds = written[0] / out_rate
+        return self.metrics
+
+    def stop(self) -> None:
+        """Cooperative cancellation (the stop_source analog,
+        reference: include/infra/runner.hpp:47)."""
+        self._stop.set()

@@ -214,6 +214,19 @@ def supports_chunked(graph: Graph) -> bool:
     )
 
 
+def stream_supported(graph: Graph) -> bool:
+    """True when every node implements chunk-streaming lowering
+    (core/chunkflow.py). All built-in node types do — including the
+    time-variant WSOLA nodes that ``supports_chunked`` (the overlap-discard
+    fast path) must reject."""
+    from nodey_tpu.core.registry import Processor
+
+    return all(
+        type(node.processor).plan_stream is not Processor.plan_stream
+        for node in graph.nodes.values()
+    )
+
+
 def render_chunked(
     graph: Graph,
     chunk_seconds: float = 30.0,

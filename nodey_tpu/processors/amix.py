@@ -140,3 +140,78 @@ class AudioAmix(Processor):
 
         out = mix_ops.amix(streams, self.volumes[: self.input_num])
         return {"output": out}
+
+    # -- chunk-streaming: per-input streaming resampler to the 48 kHz grid +
+    #    sample-aligned merge FIFOs (the incremental form of the reference's
+    #    per-input SwrContext + gather loop, audio-amix.cpp:149-320) ----------
+
+    def _stream_in_specs(self, in_specs):
+        self._pad_params()
+        specs = []
+        for i in range(self.input_num):
+            spec = in_specs.get(f"input_{i + 1}")
+            if spec is None:
+                raise ProcessorRuntimeError(
+                    "Audio Mixer processor has no input",
+                    "Audio Mixer processor requires an audio stream input to "
+                    "function properly.",
+                    f"Input item 'input_{i + 1}' not found",
+                )
+            specs.append(spec)
+        return specs
+
+    def plan_stream(self, ctx, in_specs):
+        from nodey_tpu import config
+        from nodey_tpu.core import chunkflow
+
+        specs = self._stream_in_specs(in_specs)
+        self._rs_plans = []
+        rs_states = []
+        normed = []
+        for spec in specs:
+            stereo = spec.replace(channels=2, fmt="flt")
+            out_spec, st, plan = chunkflow.plan_resample_stage(
+                stereo, config.AMIX_STD_SAMPLE_RATE
+            )
+            self._rs_plans.append(plan)
+            rs_states.append(st)
+            normed.append(out_spec)
+        self._merge_plan, merge_fifos = chunkflow.plan_aligned_merge(
+            normed, [0] * len(normed)
+        )
+        out_spec = normed[0].replace(
+            rate=config.AMIX_STD_SAMPLE_RATE, channels=2,
+            width=self._merge_plan["take_cap"], fmt="flt", t0_us=0.0,
+        )
+        return {"output": out_spec}, {"rs": rs_states, "merge": merge_fifos}
+
+    def lower_stream(self, ctx, inputs, state):
+        import jax.numpy as jnp
+
+        from nodey_tpu import config
+        from nodey_tpu.core import chunkflow
+
+        chunks = [inputs[f"input_{i + 1}"] for i in range(self.input_num)]
+        rs_states = []
+        normed = []
+        for chunk, plan, st in zip(chunks, self._rs_plans, state["rs"]):
+            stereo = chunkflow.to_stereo_chunk(chunk)
+            st, out = chunkflow.run_resample_stage(
+                plan, st, stereo, config.AMIX_STD_SAMPLE_RATE
+            )
+            rs_states.append(st)
+            normed.append(out)
+        merge, windows, take, done = chunkflow.run_aligned_merge(
+            self._merge_plan, state["merge"], normed
+        )
+        acc = jnp.zeros_like(windows[0])
+        for w, vol in zip(windows, self.volumes[: self.input_num]):
+            acc = acc + w * jnp.float32(vol)
+        out = chunkflow.ChunkStream(
+            data=acc, n=take, done=done,
+            spec=chunkflow.ChunkSpec(
+                rate=config.AMIX_STD_SAMPLE_RATE, channels=2, fmt="flt",
+                width=acc.shape[1], t0_us=0.0,
+            ),
+        )
+        return {"output": out}, {"rs": rs_states, "merge": merge}

@@ -117,3 +117,19 @@ class AudioInput(Processor):
             f"output_{i}": ctx.external(ctx.node_id, f"output_{i}")
             for i in range(len(self.file_paths))
         }
+
+    # -- chunk-streaming lowering: slots map to per-chunk external inputs,
+    #    the incremental analog of the reference's per-file decode fibers
+    #    (audio-io.cpp:86-226) ------------------------------------------------
+
+    def plan_stream(self, ctx, in_specs):
+        return {
+            f"output_{i}": ctx.external_spec(ctx.node_id, f"output_{i}")
+            for i in range(len(self.file_paths))
+        }, None
+
+    def lower_stream(self, ctx, inputs, state):
+        return {
+            f"output_{i}": ctx.external(ctx.node_id, f"output_{i}")
+            for i in range(len(self.file_paths))
+        }, state

@@ -89,3 +89,60 @@ class AudioOutput(Processor):
             clamped = jnp.clip(out.data, -1.0, 1.0)
             ctx.emit("preview", out.with_data(clamped, fmt=FMT_FLT))
         return {}
+
+    # -- chunk-streaming sink ---------------------------------------------------
+
+    def _require_spec(self, in_specs):
+        spec = in_specs.get("input")
+        if spec is None:
+            raise ProcessorRuntimeError(
+                "Audio output processor has no input",
+                "Audio output requires an audio stream input to function "
+                "properly.",
+                "Input item 'input' not found",
+            )
+        return spec
+
+    def plan_stream(self, ctx, in_specs):
+        from nodey_tpu.core import chunkflow
+
+        spec = self._require_spec(in_specs)
+        if ctx.mode == "export":
+            ctx.emit_spec(
+                "master",
+                {"kind": "stream", "rate": spec.rate,
+                 "channels": spec.channels, "fmt": spec.fmt},
+            )
+            return {}, None
+        stereo = spec.replace(channels=2, fmt="flt")
+        out_spec, state, self._rs_plan = chunkflow.plan_resample_stage(
+            stereo, config.SAMPLE_RATE
+        )
+        ctx.emit_spec(
+            "preview",
+            {"kind": "stream", "rate": config.SAMPLE_RATE,
+             "channels": 2, "fmt": "flt"},
+        )
+        return {}, state
+
+    def lower_stream(self, ctx, inputs, state):
+        from nodey_tpu.core import chunkflow
+
+        chunk = inputs.get("input")
+        if chunk is None:
+            raise ProcessorRuntimeError(
+                "Audio output processor has no input",
+                "Audio output requires an audio stream input to function "
+                "properly.",
+                "Input item 'input' not found",
+            )
+        if ctx.mode == "export":
+            ctx.emit("master", chunk)
+            return {}, state
+        stereo = chunkflow.to_stereo_chunk(chunk)
+        state, out = chunkflow.run_resample_stage(
+            self._rs_plan, state, stereo, config.SAMPLE_RATE
+        )
+        out = out.with_data(jnp.clip(out.data, -1.0, 1.0), fmt=FMT_FLT)
+        ctx.emit("preview", out)
+        return {}, state

@@ -69,3 +69,28 @@ class AudioVol(Processor):
         from nodey_tpu.ops import gain as gain_ops
 
         return {"output": gain_ops.apply_gain(stream, self.volume)}
+
+    # -- chunk-streaming: gain is stateless element-wise work -----------------
+
+    def plan_stream(self, ctx, in_specs):
+        self._require(in_specs)
+        return {"output": in_specs["input"]}, None
+
+    def lower_stream(self, ctx, inputs, state):
+        chunk = self._require(inputs)
+        from nodey_tpu.ops.gain import _gain_array
+        import jax.numpy as jnp
+
+        data = _gain_array(chunk.data, self.volume, chunk.spec.fmt, jnp)
+        return {"output": chunk.with_data(data)}, state
+
+    def _require(self, inputs):
+        value = inputs.get("input")
+        if value is None:
+            raise ProcessorRuntimeError(
+                "Volume adjust processor has no input",
+                "Volume adjust processor requires an audio stream input to "
+                "function properly.",
+                "Input item 'input' not found",
+            )
+        return value

@@ -52,10 +52,89 @@ def _require_inputs(inputs: Dict[str, Any]):
     return left, right
 
 
-class AudioBimix(Processor):
+class _BimixStreamBase(Processor):
+    """Shared chunk-streaming machinery for both bimix variants: per side a
+    streaming resampler to the 48 kHz grid + mono downmix, then aligned
+    merge FIFOs (prefilled with placement-offset silence for v2)."""
+
+    def _prefills(self, specs) -> list:
+        self._t0_out = 0.0
+        return [0, 0]
+
+    def _combine(self, win_l, win_r):
+        raise NotImplementedError
+
+    def plan_stream(self, ctx, in_specs):
+        from nodey_tpu import config
+        from nodey_tpu.core import chunkflow
+
+        if "input_l" not in in_specs or "input_r" not in in_specs:
+            _require_inputs({})
+        self._rs_plans = []
+        rs_states = []
+        normed = []
+        for name in ("input_l", "input_r"):
+            spec = in_specs[name].replace(channels=2, fmt="flt")
+            out_spec, st, plan = chunkflow.plan_resample_stage(
+                spec, config.BIMIX_STD_SAMPLE_RATE
+            )
+            self._rs_plans.append(plan)
+            rs_states.append(st)
+            normed.append(out_spec.replace(channels=1))
+        self._merge_plan, merge_fifos = chunkflow.plan_aligned_merge(
+            normed, self._prefills(in_specs)
+        )
+        out_spec = chunkflow.ChunkSpec(
+            rate=config.BIMIX_STD_SAMPLE_RATE, channels=2, fmt="flt",
+            width=self._merge_plan["take_cap"], t0_us=self._t0_out,
+        )
+        return {"output": out_spec}, {"rs": rs_states, "merge": merge_fifos}
+
+    def lower_stream(self, ctx, inputs, state):
+        from nodey_tpu import config
+        from nodey_tpu.core import chunkflow
+
+        left, right = _require_inputs(inputs)
+        rs_states = []
+        monos = []
+        for chunk, plan, st in zip(
+            (left, right), self._rs_plans, state["rs"]
+        ):
+            stereo = chunkflow.to_stereo_chunk(chunk)
+            st, out = chunkflow.run_resample_stage(
+                plan, st, stereo, config.BIMIX_STD_SAMPLE_RATE
+            )
+            rs_states.append(st)
+            monos.append(chunkflow.side_mono_chunk(out))
+        merge, windows, take, done = chunkflow.run_aligned_merge(
+            self._merge_plan, state["merge"], monos
+        )
+        data = self._combine(windows[0], windows[1])
+        out = chunkflow.ChunkStream(
+            data=data, n=take, done=done,
+            spec=chunkflow.ChunkSpec(
+                rate=config.BIMIX_STD_SAMPLE_RATE, channels=2, fmt="flt",
+                width=data.shape[1], t0_us=self._t0_out,
+            ),
+        )
+        return {"output": out}, {"rs": rs_states, "merge": merge}
+
+
+class AudioBimix(_BimixStreamBase):
     def __init__(self) -> None:
         # Default: include/processor/audio-bimix.hpp:36.
         self.bias: float = 0.0
+
+    def _combine(self, win_l, win_r):
+        import jax.numpy as jnp
+
+        return jnp.concatenate(
+            [
+                win_l * jnp.float32(1.0 - self.bias),
+                win_r * jnp.float32(1.0 + self.bias),
+            ],
+            axis=0,
+        )
 
     def info(self) -> ProcessorInfo:
         return ProcessorInfo(
@@ -107,9 +186,29 @@ class AudioBimix(Processor):
         return {"output": mix_ops.bimix(left, right, self.bias)}
 
 
-class AudioBimixV2(Processor):
+class AudioBimixV2(_BimixStreamBase):
     """Time-aligned variant; no parameters
     (reference: audio-bimix.cpp:444-449)."""
+
+    def _prefills(self, specs) -> list:
+        # Placement offsets as FIFO silence prefill: each side starts at its
+        # own pts on the shared grid (reference alignment engine,
+        # audio-bimix.cpp:776-872; rounding per :817-824).
+        from nodey_tpu import config
+
+        rate = config.BIMIX_STD_SAMPLE_RATE
+        t0_l = specs["input_l"].t0_us
+        t0_r = specs["input_r"].t0_us
+        self._t0_out = min(t0_l, t0_r)
+        return [
+            round((t0_l - self._t0_out) * 1e-6 * rate),
+            round((t0_r - self._t0_out) * 1e-6 * rate),
+        ]
+
+    def _combine(self, win_l, win_r):
+        import jax.numpy as jnp
+
+        return jnp.concatenate([win_l, win_r], axis=0)
 
     def info(self) -> ProcessorInfo:
         return ProcessorInfo(

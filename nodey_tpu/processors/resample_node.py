@@ -68,3 +68,35 @@ class AudioResample(Processor):
         from nodey_tpu.ops import resample as resample_ops
 
         return {"output": resample_ops.resample_stream(stream, self.target_rate)}
+
+    # -- chunk-streaming: tap-history FIFO carry (ops/chunkops.py) ------------
+
+    def plan_stream(self, ctx, in_specs):
+        spec = self._require(in_specs)
+        from nodey_tpu.core import chunkflow
+
+        # The static plan lives on the instance (plans are geometry, not
+        # traced state; the carry holds only device arrays).
+        out_spec, state, self._stream_plan = chunkflow.plan_resample_stage(
+            spec, self.target_rate
+        )
+        return {"output": out_spec}, state
+
+    def lower_stream(self, ctx, inputs, state):
+        chunk = self._require(inputs)
+        from nodey_tpu.core import chunkflow
+
+        state, out = chunkflow.run_resample_stage(
+            self._stream_plan, state, chunk, self.target_rate
+        )
+        return {"output": out}, state
+
+    def _require(self, inputs):
+        value = inputs.get("input")
+        if value is None:
+            raise ProcessorRuntimeError(
+                "Resample processor has no input",
+                "Resample requires an audio stream input to function properly.",
+                "Input item 'input' not found",
+            )
+        return value

@@ -76,3 +76,38 @@ class AudioSpectrum(Processor):
             meta={"hop": self.hop, "n_fft": self.n_fft, "rate": stream.rate},
         )
         return {"output": stream}
+
+    # -- chunk-streaming: hop-aligned frame FIFO; audio passes through,
+    #    complete frames emit as a (frames, count, done) side output ----------
+
+    def plan_stream(self, ctx, in_specs):
+        spec = in_specs.get("input")
+        if spec is None:
+            self.lower(ctx, {})  # raises the structured no-input error
+        from nodey_tpu.ops import chunkops
+
+        plan = chunkops.stft_plan(self.n_fft, self.hop, spec.width)
+        self._stream_plan = plan
+        ctx.emit_spec(
+            f"spectrum_{ctx.node_id}",
+            {
+                "kind": "frames",
+                "hop": self.hop,
+                "n_fft": self.n_fft,
+                "rate": spec.rate,
+                "frames_cap": plan.frames_cap,
+            },
+        )
+        return {"output": spec}, chunkops.stft_stream_init(
+            plan, spec.channels
+        )
+
+    def lower_stream(self, ctx, inputs, state):
+        from nodey_tpu.ops import chunkops
+
+        chunk = inputs["input"]
+        state, spec_frames, f_n, f_done = chunkops.stft_stream_step(
+            self._stream_plan, state, chunk.data, chunk.n, chunk.done
+        )
+        ctx.emit(f"spectrum_{ctx.node_id}", (spec_frames, f_n, f_done))
+        return {"output": chunk}, state

@@ -50,3 +50,21 @@ class AudioSplit(Processor):
 
         left, right = mix_ops.split_channels(stream)
         return {"output_l": left, "output_r": right}
+
+    # -- chunk-streaming: stateless channel slicing ----------------------------
+
+    def plan_stream(self, ctx, in_specs):
+        spec = in_specs.get("input")
+        if spec is None:
+            self.lower(ctx, {})  # raises the structured no-input error
+        mono = spec.replace(channels=1) if spec.channels == 2 else spec
+        return {"output_l": mono, "output_r": mono}, None
+
+    def lower_stream(self, ctx, inputs, state):
+        chunk = inputs["input"]
+        if chunk.spec.channels == 1:
+            return {"output_l": chunk, "output_r": chunk}, state
+        return {
+            "output_l": chunk.with_data(chunk.data[0:1]),
+            "output_r": chunk.with_data(chunk.data[1:2]),
+        }, state

@@ -52,11 +52,76 @@ def _require_input(inputs: Dict[str, Any], processor_name: str):
     return stream
 
 
-class VelocityModifier(Processor):
+class _SoundTouchStreamBase(Processor):
+    """Shared chunk-streaming machinery for Velocity/Pitch: the SoundTouch
+    (rate, pitch) pair as a streaming WSOLA stage chained into a streaming
+    transposition resampler (same decomposition as ops/stretch.
+    soundtouch_like; state carried in device FIFOs, ops/chunkops.py)."""
+
+    def _factors(self):
+        raise NotImplementedError  # -> (rate, pitch)
+
+    def plan_stream(self, ctx, in_specs):
+        from nodey_tpu.core import chunkflow
+        from nodey_tpu.ops import chunkops, stretch as stretch_ops
+
+        spec = _require_input(in_specs, type(self).__name__)
+        rate_f, pitch_f = self._factors()
+        eff_rate = rate_f * pitch_f
+        eff_tempo = 1.0 / pitch_f
+
+        states = {}
+        width = spec.width
+        self._wsola_plan = None
+        if abs(eff_tempo - 1.0) > 1e-9:
+            plan = chunkops.wsola_plan(eff_tempo, spec.rate, width)
+            self._wsola_plan = plan
+            states["w"] = chunkops.wsola_stream_init(plan, spec.channels)
+            width = plan.out_cap
+
+        self._rs_plan = None
+        if abs(eff_rate - 1.0) > 1e-9:
+            num, den = stretch_ops._rational_factor(eff_rate)
+            # transpose_rate consumes `num` input samples per `den` outputs.
+            mid = chunkflow.ChunkSpec(
+                rate=num, channels=spec.channels, fmt="flt", width=width
+            )
+            _out, st, plan = chunkflow.plan_resample_stage(mid, den)
+            self._rs_plan = plan
+            states["r"] = st
+            width = plan.out_cap
+
+        out_spec = spec.replace(width=width, fmt="flt")
+        return {"output": out_spec}, states
+
+    def lower_stream(self, ctx, inputs, state):
+        from nodey_tpu.ops import chunkops
+
+        chunk = _require_input(inputs, type(self).__name__)
+        data, n, done = chunk.data, chunk.n, chunk.done
+        new_state = dict(state)
+        if self._wsola_plan is not None:
+            new_state["w"], data, n, done = chunkops.wsola_stream_step(
+                self._wsola_plan, state["w"], data, n, done
+            )
+        if self._rs_plan is not None:
+            new_state["r"], data, n, done = chunkops.resample_stream_step(
+                self._rs_plan, state["r"], data, n, done
+            )
+        out = chunk.with_data(data, fmt="flt")
+        out.n, out.done = n, done
+        return {"output": out}, new_state
+
+
+class VelocityModifier(_SoundTouchStreamBase):
     def __init__(self) -> None:
         # Defaults: include/processor/audio-velocity.hpp:11-12.
         self.velocity: float = 1.0
         self.keep_pitch: bool = False
+
+    def _factors(self):
+        # reference: audio-velocity.cpp:446-460.
+        return self.velocity, (1.0 / self.velocity) if self.keep_pitch else 1.0
 
     def info(self) -> ProcessorInfo:
         return ProcessorInfo(
@@ -107,10 +172,14 @@ class VelocityModifier(Processor):
         return {"output": out}
 
 
-class PitchModifier(Processor):
+class PitchModifier(_SoundTouchStreamBase):
     def __init__(self) -> None:
         # Default: include/processor/audio-velocity.hpp:44.
         self.pitch: float = 0.0
+
+    def _factors(self):
+        # reference: audio-velocity.cpp:463-477.
+        return 1.0, 2.0 ** (self.pitch / 12.0)
 
     def info(self) -> ProcessorInfo:
         return ProcessorInfo(
