@@ -64,15 +64,31 @@ def _run_inner(args, graph, runner, diagnostics) -> int:
                 last[0] = seconds
                 print(f"  encoded {seconds:8.1f} s", file=sys.stderr)
 
-        metrics = runner.export(args.export, kbps=args.kbps, progress=progress)
-        print(
-            f"exported {args.export}: {metrics.audio_seconds:.2f} audio-s in "
-            f"{metrics.wall_seconds:.2f} s wall "
-            f"(RTF {metrics.rtf:.0f}x; decode {metrics.decode_seconds:.2f}s, "
-            f"compile {metrics.compile_seconds:.2f}s, "
-            f"device {metrics.device_seconds:.3f}s, "
-            f"encode {metrics.encode_seconds:.2f}s)"
-        )
+        if args.stream:
+            # Fully pipelined export: decode / device / d2h / LAME overlap
+            # (core/stream_executor.py) — bounded memory for any length.
+            metrics = runner.export_streamed(
+                args.export, kbps=args.kbps, progress=progress
+            )
+            print(
+                f"exported {args.export} (streamed): "
+                f"{metrics.audio_seconds:.2f} audio-s in "
+                f"{metrics.wall_seconds:.2f} s wall (RTF {metrics.rtf:.0f}x; "
+                f"compile {metrics.compile_seconds:.2f}s)"
+            )
+        else:
+            metrics = runner.export(
+                args.export, kbps=args.kbps, progress=progress
+            )
+            print(
+                f"exported {args.export}: {metrics.audio_seconds:.2f} "
+                f"audio-s in {metrics.wall_seconds:.2f} s wall "
+                f"(RTF {metrics.rtf:.0f}x; "
+                f"decode {metrics.decode_seconds:.2f}s, "
+                f"compile {metrics.compile_seconds:.2f}s, "
+                f"device {metrics.device_seconds:.3f}s, "
+                f"encode {metrics.encode_seconds:.2f}s)"
+            )
         if args.diagnostics:
             print(json.dumps(diagnostics.run_report(graph, metrics), indent=1))
     elif args.realtime:
@@ -298,6 +314,8 @@ def main(argv=None) -> int:
     p_run.add_argument("--export", help="MP3 output path")
     p_run.add_argument("--kbps", type=int, default=320,
                        choices=[64, 96, 128, 160, 192, 256, 320])
+    p_run.add_argument("--stream", action="store_true",
+                       help="pipelined streaming export (bounded memory)")
     p_run.add_argument("--preview", help="preview WAV output path")
     p_run.add_argument("--realtime", action="store_true",
                        help="pace preview at 1x wall-clock")

@@ -292,3 +292,59 @@ class Runner:
     def preview(self) -> RunResult:
         """Offline preview render: clamped 48 kHz stereo master."""
         return self.render(mode="preview")
+
+    def export_streamed(
+        self,
+        path: str,
+        kbps: int = 320,
+        progress: Optional[Callable[[float], None]] = None,
+        chunk_seconds: float = 2.0,
+    ) -> RunMetrics:
+        """Fully pipelined export: decode ∥ device chunk-step ∥ d2h ∥ LAME.
+
+        The incremental counterpart of :meth:`export` — computes WHILE
+        decoding with bounded host/device memory (the reference's streaming
+        export pipeline, audio-io.cpp:86-226 + 640-844), via the chunk-flow
+        compiler (core/chunkflow.py) and streaming executor
+        (core/stream_executor.py)."""
+        from nodey_tpu.core.stream_executor import StreamExecutor
+
+        self.state = RunnerState.RUNNING
+        self.error = None
+        executor = StreamExecutor(
+            self.graph, mode="export", chunk_seconds=chunk_seconds
+        )
+        enc_holder: Dict[str, Any] = {}
+
+        def sink(block: np.ndarray) -> None:
+            if "enc" not in enc_holder:
+                # Lazy open once the first block fixes rate/channels/format
+                # (like the reference's first-frame LAME init,
+                # audio-io.cpp:656-658); the executor publishes master_meta
+                # after compile, before any sink call.
+                meta = executor.master_meta
+                enc_holder["enc"] = host_encode.Mp3Encoder(
+                    path, meta["rate"], meta["channels"], kbps, meta["fmt"]
+                )
+            enc_holder["enc"].write(block)
+
+        try:
+            sm = executor.run(sink, progress=progress)
+            if "enc" in enc_holder:
+                enc_holder["enc"].close()
+        except BaseException as exc:
+            self.state = RunnerState.ERROR
+            self.error = exc
+            if "enc" in enc_holder:
+                try:
+                    enc_holder["enc"].close()
+                except Exception:
+                    pass
+            raise
+        self.state = RunnerState.FINISHED
+        metrics = RunMetrics(
+            audio_seconds=sm.audio_seconds,
+            wall_seconds=sm.wall_seconds,
+            compile_seconds=sm.compile_seconds,
+        )
+        return metrics

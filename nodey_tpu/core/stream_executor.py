@@ -63,9 +63,10 @@ class _SourceFeed:
     decoder when available so host memory stays bounded; falls back to
     whole-clip decode sliced into chunks (WAV-only Python path)."""
 
-    def __init__(self, path: str, chunk: int, queue_depth: int = 4):
+    def __init__(
+        self, path: str, chunk_seconds: float, queue_depth: int = 4
+    ):
         self.path = path
-        self.chunk = chunk
         self.queue = BoundedBlockQueue(queue_depth)
         self.errors: List[BaseException] = []
         self._stop = threading.Event()
@@ -86,6 +87,7 @@ class _SourceFeed:
             self.fmt = decoded.fmt
             self.t0_us = decoded.pts0_us
             self._whole = decoded.data
+        self.chunk = max(1, int(chunk_seconds * self.rate))
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def start(self) -> None:
@@ -149,6 +151,10 @@ class StreamExecutor:
         self.metrics = StreamMetrics()
         self._stop = threading.Event()
         self.spectra: Dict[str, np.ndarray] = {}
+        # Master-output format metadata {rate, channels, fmt}; published
+        # right after compile, before the first sink call — lazy sinks
+        # (e.g. the LAME encoder) read it on their first block.
+        self.master_meta: Optional[Dict[str, Any]] = None
 
     def _open_feeds(self):
         feeds: Dict[str, _SourceFeed] = {}
@@ -158,15 +164,12 @@ class StreamExecutor:
             if proc.info().identifier != cfg.AUDIO_INPUT_NODE_NAME:
                 continue
             for i, path in enumerate(proc.file_paths):
-                probe_feed = _SourceFeed(path, chunk=1)  # probe only
-                chunk = max(1, int(self.chunk_seconds * probe_feed.rate))
-                probe_feed.stop()
-                feed = _SourceFeed(path, chunk=chunk)
+                feed = _SourceFeed(path, chunk_seconds=self.chunk_seconds)
                 key = compiler.external_key(nid, f"output_{i}")
                 feeds[key] = feed
                 sources[(nid, f"output_{i}")] = compiler.SourceSpec(
                     rate=feed.rate, channels=feed.channels, fmt=feed.fmt,
-                    capacity=chunk, t0_us=float(feed.t0_us),
+                    capacity=feed.chunk, t0_us=float(feed.t0_us),
                 )
         if not feeds:
             raise ProcessorRuntimeError(
@@ -198,6 +201,7 @@ class StreamExecutor:
                 "The graph has no audio_output node receiving a stream.",
                 f"{master_key} output missing",
             )
+        self.master_meta = dict(compiled.output_meta[master_key])
         out_rate = compiled.output_meta[master_key]["rate"]
         frames_keys = [
             k for k, m in compiled.output_meta.items()

@@ -119,9 +119,47 @@ class StreamingSession:
         self._producer_errors: list = []
         self._master = None  # device array [2, N]
         self._length = 0
+        self._executor = None
         self.stats = StreamStats()
 
-    def start(self) -> "StreamingSession":
+    def start(self, streamed: bool = True) -> "StreamingSession":
+        """Start the preview pipeline.
+
+        ``streamed=True`` (default): chunk-by-chunk execution through the
+        chunk-flow compiler — device memory stays flat for any clip length
+        (the reference's O(16-frame) bound, SURVEY.md §5.7). ``False``
+        keeps the whole-clip-in-HBM fast path (lowest first-sample latency
+        for short clips)."""
+        if streamed:
+            return self._start_streamed()
+        return self._start_whole_clip()
+
+    def _start_streamed(self) -> "StreamingSession":
+        from nodey_tpu.core.stream_executor import StreamExecutor
+
+        # Half-second chunks keep first-sample latency low while amortizing
+        # dispatch overhead.
+        self._executor = StreamExecutor(
+            self.runner.graph, mode="preview", chunk_seconds=0.5
+        )
+
+        def produce() -> None:
+            try:
+                metrics = self._executor.run(
+                    sink=lambda block: self.queue.push(block, stop=self._stop)
+                )
+                self._length = int(metrics.audio_seconds * cfg.SAMPLE_RATE)
+                self.stats.rtf_compute = metrics.rtf
+            except BaseException as exc:
+                self._producer_errors.append(exc)
+            finally:
+                self.queue.set_eof()
+
+        self._producer = threading.Thread(target=produce, daemon=True)
+        self._producer.start()
+        return self
+
+    def _start_whole_clip(self) -> "StreamingSession":
         """Render the preview mix on device and start the egress producer."""
         import time
 
@@ -171,6 +209,8 @@ class StreamingSession:
         """Cooperative cancellation — the stop_source analog
         (reference: include/infra/runner.hpp:47, runner.cpp:53-63)."""
         self._stop.set()
+        if self._executor is not None:
+            self._executor.stop()
         self.queue.set_eof()
         if self._producer is not None:
             self._producer.join(timeout=5.0)

@@ -248,18 +248,15 @@ def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
             head_rows[None],
             tails,
         )
-        energy = jnp.sum(cand * cand, axis=-1)       # [B, n_cand] (f32)
-        # Score in bf16 with f32 accumulation: f32 matmuls are emulated on
-        # the v5e MXU (~4x slower), and splice SELECTION only needs enough
-        # precision to rank correlation peaks — occasional near-tie flips
-        # pick an equally good splice (this node is the tolerance-bar path;
-        # SoundTouch itself is not bit-stable across builds). The audio
-        # samples themselves are never touched by bf16: assembly blends
-        # full-precision input slices.
+        energy = jnp.sum(cand * cand, axis=-1)       # [B, n_cand]
+        # f32 operands, default matmul precision: on TPU that already runs
+        # bf16-multiply/f32-accumulate on the MXU (full speed); on CPU it is
+        # exact f32, keeping splice decisions consistent with the per-frame
+        # conv formulation the scan/streaming paths use. Do NOT cast inputs
+        # to bf16 explicitly — it buys nothing on TPU and flips near-tie
+        # argmaxes on CPU, desynchronizing blocked vs streamed renders.
         scores = jnp.einsum(
-            "kaw,kbw->kab",
-            tails.astype(jnp.bfloat16),
-            cand.astype(jnp.bfloat16),
+            "kaw,kbw->kab", tails, cand,
             preferred_element_type=jnp.float32,
         ) * lax.rsqrt(energy + 1e-9)[:, None, :]
 

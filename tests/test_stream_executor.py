@@ -1,0 +1,148 @@
+"""End-to-end streaming executor (core/stream_executor.py): decode-ahead
+threads, overlapped device stepping and egress, LAME sink — with bounded
+memory and outputs matching the offline whole-clip paths."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nodey_tpu.core import registry
+from nodey_tpu.core.graph import Graph
+from nodey_tpu.core.runner import Runner
+from nodey_tpu.core.stream_executor import StreamExecutor
+from nodey_tpu.core.streaming import StreamingSession
+from nodey_tpu.host import decode as host_decode
+from nodey_tpu.host import native_lib
+from nodey_tpu.processors.amix import AudioAmix
+from nodey_tpu.processors.audio_input import AudioInput
+from nodey_tpu.processors.audio_output import AudioOutput
+from nodey_tpu.processors.audio_vol import AudioVol
+from nodey_tpu.processors.velocity import PitchModifier
+
+from conftest import make_tone, snr_db
+
+
+def _pin(g, n, p):
+    return g.nodes[n].pin_name_map[p]
+
+
+def _two_track_graph(paths):
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = list(paths)
+    g.update_node_pin(src)
+    vol = g.add_node(AudioVol())
+    g.nodes[vol].processor.set_volume(1.4)
+    amix = g.add_node(AudioAmix())
+    g.nodes[amix].processor.set_input_num(2)
+    g.nodes[amix].processor.volumes = [0.6, 0.4]
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, vol, "input"))
+    g.add_link(_pin(g, vol, "output"), _pin(g, amix, "input_1"))
+    g.add_link(_pin(g, src, "output_1"), _pin(g, amix, "input_2"))
+    g.add_link(_pin(g, amix, "output"), _pin(g, out, "input"))
+    return g
+
+
+def _write_fixtures(tmp_path, seconds=3.0):
+    paths = []
+    for i, freq in enumerate((220.0, 330.0)):
+        tone = make_tone(rate=44_100, seconds=seconds, freq=freq, channels=2)
+        p = str(tmp_path / f"t{i}.wav")
+        host_decode.write_wav_s16(p, tone, 44_100)
+        paths.append(p)
+    return paths
+
+
+def test_streamed_export_matches_offline_master(tmp_path):
+    """A clip spanning several chunk windows exports through the streaming
+    executor with the same master samples as the offline fused render."""
+    paths = _write_fixtures(tmp_path, seconds=3.0)
+    g = _two_track_graph(paths)
+
+    offline = Runner(g).render(mode="export")
+    ref = offline.master
+
+    blocks = []
+    ex = StreamExecutor(g, mode="export", chunk_seconds=0.7)
+    metrics = ex.run(sink=lambda b: blocks.append(b.copy()))
+    got = np.concatenate(blocks, axis=1)
+
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=3e-7)
+    assert metrics.steps >= 4  # genuinely chunked
+    assert metrics.audio_seconds == pytest.approx(
+        offline.metrics.audio_seconds, abs=1e-6
+    )
+
+
+def test_streamed_export_mp3_roundtrip(tmp_path):
+    if native_lib.load() is None:
+        pytest.skip("native host runtime unavailable")
+    paths = _write_fixtures(tmp_path, seconds=2.0)
+    g = _two_track_graph(paths)
+    out_path = str(tmp_path / "out.mp3")
+    metrics = Runner(g).export_streamed(out_path, kbps=192)
+    assert os.path.getsize(out_path) > 1000
+    assert metrics.audio_seconds > 1.9
+    assert metrics.rtf > 0
+
+
+def test_streamed_export_time_variant_graph(tmp_path):
+    """WSOLA graphs — rejected by overlap-discard chunking — stream end to
+    end and match the offline render."""
+    registry.register_all_processors()
+    paths = _write_fixtures(tmp_path, seconds=2.0)[:1]
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = paths
+    g.update_node_pin(src)
+    pit = g.add_node(PitchModifier())
+    g.nodes[pit].processor.pitch = -2.0
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, pit, "input"))
+    g.add_link(_pin(g, pit, "output"), _pin(g, out, "input"))
+
+    offline = Runner(g).render(mode="export")
+    ref = offline.master
+
+    blocks = []
+    ex = StreamExecutor(g, mode="export", chunk_seconds=0.5)
+    ex.run(sink=lambda b: blocks.append(b.copy()))
+    got = np.concatenate(blocks, axis=1)
+
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+
+
+def test_streamed_preview_session_bounded(tmp_path):
+    """StreamingSession default (streamed) mode: chunk-by-chunk preview
+    equals the whole-clip preview master."""
+    paths = _write_fixtures(tmp_path, seconds=2.0)
+    g = _two_track_graph(paths)
+
+    offline = Runner(g).render(mode="preview")
+    ref = offline.master
+
+    session = StreamingSession(g).start(streamed=True)
+    blocks = list(session.blocks())
+    got = np.concatenate(blocks, axis=1)
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > 120.0
+
+
+def test_streamed_executor_stop_midway(tmp_path):
+    paths = _write_fixtures(tmp_path, seconds=3.0)
+    g = _two_track_graph(paths)
+    ex = StreamExecutor(g, mode="export", chunk_seconds=0.25)
+    seen = []
+
+    def sink(block):
+        seen.append(block)
+        if len(seen) == 2:
+            ex.stop()
+
+    ex.run(sink=sink)
+    assert 2 <= len(seen) < 12  # stopped early, not the full clip
