@@ -41,6 +41,23 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Read-only web viewer (reference editor's engine-honest slice:
+    imnodes canvas + diagnostics overlay, app.cpp:1493-1786)."""
+    from nodey_tpu.app import server as web_server
+
+    graph = _load_graph(args.project)
+    srv = web_server.serve(graph, args.project, args.host, args.port)
+    print(f"serving {args.project} at http://{args.host}:{args.port}/")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+    return 0
+
+
 def cmd_run(args) -> int:
     import contextlib
 
@@ -323,6 +340,14 @@ def main(argv=None) -> int:
                        help="print the run diagnostics report (JSON)")
     p_run.add_argument("--trace", help="write a jax.profiler trace here")
     p_run.set_defaults(fn=cmd_run)
+
+    p_srv = sub.add_parser(
+        "serve", help="web viewer: graph canvas + live run state + spectrum"
+    )
+    p_srv.add_argument("project")
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8787)
+    p_srv.set_defaults(fn=cmd_serve)
 
     p_val = sub.add_parser("validate", help="validate a project file")
     p_val.add_argument("project")

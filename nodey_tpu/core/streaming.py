@@ -305,6 +305,16 @@ def render_chunked(
             f"rates: {sorted(rates)}",
         )
     in_rate = rates.pop()
+    # Nonzero pts start offsets shift bimix_v2 placement beyond the input
+    # grid this chunk planner trims to; those graphs stream via the
+    # chunk-flow executor or render whole-clip instead.
+    if any(spec.t0_us for spec in sources.values()):
+        raise ProcessorRuntimeError(
+            "Stream start offsets not chunkable",
+            "Inputs with pts start offsets (t0_us != 0) require whole-clip "
+            "or chunk-flow streaming execution.",
+            "render_chunked",
+        )
 
     quantum = _chunk_quantum(graph, in_rate)
     chunk = max(1, int(chunk_seconds * in_rate) // quantum) * quantum
@@ -324,6 +334,8 @@ def render_chunked(
     compiled = compiler.compile_graph(graph, chunk_sources, mode="export")
 
     pieces = []
+    spectra_pieces: Dict[str, list] = {}
+    spectra_dropped = []
     out_meta = None
     for c in range(n_chunks):
         start = c * chunk - halo
@@ -359,13 +371,45 @@ def render_chunked(
         chunk_out = chunk * out_rate // in_rate
         piece = np.asarray(data)[:, halo_out : halo_out + chunk_out]
         pieces.append(piece)
+        # Spectrum taps: keep the frames whose hop-aligned starts fall in
+        # this chunk's own region (same trim the sharded executor applies;
+        # frames that don't align to the chunk grid are dropped, recorded).
+        for key, m in compiled.output_meta.items():
+            if m["kind"] != "array" or key in spectra_dropped:
+                continue
+            hop, node_rate = m.get("hop"), m.get("rate")
+            if (
+                not hop or not node_rate
+                or (halo * node_rate) % in_rate
+                or (chunk * node_rate) % in_rate
+            ):
+                spectra_dropped.append(key)
+                spectra_pieces.pop(key, None)
+                continue
+            halo_r = halo * node_rate // in_rate
+            chunk_r = chunk * node_rate // in_rate
+            if halo_r % hop or chunk_r % hop:
+                spectra_dropped.append(key)
+                spectra_pieces.pop(key, None)
+                continue
+            f0 = halo_r // hop
+            frames = np.asarray(out[key])[:, f0 : f0 + chunk_r // hop, :]
+            spectra_pieces.setdefault(key, []).append(frames)
         if progress is not None:
             progress(min(total, (c + 1) * chunk) / in_rate)
 
     master = np.concatenate(pieces, axis=1)
     total_out_len = _ceil_div_mul(total, out_meta["rate"], in_rate)
     master = master[:, :total_out_len]
-    return master, out_meta["rate"], out_meta["fmt"]
+    spectra = {}
+    for key, parts in spectra_pieces.items():
+        m = compiled.output_meta[key]
+        full = np.concatenate(parts, axis=1)
+        # Offline framing stops at the last window fully inside the clip.
+        total_r = total * m["rate"] // in_rate
+        frames_valid = max(0, (total_r - m["n_fft"]) // m["hop"] + 1)
+        spectra[key] = full[:, :frames_valid, :]
+    return master, out_meta["rate"], out_meta["fmt"], spectra
 
 
 def _ceil_div_mul(n: int, num: int, den: int) -> int:

@@ -129,9 +129,23 @@ def _decode_wav_python(path: str) -> DecodedAudio:
             "file",
             f"File path: {path}",
         )
+    if len(fmt_chunk) < 16:
+        raise ProcessorRuntimeError(
+            "Failed to find stream info",
+            "The program cannot analyze the audio file structure, check the "
+            "audio file",
+            f"File path: {path} (truncated fmt chunk)",
+        )
     audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
         "<HHIIHH", fmt_chunk, 0
     )
+    if channels < 1:
+        raise ProcessorRuntimeError(
+            "No audio stream found",
+            "The file does not contain any audio streams, check the audio "
+            "file",
+            f"File path: {path} (channels={channels})",
+        )
     if audio_fmt == 0xFFFE and len(fmt_chunk) >= 40:  # WAVE_FORMAT_EXTENSIBLE
         audio_fmt = struct.unpack_from("<H", fmt_chunk, 24)[0]
 

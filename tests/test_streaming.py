@@ -152,7 +152,7 @@ class TestChunkedRender:
         host_decode.write_wav(str(pb), b, rate)
 
         whole = Runner(self._mix_graph(pa, pb)).render(mode="export")
-        master, out_rate, fmt = render_chunked(
+        master, out_rate, fmt, _spectra = render_chunked(
             self._mix_graph(pa, pb), chunk_seconds=0.5, halo_seconds=0.1
         )
         assert out_rate == whole.rate == 48_000
@@ -210,7 +210,7 @@ class TestChunkAlignmentWithResampleNode:
         g.add_link(pin(rs, "output"), pin(out, "input"))
 
         whole = Runner(g).render(mode="export")
-        master, out_rate, _ = render_chunked(
+        master, out_rate, _, _spectra = render_chunked(
             g, chunk_seconds=0.5, halo_seconds=0.1
         )
         assert out_rate == whole.rate == 32_000
