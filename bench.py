@@ -284,6 +284,64 @@ def measure_device_rtf(graph, mode, iters):
     }
 
 
+def pallas_resample_ab(seconds: float, iters: int = 8) -> None:
+    """A/B the Pallas hand-DMA'd polyphase kernel against the XLA patch-GEMM
+    path on the real chip (VERDICT r1 item 8); logs both timings to stderr.
+    The production path (ops/resample.resample_data) stays on the winner —
+    see the conclusion recorded in ops/pallas_resample.py's docstring."""
+    import jax
+    import jax.numpy as jnp
+
+    from nodey_tpu.ops import pallas_resample, resample as resample_ops
+
+    rate_in, rate_out = 44_100, 48_000
+    n = int(rate_in * seconds)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((0.3 * rng.standard_normal((2, n))).astype(np.float32))
+
+    def probe(o):
+        return jax.device_get(o.ravel()[:4])
+
+    def timed(fn, name):
+        f = jax.jit(fn)
+        t0 = time.perf_counter()
+        out = f(x)
+        probe(out)
+        warm = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = f(x)
+            probe(out)
+            times.append((time.perf_counter() - t0) / iters)
+        log(f"pallas-ab {name}: warm {warm:.1f}s run {min(times) * 1e3:.2f} ms")
+        return out, min(times)
+
+    try:
+        xla_out, xla_t = timed(
+            lambda d: resample_ops.resample_data(d, rate_in, rate_out),
+            "xla-patch-gemm",
+        )
+        pl_out, pl_t = timed(
+            lambda d: pallas_resample.resample_data_pallas(
+                d, rate_in, rate_out
+            ),
+            "pallas-dma",
+        )
+        err = float(
+            jax.device_get(jnp.max(jnp.abs(xla_out - pl_out)))
+        )
+        winner = "pallas" if pl_t < xla_t else "xla"
+        log(
+            f"pallas-ab: max|diff|={err:.2e}, winner={winner} "
+            f"({min(xla_t, pl_t) / max(min(xla_t, pl_t), 1e-12):.0f}; "
+            f"xla {xla_t * 1e3:.2f} ms vs pallas {pl_t * 1e3:.2f} ms)"
+        )
+    except Exception as exc:  # pallas lowering may fail on some backends
+        log(f"pallas-ab skipped: {type(exc).__name__}: {exc}")
+
+
 def main() -> int:
     import jax
 
@@ -322,8 +380,10 @@ def main() -> int:
             c for i, c in enumerate(configs, start=1) if str(i) in wanted
         ]
         run_headline = "headline" in wanted or not wanted.isdisjoint({"6"})
+        run_pallas_ab = "pallas" in wanted
     else:
         run_headline = True
+        run_pallas_ab = jax.default_backend() == "tpu"
 
     results = []
     with tempfile.TemporaryDirectory() as tmp:
@@ -359,6 +419,9 @@ def main() -> int:
                 f"RTF={rtf:.0f}x"
             )
             results.append(("rtf_5node_stereo", rtf))
+
+        if run_pallas_ab:
+            pallas_resample_ab(min(seconds, 60.0), iters)
 
     for name, rtf in results:
         print(

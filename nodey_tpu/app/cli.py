@@ -108,6 +108,10 @@ def _run_inner(args, graph, runner, diagnostics) -> int:
             )
         if args.diagnostics:
             print(json.dumps(diagnostics.run_report(graph, metrics), indent=1))
+        if args.profile_nodes:
+            print(json.dumps(
+                diagnostics.profile_node_times(runner), indent=1
+            ))
     elif args.realtime:
         # Streaming preview: device-resident render, block egress through
         # the bounded queue, consumer paced at 1.0x — the headless stand-in
@@ -339,6 +343,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--diagnostics", action="store_true",
                        help="print the run diagnostics report (JSON)")
     p_run.add_argument("--trace", help="write a jax.profiler trace here")
+    p_run.add_argument("--profile-nodes", action="store_true",
+                       help="report approximate per-node device time "
+                            "(cumulative prefix compilation)")
     p_run.set_defaults(fn=cmd_run)
 
     p_srv = sub.add_parser(

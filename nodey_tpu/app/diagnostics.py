@@ -70,6 +70,100 @@ def run_report(
     return report
 
 
+def profile_node_times(
+    runner, mode: str = "export", iters: int = 3
+) -> Dict[int, Dict[str, Any]]:
+    """Approximate per-NODE device time via cumulative prefix programs
+    (SURVEY.md §5.5 'per-node kernel time'; the overlay's per-processor
+    tallies, reference app.cpp:1556-1568, re-targeted at kernel cost).
+
+    One fused XLA program has no per-node boundaries (fusion is the whole
+    point), so node k's cost is measured as the time delta between the
+    compiled prefix programs nodes[0..k] and nodes[0..k-1] — each prefix
+    reduced to a scalar so egress stays off the measurement. Deltas are
+    approximate under fusion (a node may fuse into its consumer) and are
+    clamped at zero. Each prefix compiles separately — intended as an
+    opt-in diagnosis tool (`cli run --profile-nodes`), not a hot path.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from nodey_tpu.core import compiler as gc
+    from nodey_tpu.core.stream import Stream
+
+    graph = runner.graph
+    arrays, lengths, sources = runner._decode_inputs()
+    graph.check_graph()
+    order = gc.topo_order(graph)
+
+    node_wiring: Dict[int, Any] = {nid: [] for nid in order}
+    for link in graph.links.values():
+        to_pin = graph.pins[link.to_pin]
+        node_wiring[to_pin.parent].append(
+            (to_pin.attribute.identifier, link.from_pin)
+        )
+
+    def prefix_program(upto: int):
+        def program(args):
+            ctx = gc.LowerCtx(mode, sources, args)
+            pin_values: Dict[int, Stream] = {}
+            acc = jnp.float32(0.0)
+            for nid in order[: upto + 1]:
+                node = graph.nodes[nid]
+                inputs = {
+                    name: pin_values[from_pin]
+                    for name, from_pin in node_wiring[nid]
+                    if from_pin in pin_values
+                }
+                ctx.node_id = nid
+                outs = node.processor.lower(ctx, inputs)
+                for pin_name, value in outs.items():
+                    pin_values[node.pin_name_map[pin_name]] = value
+                    acc = acc + jnp.sum(value.data)
+            for key, value in ctx.outputs.items():
+                leaf = value[0] if isinstance(value, tuple) else value
+                acc = acc + jnp.sum(leaf)
+            return acc
+
+        return jax.jit(program)
+
+    device_args = {
+        gc.external_key(nid, pin): (
+            jnp.asarray(arrays[gc.external_key(nid, pin)]),
+            jnp.int32(lengths[gc.external_key(nid, pin)]),
+        )
+        for (nid, pin) in sources
+    }
+
+    prefix_times = []
+    for k in range(len(order)):
+        fn = prefix_program(k)
+        out = fn(device_args)
+        jax.device_get(out)  # scalar fetch doubles as the completion probe
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn(device_args)
+            jax.device_get(out)
+            times.append(time.perf_counter() - t0)
+        prefix_times.append(min(times))
+
+    report: Dict[int, Dict[str, Any]] = {}
+    prev = 0.0
+    for k, nid in enumerate(order):
+        info = graph.nodes[nid].processor.info()
+        delta = max(0.0, prefix_times[k] - prev)
+        prev = prefix_times[k]
+        report[nid] = {
+            "identifier": info.identifier,
+            "device_s": round(delta, 6),
+            "cumulative_s": round(prefix_times[k], 6),
+        }
+    return report
+
+
 @contextlib.contextmanager
 def maybe_trace(trace_dir: Optional[str]):
     """jax.profiler trace context when a directory is given — the TPU

