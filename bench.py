@@ -420,6 +420,25 @@ def main() -> int:
             )
             results.append(("rtf_5node_stereo", rtf))
 
+        if run_headline:
+            # End-to-end streamed export: decode ∥ device ∥ d2h ∥ LAME all
+            # overlapped (core/stream_executor.py). On this rig the wall
+            # clock is bound by the axon relay's ~14 MB/s d2h and the
+            # host decode rate — both stages the executor overlaps.
+            graph, _mode = flagship_5node(tmp, seconds)
+            from nodey_tpu.core.runner import Runner as _Runner
+
+            t0 = time.perf_counter()
+            em = _Runner(graph).export_streamed(
+                f"{tmp}/e2e.mp3", kbps=256, chunk_seconds=4.0
+            )
+            log(
+                f"e2e_streamed_export: {em.audio_seconds:.1f} audio-s in "
+                f"{em.wall_seconds:.2f} s wall (RTF {em.rtf:.0f}x, "
+                f"compile {em.compile_seconds:.1f}s, total "
+                f"{time.perf_counter() - t0:.2f}s)"
+            )
+
         if run_pallas_ab:
             pallas_resample_ab(min(seconds, 60.0), iters)
 

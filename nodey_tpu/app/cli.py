@@ -41,6 +41,46 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_help(args) -> int:
+    """Help/About surface (reference: src/frontend/help.cpp:5-132 —
+    markdown node manual + about box), headless: prints the registered
+    nodes' markdown descriptions, or one node's full manual."""
+    registry.register_all_processors()
+    from nodey_tpu import __version__ as version
+    from nodey_tpu.core.registry import processor_map
+
+    if args.identifier:
+        info = processor_map.get(args.identifier)
+        if info is None:
+            print(f"unknown node '{args.identifier}'; known: "
+                  f"{', '.join(sorted(processor_map))}", file=sys.stderr)
+            return 1
+        print(f"# {info.display_name} ({info.identifier})")
+        if info.singleton:
+            print("*singleton — at most one per project*")
+        print()
+        print(info.description.strip())
+        proc = info.generate()
+        pins = proc.pin_attributes()
+        print("\n## Pins")
+        for p in pins:
+            kind = "in " if p.is_input else "out"
+            print(f"- [{kind}] {p.identifier} ({p.display_name})")
+        return 0
+
+    print(f"nodey_tpu {version} — TPU-native node-graph audio engine")
+    print("project files are JSON graphs compatible with the reference "
+          "editor's format.\n")
+    print("## Nodes")
+    for ident in sorted(processor_map):
+        info = processor_map[ident]
+        first_line = info.description.strip().splitlines()[0]
+        tag = " (singleton)" if info.singleton else ""
+        print(f"- {ident}: {first_line}{tag}")
+    print("\nUse `help <identifier>` for a node's full manual.")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Read-only web viewer (reference editor's engine-honest slice:
     imnodes canvas + diagnostics overlay, app.cpp:1493-1786)."""
@@ -113,18 +153,31 @@ def _run_inner(args, graph, runner, diagnostics) -> int:
                 diagnostics.profile_node_times(runner), indent=1
             ))
     elif args.realtime:
-        # Streaming preview: device-resident render, block egress through
-        # the bounded queue, consumer paced at 1.0x — the headless stand-in
-        # for the reference's SDL playback pipeline (audio-io.cpp:504-637).
+        # Streaming preview paced at 1.0x. With libSDL2 present the blocks
+        # go to a REAL queued-audio device with the reference's 3-packet
+        # backpressure (host/playback.py; reference audio-io.cpp:504-637);
+        # headless hosts fall back to the wall-clock pacer + WAV sink.
         import numpy as np
 
         from nodey_tpu import config as cfg
         from nodey_tpu.core.streaming import StreamingSession
+        from nodey_tpu.host import playback
+
+        device = None
+        if playback.device_available():
+            try:
+                device = playback.SdlPlaybackSink()
+                print("playing through SDL audio device", file=sys.stderr)
+            except NodeyError:
+                device = None
 
         session = StreamingSession(graph).start()
         received = []
         t0 = time.perf_counter()
-        for block in session.blocks(realtime=True):
+        # The device's own queue paces playback; otherwise the pacer does.
+        for block in session.blocks(realtime=device is None):
+            if device is not None:
+                device.write(block)
             received.append(block)
             if len(received) % 32 == 0:
                 print(
@@ -133,6 +186,9 @@ def _run_inner(args, graph, runner, diagnostics) -> int:
                     file=sys.stderr,
                 )
         session.stop()
+        if device is not None:
+            device.drain()
+            device.close()
         wall = time.perf_counter() - t0
         out = args.preview or "preview.wav"
         master = np.concatenate(received, axis=1)
@@ -347,6 +403,12 @@ def main(argv=None) -> int:
                        help="report approximate per-node device time "
                             "(cumulative prefix compilation)")
     p_run.set_defaults(fn=cmd_run)
+
+    p_help = sub.add_parser(
+        "help", help="node manual / about (markdown descriptions)"
+    )
+    p_help.add_argument("identifier", nargs="?", default=None)
+    p_help.set_defaults(fn=cmd_help)
 
     p_srv = sub.add_parser(
         "serve", help="web viewer: graph canvas + live run state + spectrum"

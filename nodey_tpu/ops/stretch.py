@@ -224,14 +224,33 @@ def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
         return jax.vmap(one)(k0 + jnp.arange(count, dtype=jnp.int32))
 
     def im2col(w, start):
-        """[F, n_cand, C*overlap] patch rows of w at offsets start..start+seek."""
-        pat = lax.conv_general_dilated_patches(
-            w[:, :, start : start + seek + overlap],
-            filter_shape=(overlap,),
-            window_strides=(1,),
-            padding=[(0, 0)],
-        )  # [F, C*overlap, n_cand]
-        return jnp.transpose(pat, (0, 2, 1))
+        """[F, n_cand, C*overlap] patch rows of w at offsets start..start+seek.
+
+        Built from pure layout ops (slice/reshape/stack) in two levels —
+        rows a = s*q + r — instead of conv_general_dilated_patches, whose
+        one-hot-filter conv costs as many MXU FLOPs as the scoring GEMM
+        itself and compiles pathologically at these shapes."""
+        s = 32
+        nq = -(-n_cand // s)                  # row groups of stride s
+        k_shifts = -(-overlap // s) + 1       # s-aligned segments per row
+        width = (nq + k_shifts) * s
+        F = w.shape[0]
+        z = w[:, :, start:]
+        z = jnp.pad(z, ((0, 0), (0, 0), (0, max(0, width + s - z.shape[2]))))
+        rows = []
+        for r in range(s):
+            segs = z[:, :, r : r + width].reshape(F, C, nq + k_shifts, s)
+            row = jnp.concatenate(
+                [segs[:, :, i : i + nq, :] for i in range(k_shifts)],
+                axis=-1,
+            )[:, :, :, :overlap]              # [F, C, nq, overlap]
+            rows.append(row)
+        # [F, C, nq, s, overlap] -> rows a = q*s + r -> [F, n_cand, C*ov]
+        pat = jnp.stack(rows, axis=3).reshape(F, C, nq * s, overlap)
+        pat = jnp.transpose(pat, (0, 2, 1, 3)).reshape(
+            F, nq * s, C * overlap
+        )
+        return pat[:, :n_cand, :]
 
     def block_step(b_prev, blk):
         k0 = blk * block
