@@ -148,6 +148,8 @@ class ViewerState:
     """Holds the live preview session + derived overlay data."""
 
     def __init__(self, graph: Graph, title: str):
+        from nodey_tpu.app.notifications import NotificationCenter
+
         self.graph = graph
         self.title = title
         self.lock = threading.Lock()
@@ -159,6 +161,9 @@ class ViewerState:
         self.rtf_compute = 0.0
         self.spectrum: Optional[list] = None
         self.error: Optional[str] = None
+        # Structured event queue (the popup-manager analog) — exposed at
+        # /api/notifications for editor clients.
+        self.notifications = NotificationCenter()
 
     def graph_json(self) -> Dict[str, Any]:
         nodes = []
@@ -216,6 +221,7 @@ class ViewerState:
                     self.rtf_compute = session.stats.rtf_compute
                     self.state = "finished"
             except BaseException as exc:  # surfaced in the overlay
+                self.notifications.push_error(exc)
                 with self.lock:
                     self.state = "error"
                     self.error = str(exc)
@@ -285,6 +291,17 @@ def make_handler(viewer: ViewerState):
                 self._json(viewer.graph_json())
             elif self.path == "/api/state":
                 self._json(viewer.state_json())
+            elif self.path.startswith("/api/notifications"):
+                # Drain-style consumption: ?since=<seq> peeks newer items.
+                since = 0
+                if "since=" in self.path:
+                    try:
+                        since = int(self.path.split("since=")[1])
+                    except ValueError:
+                        since = 0
+                self._json(
+                    [n.as_dict() for n in viewer.notifications.peek(since)]
+                )
             else:
                 self._json({"error": "not found"}, 404)
 

@@ -167,7 +167,24 @@ def _wsola_impl(data, length, tempo, rate):
     pad_to = last_pos + seek + seq + 2
     x = jnp.pad(data, ((0, 0), (0, max(0, pad_to - N))))
 
-    if K >= _BLOCKED_MIN_FRAMES:
+    if K >= _BLOCKED_MIN_FRAMES and _use_pallas_scoring():
+        from nodey_tpu.ops import pallas_wsola
+
+        # Mosaic dots support only DEFAULT/HIGHEST; HIGH promotes to
+        # HIGHEST (quality first — still far faster than the XLA path
+        # because the kernel removes the data-movement floor).
+        prec = (
+            lax.Precision.HIGHEST
+            if SCORE_PRECISION == lax.Precision.HIGH
+            else SCORE_PRECISION
+        )
+        bs = pallas_wsola.splice_offsets(
+            x, K, num, den, seq, seek, overlap, precision=prec,
+        )
+        body = _assemble_from_offsets(
+            x, bs, K, num, den, seq, seek, overlap
+        )
+    elif K >= _BLOCKED_MIN_FRAMES:
         body = _wsola_blocked(x, K, num, den, seq, seek, overlap)
     else:
         tail0 = x[:, :overlap]
@@ -182,6 +199,79 @@ def _wsola_impl(data, length, tempo, rate):
     idx = jnp.arange(out.shape[1])[None, :]
     out = jnp.where(idx < out_length, out, 0.0)
     return out, out_length
+
+
+def _use_pallas_scoring() -> bool:
+    """TPU backend only: the Pallas splice-scoring kernel
+    (ops/pallas_wsola.py) fuses window DMA + im2col + GEMM + argmax in
+    VMEM; CPU keeps the XLA blocked path (exact f32, used by all tests)."""
+    import os
+
+    if os.environ.get("NODEY_WSOLA_NO_PALLAS"):
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _assemble_from_offsets(x, bs, K, num, den, seq, seek, overlap, block=64):
+    """Sample assembly given precomputed splice offsets ``bs`` [K].
+
+    Block-scanned (span slice + per-frame window slices) so peak memory is
+    one block of segments; blend arithmetic identical to the other paths.
+    """
+    C = x.shape[0]
+    stride = seq - overlap
+    win_w = seek + seq
+    nblk = -(-K // block)
+    Kp = nblk * block
+    bs = jnp.pad(bs, (1, Kp - K))          # bs_prev at index k, bs at k+1
+    fade_in = (jnp.arange(overlap, dtype=jnp.float32) + 0.5) / overlap
+    fade_out = 1.0 - fade_in
+    head = x[:, :overlap]
+    span_w = (block + 1) * (num // den + 1) + win_w + 64
+
+    def block_step(_carry, blk):
+        k0 = blk * block
+        span_start = jnp.clip(
+            frame_pos(k0 - 1, num, den), 0, x.shape[1] - span_w
+        )
+        span = lax.dynamic_slice(x, (0, span_start), (C, span_w))
+        b_pair = lax.dynamic_slice(bs, (k0,), (block + 1,))
+
+        def one(i):
+            k = k0 + i
+            pos_c = jnp.clip(
+                frame_pos(k, num, den) - span_start, 0, span_w - win_w
+            )
+            pos_p = jnp.clip(
+                frame_pos(k - 1, num, den) - span_start, 0, span_w - win_w
+            )
+            seg = lax.dynamic_slice(
+                span, (0, pos_c + b_pair[i + 1]), (C, seq)
+            )
+            tail = lax.dynamic_slice(
+                span, (0, pos_p + b_pair[i] + stride), (C, overlap)
+            )
+            tail = jnp.where((blk == 0) & (i == 0), head, tail)
+            blended = (
+                tail * fade_out[None, :] + seg[:, :overlap] * fade_in[None, :]
+            )
+            return jnp.concatenate(
+                [blended, seg[:, overlap:]], axis=1
+            )[:, :stride]
+
+        chunks = jax.vmap(one)(jnp.arange(block, dtype=jnp.int32))
+        return _carry, chunks
+
+    _, all_chunks = lax.scan(
+        block_step, jnp.int32(0), jnp.arange(nblk, dtype=jnp.int32)
+    )  # [nblk, block, C, stride]
+    body = jnp.transpose(all_chunks, (2, 0, 1, 3)).reshape(C, Kp * stride)
+    return body[:, : K * stride]
 
 
 def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
@@ -216,20 +306,37 @@ def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
     fade_out = 1.0 - fade_in
     head = x[:, :overlap]
 
+    # Per-block contiguous span + within-span window extraction: ONE
+    # dynamic_slice from the big input, then small slices from the span —
+    # measurably faster than gathering every window from the full clip.
+    span_w = (block + 1) * (num // den + 1) + win_w + 64
+
     def frame_windows(k0, count):
         """[count, C, win_w] input windows for frames k0..k0+count-1."""
+        span_start = jnp.clip(
+            frame_pos(k0, num, den), 0, x.shape[1] - span_w
+        )
+        span = lax.dynamic_slice(x, (0, span_start), (C, span_w))
+
         def one(k):
-            pos = jnp.clip(frame_pos(k, num, den), 0, x.shape[1] - win_w)
-            return lax.dynamic_slice(x, (0, pos), (C, win_w))
+            pos = jnp.clip(
+                frame_pos(k, num, den) - span_start, 0, span_w - win_w
+            )
+            return lax.dynamic_slice(span, (0, pos), (C, win_w))
+
         return jax.vmap(one)(k0 + jnp.arange(count, dtype=jnp.int32))
 
     def im2col(w, start):
-        """[F, n_cand, C*overlap] patch rows of w at offsets start..start+seek.
+        """[F, C, nq*s, overlap] patch rows of w at offsets start..start+seek
+        (rows a = q*s + r, a few rows of overrun padding at the tail).
 
-        Built from pure layout ops (slice/reshape/stack) in two levels —
-        rows a = s*q + r — instead of conv_general_dilated_patches, whose
-        one-hot-filter conv costs as many MXU FLOPs as the scoring GEMM
-        itself and compiles pathologically at these shapes."""
+        Built from pure layout ops (slice/reshape/stack) in two levels
+        instead of conv_general_dilated_patches, whose one-hot-filter conv
+        costs as many MXU FLOPs as the scoring GEMM itself and compiles
+        pathologically at these shapes. The channel axis stays OUTSIDE the
+        row axis — the scoring contraction sums per-channel GEMMs rather
+        than interleaving channels into one row, avoiding a large
+        transpose."""
         s = 32
         nq = -(-n_cand // s)                  # row groups of stride s
         k_shifts = -(-overlap // s) + 1       # s-aligned segments per row
@@ -245,12 +352,8 @@ def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
                 axis=-1,
             )[:, :, :, :overlap]              # [F, C, nq, overlap]
             rows.append(row)
-        # [F, C, nq, s, overlap] -> rows a = q*s + r -> [F, n_cand, C*ov]
-        pat = jnp.stack(rows, axis=3).reshape(F, C, nq * s, overlap)
-        pat = jnp.transpose(pat, (0, 2, 1, 3)).reshape(
-            F, nq * s, C * overlap
-        )
-        return pat[:, :n_cand, :]
+        # [F, C, nq, s, overlap] -> rows a = q*s + r (native layout).
+        return jnp.stack(rows, axis=3).reshape(F, C, nq * s, overlap)
 
     def block_step(b_prev, blk):
         k0 = blk * block
@@ -260,31 +363,36 @@ def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
         w_all = frame_windows(k0 - 1, block + 1)
         w_prev, w_cur = w_all[:-1], w_all[1:]
 
-        cand = im2col(w_cur, 0)                      # [B, n_cand, C*ov]
-        tails = im2col(w_prev, stride)               # [B, n_cand, C*ov]
+        cand = im2col(w_cur, 0)                      # [B, C, A, ov]
+        tails = im2col(w_prev, stride)               # [B, C, A, ov]
         # Frame 0's "previous tail" is the raw head regardless of b_prev.
-        head_rows = jnp.broadcast_to(
-            head.reshape(-1), (n_cand, C * overlap)
-        )
         tails = jnp.where(
             (blk == 0)
-            & (jnp.arange(block) == 0)[:, None, None],
-            head_rows[None],
+            & (jnp.arange(block) == 0)[:, None, None, None],
+            head[None, :, None, :],
             tails,
         )
-        energy = jnp.sum(cand * cand, axis=-1)       # [B, n_cand]
-        # f32 operands; matmul precision set by SCORE_PRECISION (module
-        # constant, default HIGH = 3-pass bf16 ~ f32-accurate at a fraction
-        # of HIGHEST's cost on the MXU). On CPU every setting is exact f32,
-        # keeping splice decisions consistent with the per-frame conv
-        # formulation the scan/streaming paths use. Do NOT cast inputs to
-        # bf16 — single-pass products flip near-tie argmaxes audibly often
+        energy = jnp.sum(cand * cand, axis=(1, 3))   # [B, A]
+        # Per-channel batched GEMMs summed — the construction-native layout
+        # needs no transpose into interleaved [a, C*ov] rows. f32 operands;
+        # matmul precision set by SCORE_PRECISION (module constant, default
+        # HIGH ~ f32-accurate ranking at a fraction of HIGHEST's cost on
+        # the MXU). On CPU every setting is exact f32, keeping splice
+        # decisions consistent with the per-frame conv formulation the
+        # scan/streaming paths use. Do NOT cast inputs to bf16 —
+        # single-pass products flip near-tie argmaxes audibly often
         # (measured: 24% of samples at tempo 2.0 on CPU).
-        scores = jnp.einsum(
-            "kaw,kbw->kab", tails, cand,
-            preferred_element_type=jnp.float32,
-            precision=SCORE_PRECISION,
-        ) * lax.rsqrt(energy + 1e-9)[:, None, :]
+        scores = sum(
+            jnp.einsum(
+                "fav,fbv->fab", tails[:, c], cand[:, c],
+                preferred_element_type=jnp.float32,
+                precision=SCORE_PRECISION,
+            )
+            for c in range(C)
+        )
+        scores = scores[:, :n_cand, :n_cand] * lax.rsqrt(
+            energy[:, None, :n_cand] + 1e-9
+        )
 
         # Row-argmax BEFORE the chain: F[k][a] = best b given b_{k-1} = a.
         # The sequential part of WSOLA then shrinks to one integer gather

@@ -1,0 +1,125 @@
+"""Pallas WSOLA scoring kernel (ops/pallas_wsola.py) vs the NumPy chain.
+
+Interpreter-mode check on CPU (SURVEY §4.4-style single-host validation);
+the TPU A/B runs in bench.py. Small-rate geometry keeps interpret fast."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nodey_tpu.ops import pallas_wsola
+from nodey_tpu.ops import stretch as stretch_ops
+
+
+def _numpy_chain(x, K, num, den, seq, seek, overlap):
+    """Greedy splice chain with exact integer positions (the
+    wsola_stretch_reference decision logic, bests recorded)."""
+    C, N = x.shape
+    stride = seq - overlap
+    tail = x[:, :overlap].copy()
+    bests = []
+    for k in range(K):
+        pos = (k * num + den // 2) // den
+        window = x[:, pos : pos + seek + seq]
+        if window.shape[1] < seek + seq:
+            window = np.pad(
+                window, ((0, 0), (0, seek + seq - window.shape[1]))
+            )
+        scores = np.empty(seek + 1, dtype=np.float64)
+        for o in range(seek + 1):
+            cand = window[:, o : o + overlap]
+            corr = float((tail * cand).sum())
+            energy = float((cand * cand).sum())
+            scores[o] = corr / math.sqrt(energy + 1e-9)
+        best = int(np.argmax(scores))
+        seg = window[:, best : best + seq]
+        tail = seg[:, stride : stride + overlap].copy()
+        bests.append(best)
+    return np.array(bests, dtype=np.int32)
+
+
+@pytest.mark.parametrize("tempo", [1.25, 0.8])
+def test_splice_offsets_match_numpy_chain(tempo):
+    rate = 8_000
+    seq, seek, overlap = stretch_ops._params(rate)
+    stride = seq - overlap
+    num = int(round(stride * tempo * 65536))
+    den = 65536
+    K = 10
+    n = (K * num) // den + seek + seq + 16
+
+    rng = np.random.default_rng(0)
+    x = (0.4 * rng.standard_normal((2, n))).astype(np.float32)
+
+    want = _numpy_chain(x, K, num, den, seq, seek, overlap)
+    got = np.asarray(
+        pallas_wsola.splice_offsets(
+            jnp.asarray(x), K, num, den, seq, seek, overlap,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_score_table_shapes_and_masking():
+    rate = 8_000
+    seq, seek, overlap = stretch_ops._params(rate)
+    n_cand = seek + 1
+    num = int(round((seq - overlap) * 1.1 * 65536))
+    K = 4
+    n = (K * num) // 65536 + seek + seq + 16
+    rng = np.random.default_rng(1)
+    x = (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+    table = np.asarray(
+        pallas_wsola.wsola_score_table(
+            jnp.asarray(x), K, num, 65536, seq, seek, overlap,
+            interpret=True,
+        )
+    )
+    a_of_p, _ = pallas_wsola._perm_tables(seek)
+    a_of_p = np.asarray(a_of_p)
+    # Every stored argmax maps to a REAL candidate offset (< n_cand).
+    assert (a_of_p[table] < n_cand).all()
+    # Frame 0's row is constant (head-scored, independent of tail row).
+    assert (table[0] == table[0][0]).all()
+
+
+def test_assemble_from_offsets_matches_blocked():
+    """The offsets-based assembly (the path fed by the Pallas kernel on
+    TPU) reproduces the XLA blocked path's samples given the same splice
+    decisions."""
+    from nodey_tpu.ops.stretch import (
+        _assemble_from_offsets,
+        _out_chunks,
+        _wsola_blocked,
+        _params,
+    )
+
+    rate = 8_000
+    seq, seek, overlap = _params(rate)
+    stride = seq - overlap
+    tempo = 1.3
+    num = int(round(stride * tempo * 65536))
+    den = 65536
+    rng = np.random.default_rng(2)
+    n = 8_000 * 4
+    K = _out_chunks(n, tempo, seq, overlap)
+    last_pos = ((K - 1) * num + den // 2) // den
+    x = jnp.asarray(
+        np.pad(
+            (0.4 * rng.standard_normal((2, n))).astype(np.float32),
+            ((0, 0), (0, max(0, last_pos + seek + seq + 2 - n))),
+        )
+    )
+
+    want = np.asarray(_wsola_blocked(x, K, num, den, seq, seek, overlap))
+    bs = jnp.asarray(_numpy_chain(np.asarray(x), K, num, den, seq, seek,
+                                  overlap))
+    got = np.asarray(
+        _assemble_from_offsets(x, bs, K, num, den, seq, seek, overlap)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1.2e-7)
