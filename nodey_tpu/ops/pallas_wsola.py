@@ -70,12 +70,15 @@ def wsola_score_table(
     C, N = x.shape
     stride = seq - overlap
     n_cand, qr, rows, span_pad = _geometry(seek, overlap)
-    if N < span_pad + stride:
-        x = jnp.pad(x, ((0, 0), (0, span_pad + stride - N)))
+    # HBM->VMEM copies must start lane-aligned: DMA a 128-aligned superset
+    # window and fold the residual offset into the in-kernel rolls.
+    span_dma = span_pad + LANE
+    if N < span_dma + stride:
+        x = jnp.pad(x, ((0, 0), (0, span_dma + stride - N)))
         N = x.shape[1]
 
     head = x[:, :overlap]  # frame 0's tail row (raw clip head)
-    max_start = N - span_pad
+    max_start = N - span_dma
 
     def kernel(x_hbm, head_ref, out_ref, cand_win, tail_win, pats, sems):
         k = pl.program_id(0)
@@ -100,8 +103,9 @@ def wsola_score_table(
             return cand_s, tail_s
 
         def dma(slot, start, scratch, which):
+            aligned = pl.multiple_of((start // LANE) * LANE, LANE)
             return pltpu.make_async_copy(
-                x_hbm.at[:, pl.ds(start, span_pad)],
+                x_hbm.at[:, pl.ds(aligned, span_dma)],
                 scratch.at[slot],
                 sems.at[slot, which],
             )
@@ -124,28 +128,34 @@ def wsola_score_table(
         dma(slot, c_s, cand_win, 0).wait()
         dma(slot, t_s, tail_win, 1).wait()
 
-        # Patch build: for each lane offset r, roll the window left by r so
-        # rows p = r*QR + q become the lane-ALIGNED slices
-        # rolled[:, q*128 : q*128+overlap] — Mosaic cannot concatenate
-        # vectors with mismatched lane offsets, but rolls realign them.
-        # Fully static unrolled loop (128 rolls + aligned stacks).
-        cw = cand_win[slot]   # [C, span_pad]
-        tw = tail_win[slot]
-        for r in range(LANE):
-            # Left-shift by r == circular right-shift by span-r.
-            shift = (span_pad - r) % span_pad
-            cr = pltpu.roll(cw, shift, 1)
-            tr = pltpu.roll(tw, shift, 1)
-            cb = jnp.stack(
-                [cr[:, q * LANE : q * LANE + overlap] for q in range(qr)],
-                axis=1,
-            )                                        # [C, QR, overlap]
-            tb = jnp.stack(
-                [tr[:, q * LANE : q * LANE + overlap] for q in range(qr)],
-                axis=1,
-            )
-            pats[0, :, r * qr : (r + 1) * qr, :] = cb
-            pats[1, :, r * qr : (r + 1) * qr, :] = tb
+        # Patch build, two-level roll decomposition. A lane roll on a
+        # [C, span] vector uses only C of 8 sublanes; instead pre-shift the
+        # window onto all 8 sublanes (E[s] = window <<16s), then only 16
+        # fine rolls at FULL sublane width cover every offset
+        # a = 128q + 16s + r2, rows stored as p = r2*(8*qr) + q*8 + s.
+        # One traced pre-roll absorbs the DMA alignment residue.
+        d_c = c_s % LANE
+        d_t = t_s % LANE
+        cw = pltpu.roll(cand_win[slot], span_dma - d_c, 1)  # [C, span_dma]
+        tw = pltpu.roll(tail_win[slot], span_dma - d_t, 1)
+
+        def left(v, r):
+            return pltpu.roll(v, (span_dma - r) % span_dma, 1)
+
+        ce = jnp.stack([left(cw, 16 * s) for s in range(8)], axis=1)
+        te = jnp.stack([left(tw, 16 * s) for s in range(8)], axis=1)
+        # ce/te: [C, 8, span_dma]
+        for r2 in range(16):
+            cr = pltpu.roll(ce, (span_dma - r2) % span_dma, 2)
+            tr = pltpu.roll(te, (span_dma - r2) % span_dma, 2)
+            for q in range(qr):
+                p0 = r2 * (8 * qr) + q * 8
+                pats[0, :, p0 : p0 + 8, :] = cr[
+                    :, :, q * LANE : q * LANE + overlap
+                ]
+                pats[1, :, p0 : p0 + 8, :] = tr[
+                    :, :, q * LANE : q * LANE + overlap
+                ]
 
         cand = pats[0]        # [C, rows, overlap]
         tails = pats[1]
@@ -156,9 +166,14 @@ def wsola_score_table(
                 cand[c] * cand[c], axis=1
             )[None, :]
 
-        # Column validity: real offset a(p) = (p % qr)*128 + p//qr < n_cand.
+        # Column validity: rows p = r2*(8*qr) + q*8 + s map to real offset
+        # a = 128q + 16s + r2 (< n_cand).
         p_iota = lax.broadcasted_iota(jnp.int32, (1, rows), 1)
-        col_valid = ((p_iota % qr) * LANE + p_iota // qr) < n_cand
+        r2_i = p_iota // (8 * qr)
+        rem_i = p_iota % (8 * qr)
+        col_valid = (
+            LANE * (rem_i // 8) + 16 * (rem_i % 8) + r2_i
+        ) < n_cand
         inv_norm = lax.rsqrt(energy + 1e-9)
 
         @pl.when(k == 0)
@@ -205,27 +220,40 @@ def wsola_score_table(
         ),
         out_shape=jax.ShapeDtypeStruct((K, 8, rows), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, C, span_pad), jnp.float32),
-            pltpu.VMEM((2, C, span_pad), jnp.float32),
+            pltpu.VMEM((2, C, span_dma), jnp.float32),
+            pltpu.VMEM((2, C, span_dma), jnp.float32),
             pltpu.VMEM((2, C, rows, overlap), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # Patches (9.4 MB) + scores (2.4 MB) + roll/stack temporaries
+            # overflow the 16 MB default scoped-VMEM budget; v5e has the
+            # headroom.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x, head)
     return out[:, 0, :]
 
 
 @functools.lru_cache(maxsize=8)
-def _perm_tables(seek: int):
+def _perm_tables_np(seek: int):
+    """NumPy permutation tables (cached as host arrays — caching traced
+    jnp arrays would leak tracers across jit scopes)."""
     n_cand, qr, rows, _sp = _geometry(seek, 2)
     p_idx = np.arange(rows)
-    a_of_p = (p_idx % qr) * LANE + p_idx // qr          # permuted -> real
+    r2 = p_idx // (8 * qr)
+    q = (p_idx % (8 * qr)) // 8
+    s = p_idx % 8
+    a_of_p = LANE * q + 16 * s + r2                     # permuted -> real
     p_of_a = np.zeros(rows, dtype=np.int64)
     p_of_a[a_of_p] = p_idx
-    return (
-        jnp.asarray(a_of_p.astype(np.int32)),
-        jnp.asarray(p_of_a.astype(np.int32)),
-    )
+    return a_of_p.astype(np.int32), p_of_a.astype(np.int32)
+
+
+def _perm_tables(seek: int):
+    a_of_p, p_of_a = _perm_tables_np(seek)
+    return jnp.asarray(a_of_p), jnp.asarray(p_of_a)
 
 
 def splice_offsets(x, K, num, den, seq, seek, overlap,
@@ -247,3 +275,178 @@ def splice_offsets(x, K, num, den, seq, seek, overlap,
 
     _, bs = lax.scan(pick, jnp.int32(0), table, unroll=16)
     return bs
+
+
+# -- serial-chain kernel (production path) ------------------------------------
+
+
+def wsola_chain_pallas(
+    x,
+    K: int,
+    num: int,
+    den: int,
+    seq: int,
+    seek: int,
+    overlap: int,
+    interpret: bool = False,
+):
+    """The greedy WSOLA chain run INSIDE one kernel: exact f32 splice
+    offsets bs [K] int32.
+
+    The score-table kernel above parallelizes the chain by scoring ALL
+    721 possible tails per frame (721^2 dots on the MXU). But Mosaic grid
+    steps execute sequentially on the core anyway — so carrying b_prev in
+    SMEM lets each frame score only its ONE realized tail: 721 dots,
+    evaluated as 48 shift-FMA passes over an 8-sublane pre-shifted window
+    (row[b] = sum_v t[v] * w[b+v]; v = 8j+s), entirely on the VPU in
+    exact f32 — the same arithmetic class as the CPU reference, ~700x less
+    multiply work than the table, and no patch matrices at all. Window
+    DMAs still double-buffer across frames (positions are
+    data-independent even though splices are not).
+    """
+    C, N = x.shape
+    stride = seq - overlap
+    n_cand = seek + 1
+    # Candidate row padded to lanes; window span covers candidate reads
+    # AND next frame's tail read (offset b + stride + overlap).
+    rows = -(-n_cand // LANE) * LANE
+    span = max(rows - 1 + overlap, seek + stride + overlap)
+    span_dma = (-(-span // LANE) + 1) * LANE
+    if N < span_dma + LANE:
+        x = jnp.pad(x, ((0, 0), (0, span_dma + LANE - N)))
+        N = x.shape[1]
+    head = x[:, :overlap]
+    max_start = N - span_dma
+    nj = overlap // 8  # shift-FMA passes (v = 8j + s)
+    if overlap % 8:
+        raise ValueError(
+            f"wsola_chain_pallas requires overlap % 8 == 0, got {overlap}"
+        )
+
+    def kernel(x_hbm, head_ref, out_ref, win, bprev, sems):
+        k = pl.program_id(0)
+        n_steps = pl.num_programs(0)
+
+        def frame_pos(kk):
+            q, r = num // den, num % den
+            k_hi = kk // 256
+            k_lo = kk % 256
+            a = k_hi * r
+            a1 = a // den
+            a0 = a % den
+            rem = a0 * 256 + k_lo * r + den // 2
+            return kk * q + a1 * 256 + rem // den
+
+        def cand_start(step):
+            return jnp.clip(frame_pos(step), 0, max_start)
+
+        def dma(slot, step):
+            start = cand_start(step)
+            aligned = pl.multiple_of((start // LANE) * LANE, LANE)
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(aligned, span_dma)],
+                win.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(k == 0)
+        def _():
+            dma(0, 0).start()
+            bprev[0, 0] = 0
+
+        # THREE-slot rotation: slot k%3 = current, (k+1)%3 = prefetch,
+        # (k+2)%3 = previous frame's window — still live because the tail
+        # of frame k reads from it (a 2-slot ping-pong would overwrite it
+        # with the k+1 prefetch).
+        slot = k % 3
+
+        @pl.when(k + 1 < n_steps)
+        def _():
+            dma((k + 1) % 3, k + 1).start()
+
+        dma(slot, k).wait()
+        c_s = cand_start(k)
+        d = c_s % LANE
+        w = pltpu.roll(win[slot], span_dma - d, 1)     # [C, span_dma]
+
+        # Tail of the PREVIOUS frame at the realized splice: a slice of the
+        # previous window, at offset b_prev + stride from pos(k-1).
+        prev_s = cand_start(jnp.maximum(k - 1, 0))
+        d_prev = prev_s % LANE
+        off = bprev[0, 0] + stride + d_prev
+        wprev = win[(k + 2) % 3]
+        tail_full = pltpu.roll(wprev, span_dma - off, 1)[:, :overlap]
+        is_first = k == 0
+        tail = jnp.where(is_first, head_ref[:, :], tail_full)  # [C, overlap]
+
+        # Four independent accumulator pairs break the add dependency
+        # chain so the VPU pipelines the 48 shift-FMA passes.
+        accs = [jnp.zeros((8, rows), dtype=jnp.float32) for _ in range(4)]
+        faccs = [jnp.zeros((8, rows), dtype=jnp.float32) for _ in range(4)]
+        for c in range(C):
+            # 8-sublane pre-shift: E[s] = w_c << s; contribution of
+            # v = 8j + s is then t[v] * E[s][b + 8j] — a STATIC lane slice
+            # per j (Mosaic realigns lane offsets on the adds). The same
+            # pre-shift applied to the tail turns the per-sublane scales
+            # t[8j + s] into static [8, 1] lane slices (tstack[s, 8j] =
+            # t[8j + s]) — no scalar reads in the hot loop.
+            wc = w[c : c + 1, :]
+            e = jnp.concatenate(
+                [pltpu.roll(wc, (span_dma - s) % span_dma, 1)
+                 for s in range(8)],
+                axis=0,
+            )                                           # [8, span_dma]
+            # Lane rolls need a 128-multiple width; pad the tail (the
+            # padding lanes are never read: 8j + s < overlap always).
+            ov_pad = -(-overlap // LANE) * LANE
+            tc = tail[c : c + 1, :]                     # [1, overlap]
+            if ov_pad != overlap:
+                tc = jnp.pad(tc, ((0, 0), (0, ov_pad - overlap)))
+            tstack = jnp.concatenate(
+                [pltpu.roll(tc, (ov_pad - s) % ov_pad, 1)
+                 for s in range(8)],
+                axis=0,
+            )                                           # [8, ov_pad]
+            for j in range(nj):
+                sliced = e[:, 8 * j : 8 * j + rows]     # [8, rows]
+                scale = tstack[:, 8 * j : 8 * j + 1]    # [8, 1]
+                lane = j % 4
+                accs[lane] = accs[lane] + sliced * scale
+                faccs[lane] = faccs[lane] + sliced * sliced
+
+        acc = (accs[0] + accs[1]) + (accs[2] + accs[3])
+        facc = (faccs[0] + faccs[1]) + (faccs[2] + faccs[3])
+        row = jnp.sum(acc, axis=0, keepdims=True)       # [1, rows]
+        energy = jnp.sum(facc, axis=0, keepdims=True)
+        b_iota = lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+        ranked = jnp.where(
+            b_iota < n_cand,
+            row * lax.rsqrt(energy + 1e-9),
+            -jnp.inf,
+        )
+        best = jnp.argmax(ranked, axis=1)[0].astype(jnp.int32)
+        bprev[0, 0] = best
+        out_ref[0, :, :] = jnp.broadcast_to(best, (8, LANE))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, LANE), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((K, 8, LANE), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((3, C, span_dma), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, head)
+    return out[:, 0, 0]

@@ -167,19 +167,15 @@ def _wsola_impl(data, length, tempo, rate):
     pad_to = last_pos + seek + seq + 2
     x = jnp.pad(data, ((0, 0), (0, max(0, pad_to - N))))
 
-    if K >= _BLOCKED_MIN_FRAMES and _use_pallas_scoring():
+    if K >= _BLOCKED_MIN_FRAMES and overlap % 8 == 0 and _use_pallas_scoring():
         from nodey_tpu.ops import pallas_wsola
 
-        # Mosaic dots support only DEFAULT/HIGHEST; HIGH promotes to
-        # HIGHEST (quality first — still far faster than the XLA path
-        # because the kernel removes the data-movement floor).
-        prec = (
-            lax.Precision.HIGHEST
-            if SCORE_PRECISION == lax.Precision.HIGH
-            else SCORE_PRECISION
-        )
-        bs = pallas_wsola.splice_offsets(
-            x, K, num, den, seq, seek, overlap, precision=prec,
+        # Serial-chain kernel: exact f32 VPU scoring of only the realized
+        # tail per frame (see ops/pallas_wsola.wsola_chain_pallas) — both
+        # faster and numerically stricter than the parallel score-table
+        # kernel at MXU precision.
+        bs = pallas_wsola.wsola_chain_pallas(
+            x, K, num, den, seq, seek, overlap,
         )
         body = _assemble_from_offsets(
             x, bs, K, num, den, seq, seek, overlap

@@ -123,3 +123,26 @@ def test_assemble_from_offsets_matches_blocked():
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=0, atol=1.2e-7)
+
+
+@pytest.mark.parametrize("tempo", [1.25, 0.8])
+def test_chain_kernel_matches_numpy_chain(tempo):
+    """The serial-chain kernel (production TPU path) reproduces the exact
+    greedy chain: one f32 score row per frame, b_prev carried in SMEM."""
+    rate = 8_000
+    seq, seek, overlap = stretch_ops._params(rate)
+    stride = seq - overlap
+    num = int(round(stride * tempo * 65536))
+    K = 10
+    n = (K * num) // 65536 + seek + seq + 16
+    rng = np.random.default_rng(0)
+    x = (0.4 * rng.standard_normal((2, n))).astype(np.float32)
+
+    want = _numpy_chain(x, K, num, 65536, seq, seek, overlap)
+    got = np.asarray(
+        pallas_wsola.wsola_chain_pallas(
+            jnp.asarray(x), K, num, 65536, seq, seek, overlap,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
