@@ -379,10 +379,27 @@ def wsola_chain_pallas(
         is_first = k == 0
         tail = jnp.where(is_first, head_ref[:, :], tail_full)  # [C, overlap]
 
-        # Four independent accumulator pairs break the add dependency
-        # chain so the VPU pipelines the 48 shift-FMA passes.
+        # Four independent accumulators break the add dependency chain so
+        # the VPU pipelines the 48 shift-FMA passes. Candidate ENERGY needs
+        # no per-tail work: it is the width-`overlap` moving sum of w^2,
+        # via a log-step prefix scan (the summation-order difference,
+        # ~1e-6 relative, only perturbs rsqrt normalization of near-ties).
+        lane_iota = lax.broadcasted_iota(jnp.int32, (1, span_dma), 1)
+        energy = jnp.zeros((1, rows), dtype=jnp.float32)
         accs = [jnp.zeros((8, rows), dtype=jnp.float32) for _ in range(4)]
-        faccs = [jnp.zeros((8, rows), dtype=jnp.float32) for _ in range(4)]
+        for c in range(C):
+            wc2 = w[c : c + 1, :] * w[c : c + 1, :]     # [1, span_dma]
+            pref = wc2
+            shift = 1
+            while shift < overlap + rows:
+                moved = pltpu.roll(pref, shift, 1)      # bring x[i - shift]
+                pref = pref + jnp.where(lane_iota >= shift, moved, 0.0)
+                shift *= 2
+            pref_ex = jnp.where(
+                lane_iota >= 1, pltpu.roll(pref, 1, 1), 0.0
+            )
+            upper = pltpu.roll(pref_ex, span_dma - overlap, 1)  # P[b+ov]
+            energy = energy + (upper - pref_ex)[:, :rows]
         for c in range(C):
             # 8-sublane pre-shift: E[s] = w_c << s; contribution of
             # v = 8j + s is then t[v] * E[s][b + 8j] — a STATIC lane slice
@@ -412,12 +429,9 @@ def wsola_chain_pallas(
                 scale = tstack[:, 8 * j : 8 * j + 1]    # [8, 1]
                 lane = j % 4
                 accs[lane] = accs[lane] + sliced * scale
-                faccs[lane] = faccs[lane] + sliced * sliced
 
         acc = (accs[0] + accs[1]) + (accs[2] + accs[3])
-        facc = (faccs[0] + faccs[1]) + (faccs[2] + faccs[3])
         row = jnp.sum(acc, axis=0, keepdims=True)       # [1, rows]
-        energy = jnp.sum(facc, axis=0, keepdims=True)
         b_iota = lax.broadcasted_iota(jnp.int32, (1, rows), 1)
         ranked = jnp.where(
             b_iota < n_cand,
