@@ -312,10 +312,13 @@ def wsola_chain_pallas(
     rows = -(-n_cand // LANE) * LANE
     span = max(rows - 1 + overlap, seek + stride + overlap)
     span_dma = (-(-span // LANE) + 1) * LANE
+    # Lane rolls need a 128-multiple width; tails are carried at ov_pad
+    # (padding lanes are never read: accesses are 8j + s < overlap).
+    ov_pad = -(-overlap // LANE) * LANE
     if N < span_dma + LANE:
         x = jnp.pad(x, ((0, 0), (0, span_dma + LANE - N)))
         N = x.shape[1]
-    head = x[:, :overlap]
+    head = x[:, :ov_pad]
     max_start = N - span_dma
     nj = overlap // 8  # shift-FMA passes (v = 8j + s)
     if overlap % 8:
@@ -375,9 +378,9 @@ def wsola_chain_pallas(
         d_prev = prev_s % LANE
         off = bprev[0, 0] + stride + d_prev
         wprev = win[(k + 2) % 3]
-        tail_full = pltpu.roll(wprev, span_dma - off, 1)[:, :overlap]
+        tail_full = pltpu.roll(wprev, span_dma - off, 1)[:, :ov_pad]
         is_first = k == 0
-        tail = jnp.where(is_first, head_ref[:, :], tail_full)  # [C, overlap]
+        tail = jnp.where(is_first, head_ref[:, :], tail_full)  # [C, ov_pad]
 
         # Four independent accumulators break the add dependency chain so
         # the VPU pipelines the 48 shift-FMA passes. Candidate ENERGY needs
@@ -413,12 +416,7 @@ def wsola_chain_pallas(
                  for s in range(8)],
                 axis=0,
             )                                           # [8, span_dma]
-            # Lane rolls need a 128-multiple width; pad the tail (the
-            # padding lanes are never read: 8j + s < overlap always).
-            ov_pad = -(-overlap // LANE) * LANE
-            tc = tail[c : c + 1, :]                     # [1, overlap]
-            if ov_pad != overlap:
-                tc = jnp.pad(tc, ((0, 0), (0, ov_pad - overlap)))
+            tc = tail[c : c + 1, :]                     # [1, ov_pad]
             tstack = jnp.concatenate(
                 [pltpu.roll(tc, (ov_pad - s) % ov_pad, 1)
                  for s in range(8)],
