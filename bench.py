@@ -33,6 +33,12 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _tone(n, rate, f0, channels, seed):
     rng = np.random.default_rng(seed)
     t = np.arange(n) / rate
@@ -258,13 +264,22 @@ def measure_device_rtf(graph, mode, iters):
     probe(out)
     warmup_s = time.perf_counter() - t0
 
+    # Calibrate the completion-probe cost on the ALREADY-READY output: on
+    # this rig a device_get round-trips the axon relay (~35 ms) even for 4
+    # floats, which would otherwise be amortized into every exec as
+    # RTT/iters. The timed loop still probes (so the last exec provably
+    # finished); only the measured fetch round-trip is subtracted.
+    probe_rtt = min(
+        _timed(lambda: probe(out)) for _ in range(3)
+    )
+
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = compiled.fn(device_args)
         probe(out)
-        times.append((time.perf_counter() - t0) / iters)
+        times.append((time.perf_counter() - t0 - probe_rtt) / iters)
     pipeline_s = min(times)
 
     master, length = out[master_key]
@@ -278,6 +293,7 @@ def measure_device_rtf(graph, mode, iters):
         "ingest_s": ingest_s,
         "warmup_s": warmup_s,
         "pipeline_ms": pipeline_s * 1e3,
+        "probe_rtt_ms": probe_rtt * 1e3,
         "times_ms": [t * 1e3 for t in times],
         "master": master,
         "out": out,
@@ -308,13 +324,14 @@ def pallas_resample_ab(seconds: float, iters: int = 8) -> None:
         out = f(x)
         probe(out)
         warm = time.perf_counter() - t0
+        probe_rtt = min(_timed(lambda: probe(out)) for _ in range(3))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = f(x)
             probe(out)
-            times.append((time.perf_counter() - t0) / iters)
+            times.append((time.perf_counter() - t0 - probe_rtt) / iters)
         log(f"pallas-ab {name}: warm {warm:.1f}s run {min(times) * 1e3:.2f} ms")
         return out, min(times)
 
@@ -365,9 +382,9 @@ def main() -> int:
         ("rtf_config2_split_merge", config2_split_merge, config_seconds, iters),
         ("rtf_config3_two_track_mix", config3_two_track_mix, config_seconds, iters),
         ("rtf_config4_resample_pitch_tempo", config4_resample_pitch_tempo,
-         config_seconds, max(1, iters // 4)),
+         config_seconds, iters),
         ("rtf_config5_full_editor_preview", config5_full_editor,
-         config_seconds, max(1, iters // 2)),
+         config_seconds, iters),
     ]
 
     # Optional subset (e.g. NODEY_BENCH_ONLY="1,4" or "headline") — lets the
@@ -394,7 +411,8 @@ def main() -> int:
                 f"{name}: audio={d['audio_s']:.1f}s decode={d['decode_s']:.2f}s "
                 f"compile={d['compile_s']:.2f}s ingest={d['ingest_s']:.3f}s "
                 f"warmup={d['warmup_s']:.1f}s pipeline={d['pipeline_ms']:.1f}ms "
-                f"({', '.join(f'{x:.1f}' for x in d['times_ms'])} ms) "
+                f"({', '.join(f'{x:.1f}' for x in d['times_ms'])} ms; "
+                f"probe {d['probe_rtt_ms']:.1f}ms) "
                 f"RTF={rtf:.0f}x"
             )
             results.append((name, rtf))
@@ -430,7 +448,7 @@ def main() -> int:
 
             t0 = time.perf_counter()
             em = _Runner(graph).export_streamed(
-                f"{tmp}/e2e.mp3", kbps=256, chunk_seconds=4.0
+                f"{tmp}/e2e.mp3", kbps=256, chunk_seconds=8.0
             )
             log(
                 f"e2e_streamed_export: {em.audio_seconds:.1f} audio-s in "

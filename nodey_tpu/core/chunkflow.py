@@ -136,6 +136,11 @@ class StreamLowerCtx:
         if spec is None:
             raise LogicError(f"No source bound for node {node_id} pin {pin}")
         data, n, done = self._args[external_key(node_id, pin)]
+        if data.dtype == jnp.int16:
+            # s16 wire format: the host ships native 16-bit samples (half
+            # the PCIe/relay bytes); dequantization s/32768 — exactly
+            # FFmpeg's s16->flt conversion — runs fused into the step.
+            data = data.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         return ChunkStream(
             data=data, n=n, done=done,
             spec=ChunkSpec(

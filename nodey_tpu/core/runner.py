@@ -312,7 +312,8 @@ class Runner:
         self.state = RunnerState.RUNNING
         self.error = None
         executor = StreamExecutor(
-            self.graph, mode="export", chunk_seconds=chunk_seconds
+            self.graph, mode="export", chunk_seconds=chunk_seconds,
+            master_wire="s16", collect_frames=False,
         )
         enc_holder: Dict[str, Any] = {}
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from nodey_tpu import config as cfg
 from nodey_tpu.core import chunkflow, compiler
-from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.errors import LogicError, ProcessorRuntimeError
 from nodey_tpu.core.graph import Graph
 from nodey_tpu.host import decode as host_decode
 from nodey_tpu.host.streamio import BoundedBlockQueue
@@ -88,6 +88,13 @@ class _SourceFeed:
             self.t0_us = decoded.pts0_us
             self._whole = decoded.data
         self.chunk = max(1, int(chunk_seconds * self.rate))
+        # s16 sources ride the wire as native int16 (half the relay/PCIe
+        # bytes); round(x*32768) is the exact inverse of the decoder's
+        # s/32768 for integer-origin samples. The jitted step dequantizes
+        # (chunkflow.StreamLowerCtx.external).
+        self.wire_dtype = (
+            np.int16 if self.fmt == host_decode.FMT_S16 else np.float32
+        )
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def start(self) -> None:
@@ -102,10 +109,18 @@ class _SourceFeed:
             for start in range(0, data.shape[1], self.chunk):
                 yield data[:, start : start + self.chunk]
 
+    def _quantize(self, block: np.ndarray) -> np.ndarray:
+        if self.wire_dtype is np.float32:
+            return block
+        return np.clip(
+            np.round(block * 32768.0), -32768, 32767
+        ).astype(np.int16)
+
     def _run(self) -> None:
         try:
             pending: Optional[np.ndarray] = None
             for block in self._blocks():
+                block = self._quantize(block)
                 if self._stop.is_set():
                     return
                 if pending is not None:
@@ -126,7 +141,7 @@ class _SourceFeed:
         if item is None:
             if self.errors:
                 raise self.errors[0]
-            return np.zeros((self.channels, 0), dtype=np.float32), 0, True
+            return np.zeros((self.channels, 0), dtype=self.wire_dtype), 0, True
         block, last = item
         return block, block.shape[1], last
 
@@ -143,11 +158,24 @@ class StreamExecutor:
         mode: str = "export",
         chunk_seconds: float = 2.0,
         egress_depth: int = cfg.AUDIO_STREAM_BUFFER_SIZE,
+        master_wire: str = "f32",
+        collect_frames: bool = True,
     ):
         self.graph = graph
         self.mode = mode
         self.chunk_seconds = chunk_seconds
         self.egress_depth = egress_depth
+        # master_wire="s16": when the master's fmt is s16, quantize on
+        # device (the Mp3Encoder's exact clip(trunc(x*32768)) semantics)
+        # and ship int16 — half the d2h bytes; the sink receives int16
+        # blocks it can hand to LAME's s16 path without re-quantizing.
+        if master_wire not in ("f32", "s16"):
+            raise LogicError(f"Unknown master_wire '{master_wire}'")
+        self.master_wire = master_wire
+        # collect_frames=False drops spectrum-tap frame outputs instead of
+        # accumulating them in HBM — export sinks don't consume them, and
+        # collecting would make device memory grow with clip length.
+        self.collect_frames = collect_frames
         self.metrics = StreamMetrics()
         self._stop = threading.Event()
         self.spectra: Dict[str, np.ndarray] = {}
@@ -203,10 +231,23 @@ class StreamExecutor:
             )
         self.master_meta = dict(compiled.output_meta[master_key])
         out_rate = compiled.output_meta[master_key]["rate"]
+        quantize = None
+        if (
+            self.master_wire == "s16"
+            and self.master_meta.get("fmt") == host_decode.FMT_S16
+        ):
+            import jax
+
+            quantize = jax.jit(
+                lambda x: jnp.clip(
+                    jnp.trunc(x * jnp.float32(32768.0)), -32768, 32767
+                ).astype(jnp.int16)
+            )
+            self.master_meta["wire"] = "s16"
         frames_keys = [
             k for k, m in compiled.output_meta.items()
             if m["kind"] == "frames"
-        ]
+        ] if self.collect_frames else []
 
         for feed in feeds.values():
             feed.start()
@@ -216,16 +257,42 @@ class StreamExecutor:
         sink_done = threading.Event()
         written = [0]
 
+        host_q = BoundedBlockQueue(self.egress_depth)
+
         def egress():
+            # One device_get per chunk resolves (data, n) in a single relay
+            # round trip; the valid-length scalar is never fetched on the
+            # pump thread (each scalar get is a ~40 ms round trip on this
+            # rig, and it would also serialize the pump with device compute).
+            import jax
+
             try:
                 while True:
                     item = egress_q.pop(stop=self._stop)
                     if item is None:
                         break
-                    device_data, n = item
-                    host = np.asarray(device_data)[:, :n]
+                    host, n = jax.device_get(item)
+                    n = int(n)
+                    if not n:
+                        continue
+                    if not host_q.push(host[:, :n], stop=self._stop):
+                        break
+            except BaseException as exc:
+                egress_errors.append(exc)
+                self._stop.set()
+            finally:
+                host_q.set_eof()
+
+        def consume():
+            # The sink (LAME encode / WAV write / playback) runs on its own
+            # thread so encoding overlaps the next chunk's d2h.
+            try:
+                while True:
+                    host = host_q.pop(stop=self._stop)
+                    if host is None:
+                        break
                     sink(host)
-                    written[0] += n
+                    written[0] += host.shape[1]
                     if progress is not None:
                         progress(written[0] / out_rate)
             except BaseException as exc:
@@ -236,6 +303,8 @@ class StreamExecutor:
 
         egress_thread = threading.Thread(target=egress, daemon=True)
         egress_thread.start()
+        sink_thread = threading.Thread(target=consume, daemon=True)
+        sink_thread.start()
 
         states = compiled.init_states
         source_done = {key: False for key in compiled.input_keys}
@@ -249,7 +318,7 @@ class StreamExecutor:
                     chunk = compiled.chunk_in[key]
                     if source_done[key]:
                         block = np.zeros(
-                            (feed.channels, chunk), dtype=np.float32
+                            (feed.channels, chunk), dtype=feed.wire_dtype
                         )
                         n, last = 0, True
                     else:
@@ -259,7 +328,7 @@ class StreamExecutor:
                             time.perf_counter() - t0
                         )
                         block = np.zeros(
-                            (feed.channels, chunk), dtype=np.float32
+                            (feed.channels, chunk), dtype=feed.wire_dtype
                         )
                         if n:
                             block[:, :n] = raw
@@ -270,26 +339,29 @@ class StreamExecutor:
                 states, outs = compiled.step(states, args)
                 self.metrics.steps += 1
                 data, n, odone = outs[master_key]
-                # Device-resident hand-off: the egress thread pulls d2h
-                # while the next step computes. Fetch the tiny scalar n
-                # here (cheap) to size the block.
-                n_host = int(n)
-                if n_host:
-                    t0 = time.perf_counter()
-                    pushed = egress_q.push((data, n_host), stop=self._stop)
-                    self.metrics.egress_wait_seconds += (
-                        time.perf_counter() - t0
-                    )
-                    if not pushed:
-                        break
+                # Device-resident hand-off: the egress thread resolves
+                # (data, n) in one d2h round trip while the next step
+                # computes. The pump thread never touches device results
+                # in the steady state — every scalar fetch here would be
+                # a blocking relay round trip serialized with compute.
+                if quantize is not None:
+                    data = quantize(data)
+                t0 = time.perf_counter()
+                pushed = egress_q.push((data, n), stop=self._stop)
+                self.metrics.egress_wait_seconds += (
+                    time.perf_counter() - t0
+                )
+                if not pushed:
+                    break
                 for k in frames_keys:
                     fdata, f_n, _fd = outs[k]
-                    f_n = int(f_n)
-                    if f_n:
-                        frame_chunks[k].append((fdata, f_n))
-                if bool(odone):
-                    break
+                    frame_chunks[k].append((fdata, f_n))
                 if all(source_done.values()):
+                    # odone can only be true once every source has EOF'd,
+                    # so the scalar fetch is confined to the short flush
+                    # phase after the last real chunk.
+                    if bool(odone):
+                        break
                     flush_steps += 1
                     if flush_steps > max_flush_steps:
                         raise ProcessorRuntimeError(
@@ -312,9 +384,12 @@ class StreamExecutor:
 
         for k, chunks in frame_chunks.items():
             if chunks:
-                self.spectra[k] = np.concatenate(
-                    [np.asarray(d)[:, :n, :] for d, n in chunks], axis=1
-                )
+                import jax
+
+                resolved = jax.device_get(chunks)  # one bulk d2h at the end
+                parts = [d[:, :n, :] for d, n in resolved if int(n)]
+                if parts:
+                    self.spectra[k] = np.concatenate(parts, axis=1)
 
         self.metrics.wall_seconds = time.perf_counter() - wall0
         self.metrics.audio_seconds = written[0] / out_rate

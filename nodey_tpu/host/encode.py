@@ -55,17 +55,26 @@ class Mp3Encoder:
             )
 
     def write(self, block: np.ndarray) -> None:
-        """Append a planar [channels, n] float32 block."""
+        """Append a planar [channels, n] float32 block — or an int16 block
+        already quantized upstream (the streaming executor's s16 master
+        wire quantizes on device with these exact semantics)."""
         if self._handle is None:
             raise ProcessorRuntimeError(
                 "Encoder already closed", "Mp3Encoder.write after close.",
                 self._path,
             )
-        chunk = np.ascontiguousarray(block.T, dtype=np.float32)
-        if self._fmt == FMT_S16:
+        if block.dtype == np.int16 and self._fmt == FMT_S16:
+            ints = np.ascontiguousarray(block.T)
+            rc = self._lib.na_mp3_write_s16(
+                self._handle,
+                ints.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                ints.shape[0],
+            )
+        elif self._fmt == FMT_S16:
             # Integer-origin samples are exact multiples of 1/32768, so this
             # re-quantization is lossless — reproducing the reference's S16
             # LAME path (audio-io.cpp:705-714).
+            chunk = np.ascontiguousarray(block.T, dtype=np.float32)
             ints = np.clip(
                 np.trunc(chunk * 32768.0), -32768, 32767
             ).astype(np.int16)
@@ -77,6 +86,7 @@ class Mp3Encoder:
                 chunk.shape[0],
             )
         else:
+            chunk = np.ascontiguousarray(block.T, dtype=np.float32)
             rc = self._lib.na_mp3_write_flt(
                 self._handle,
                 chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -320,11 +320,15 @@ def wsola_chain_pallas(
         N = x.shape[1]
     head = x[:, :ov_pad]
     max_start = N - span_dma
-    nj = overlap // 8  # shift-FMA passes (v = 8j + s)
     if overlap % 8:
         raise ValueError(
             f"wsola_chain_pallas requires overlap % 8 == 0, got {overlap}"
         )
+    # Sublane pre-shift factor: v = S*j + s. Larger S trades stack-build
+    # rolls (S of them) for shift-FMA passes (overlap/S) — the step is
+    # issue-bound, so minimize total op count.
+    S = 16 if overlap % 16 == 0 else 8
+    nj = overlap // S
 
     def kernel(x_hbm, head_ref, out_ref, win, bprev, sems):
         k = pl.program_id(0)
@@ -382,54 +386,70 @@ def wsola_chain_pallas(
         is_first = k == 0
         tail = jnp.where(is_first, head_ref[:, :], tail_full)  # [C, ov_pad]
 
-        # Four independent accumulators break the add dependency chain so
-        # the VPU pipelines the 48 shift-FMA passes. Candidate ENERGY needs
-        # no per-tail work: it is the width-`overlap` moving sum of w^2,
-        # via a log-step prefix scan (the summation-order difference,
-        # ~1e-6 relative, only perturbs rsqrt normalization of near-ties).
-        lane_iota = lax.broadcasted_iota(jnp.int32, (1, span_dma), 1)
-        energy = jnp.zeros((1, rows), dtype=jnp.float32)
-        accs = [jnp.zeros((8, rows), dtype=jnp.float32) for _ in range(4)]
-        for c in range(C):
-            wc2 = w[c : c + 1, :] * w[c : c + 1, :]     # [1, span_dma]
-            pref = wc2
-            shift = 1
-            while shift < overlap + rows:
-                moved = pltpu.roll(pref, shift, 1)      # bring x[i - shift]
-                pref = pref + jnp.where(lane_iota >= shift, moved, 0.0)
-                shift *= 2
-            pref_ex = jnp.where(
-                lane_iota >= 1, pltpu.roll(pref, 1, 1), 0.0
+        # The step is ISSUE-bound (~100 ns per Mosaic vector op), so every
+        # op runs on ALL channels at once ([C, w] vectors, sublane-stacked)
+        # and on the narrowest 128-multiple width that covers the reads:
+        # scan_w lanes instead of the full span_dma window.
+        #
+        # Candidate ENERGY needs no per-tail work: it is the
+        # width-`overlap` moving sum of w^2, built MASKLESS by binary
+        # doubling (W_2w[i] = W_w[i] + W_w[i+w]) and set-bit combination —
+        # every read stays inside scan_w for b < n_cand, so no iota/where
+        # ops are issued. (The summation-order difference vs a serial sum,
+        # ~1e-6 relative, only perturbs rsqrt normalization of near-ties.)
+        scan_w = -(-(overlap + rows) // LANE) * LANE
+        wsl = w[:, :scan_w]                             # [C, scan_w]
+        partial = {1: wsl * wsl}
+        width = 1
+        while width * 2 <= overlap:
+            prev = partial[width]
+            partial[width * 2] = prev + pltpu.roll(
+                prev, (scan_w - width) % scan_w, 1
             )
-            upper = pltpu.roll(pref_ex, span_dma - overlap, 1)  # P[b+ov]
-            energy = energy + (upper - pref_ex)[:, :rows]
-        for c in range(C):
-            # 8-sublane pre-shift: E[s] = w_c << s; contribution of
-            # v = 8j + s is then t[v] * E[s][b + 8j] — a STATIC lane slice
-            # per j (Mosaic realigns lane offsets on the adds). The same
-            # pre-shift applied to the tail turns the per-sublane scales
-            # t[8j + s] into static [8, 1] lane slices (tstack[s, 8j] =
-            # t[8j + s]) — no scalar reads in the hot loop.
-            wc = w[c : c + 1, :]
-            e = jnp.concatenate(
-                [pltpu.roll(wc, (span_dma - s) % span_dma, 1)
-                 for s in range(8)],
-                axis=0,
-            )                                           # [8, span_dma]
-            tc = tail[c : c + 1, :]                     # [1, ov_pad]
-            tstack = jnp.concatenate(
-                [pltpu.roll(tc, (ov_pad - s) % ov_pad, 1)
-                 for s in range(8)],
-                axis=0,
-            )                                           # [8, ov_pad]
-            for j in range(nj):
-                sliced = e[:, 8 * j : 8 * j + rows]     # [8, rows]
-                scale = tstack[:, 8 * j : 8 * j + 1]    # [8, 1]
-                lane = j % 4
-                accs[lane] = accs[lane] + sliced * scale
+            width *= 2
+        moving = None
+        off = 0
+        for bit in sorted(partial, reverse=True):
+            if overlap & bit:
+                part = partial[bit]
+                if off:
+                    part = pltpu.roll(part, (scan_w - off) % scan_w, 1)
+                moving = part if moving is None else moving + part
+                off += bit
+        energy = jnp.sum(
+            moving[:, :rows], axis=0, keepdims=True
+        )                                               # [1, rows]
 
-        acc = (accs[0] + accs[1]) + (accs[2] + accs[3])
-        row = jnp.sum(acc, axis=0, keepdims=True)       # [1, rows]
+        # S-sublane pre-shift: E[s*C + c] = w_c << s; contribution of
+        # v = S*j + s is then t_c[v] * E[s*C+c][b + S*j] — a STATIC lane
+        # slice per j (Mosaic realigns lane offsets on the adds). The same
+        # pre-shift applied to the tail turns the per-sublane scales
+        # t_c[S*j + s] into static [SC, 1] lane slices — no scalar reads
+        # in the hot loop. Four independent accumulators (seeded from the
+        # first products, no zero-init ops) break the add dependency chain
+        # so the VPU pipelines the shift-FMA passes.
+        e = jnp.concatenate(
+            [pltpu.roll(wsl, (scan_w - s) % scan_w, 1) for s in range(S)],
+            axis=0,
+        )                                               # [SC, scan_w]
+        tstack = jnp.concatenate(
+            [pltpu.roll(tail, (ov_pad - s) % ov_pad, 1) for s in range(S)],
+            axis=0,
+        )                                               # [SC, ov_pad]
+        accs = [None] * 4
+        for j in range(nj):
+            sliced = e[:, S * j : S * j + rows]         # [SC, rows]
+            scale = tstack[:, S * j : S * j + 1]        # [SC, 1]
+            prod = sliced * scale
+            accs[j % 4] = prod if accs[j % 4] is None else accs[j % 4] + prod
+
+        live = [a for a in accs if a is not None]
+        while len(live) > 1:
+            live = [
+                live[i] + live[i + 1] if i + 1 < len(live) else live[i]
+                for i in range(0, len(live), 2)
+            ]
+        row = jnp.sum(live[0], axis=0, keepdims=True)   # [1, rows]
         b_iota = lax.broadcasted_iota(jnp.int32, (1, rows), 1)
         ranked = jnp.where(
             b_iota < n_cand,
