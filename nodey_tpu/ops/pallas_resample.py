@@ -9,7 +9,14 @@ matmul — overlapping windows (stride M, width W > M) don't fit
 
 The filter bank is identical to the XLA path's, so outputs agree to float32
 rounding; tests/test_pallas.py holds the two paths together in interpreter
-mode on CPU, and the TPU bench can A/B them.
+mode on CPU, and bench.py A/Bs them on the real chip.
+
+Measured (v5e, 2026-08-16, probe-RTT-corrected, 60 s stereo 44.1->48 kHz):
+XLA patch-GEMM 1.35 ms vs this kernel 1.51 ms, outputs bit-identical
+(max|diff| = 0). XLA's fusion of the shifted-reshape patch build into the
+GEMM edges out the hand-scheduled DMA pipeline, so the production path
+(ops/resample.resample_data) stays on the XLA formulation; this kernel is
+kept as the A/B reference and the template for manual-DMA windowed ops.
 """
 
 from __future__ import annotations
@@ -29,8 +36,18 @@ from nodey_tpu.ops import resample as resample_ops
 BLOCK_GROUPS = 128
 
 
+def _row_pad(M: int, taps: int) -> int:
+    """Per-row load width: the 128-aligned superset of W plus one lane
+    block for the alignment residue."""
+    W = M + taps - 1
+    return (-(-W // 128) + 1) * 128
+
+
 def _window_len(M: int, taps: int) -> int:
-    return (BLOCK_GROUPS - 1) * M + (M + taps - 1)
+    # Last row loads at ((BLOCK_GROUPS-1)*M // 128)*128 + row_pad; cover
+    # it, rounded to the 128-lane tiling the DMA slice requires.
+    raw = (BLOCK_GROUPS - 1) * M + _row_pad(M, taps)
+    return -(-raw // 128) * 128
 
 
 def resample_data_pallas(
@@ -59,9 +76,9 @@ def resample_data_pallas(
     )  # [L, W]
 
     # Pad input so every window read is in-bounds:
-    # leftmost read = -taps//2 + 1; rightmost = (GB*BLOCK_GROUPS-1)*M + W.
+    # leftmost read = -taps//2 + 1; rightmost = last DMA start + win.
     left = taps // 2 - 1
-    need = (GB * BLOCK_GROUPS - 1) * M + W
+    need = (GB - 1) * BLOCK_GROUPS * M + win
     x = jnp.pad(data, ((0, 0), (left, max(0, need - left - N))))
 
     def kernel(x_hbm, bank_ref, out_ref, scratch, patches, sems):
@@ -90,14 +107,22 @@ def resample_data_pallas(
         get_dma(slot, g).wait()
 
         # Gather the [BLOCK_GROUPS, W] patch matrix per channel into VMEM
-        # scratch via dynamic-offset ref loads (Mosaic supports pl.ds on
-        # refs, not dynamic_slice on loaded vectors), then hit the MXU once
-        # per channel.
-        def fill_row(i, _):
-            patches[:, i, :] = scratch[slot, :, pl.ds(i * M, W)]
-            return 0
-
-        jax.lax.fori_loop(0, BLOCK_GROUPS, fill_row, 0)
+        # scratch. Mosaic requires dynamic lane offsets to be provably
+        # 128-aligned, so each row loads the 128-aligned superset and
+        # absorbs the residue with one traced roll (i*M mod 128 cycles
+        # through all residues since gcd(M, 128) == 1 for odd M).
+        w_pad = _row_pad(M, taps)
+        # Python-unrolled (static i): every load offset and roll shift is a
+        # compile-time constant, so no alignment proof is needed. NB:
+        # newaxis-via-indexing (row[:, None, :W]) lowers to an unsupported
+        # gather in Mosaic — reshape instead.
+        for i in range(BLOCK_GROUPS):
+            start = i * M
+            aligned = (start // 128) * 128
+            row = scratch[slot, :, aligned : aligned + w_pad]  # [C, w_pad]
+            if start % 128:
+                row = pltpu.roll(row, w_pad - start % 128, 1)
+            patches[:, i : i + 1, :] = row[:, :W].reshape(C, 1, W)
         for c in range(C):
             out_ref[c, :, :] = jnp.dot(
                 patches[c], bank_ref[:].T, preferred_element_type=jnp.float32
