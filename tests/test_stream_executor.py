@@ -90,6 +90,43 @@ def test_streamed_export_mp3_roundtrip(tmp_path):
     assert metrics.rtf > 0
 
 
+def test_streamed_export_matches_offline_mp3_bytes(tmp_path):
+    """For an s16-fmt master (gain-only graph, no rate change) the s16
+    wire format (int16 h2d + on-device clip(trunc(x*32768)) d2h) must
+    leave the exported MP3 byte-identical to the offline path, whose
+    Mp3Encoder quantizes the f32 master host-side with the same
+    semantics. (flt-fmt masters — mixers/resamplers — only promise
+    ulp-level PCM parity between chunked and whole-clip execution, not
+    byte-equal MP3s.)"""
+    if native_lib.load() is None:
+        pytest.skip("native host runtime unavailable")
+    registry.register_all_processors()
+    rate = 48_000
+    path = str(tmp_path / "in.wav")
+    host_decode.write_wav_s16(
+        path, make_tone(rate=rate, seconds=2.0, channels=2), rate
+    )
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = [path]
+    g.update_node_pin(src)
+    vol = g.add_node(AudioVol())
+    g.nodes[vol].processor.set_volume(1.4)
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, vol, "input"))
+    g.add_link(_pin(g, vol, "output"), _pin(g, out, "input"))
+
+    offline_path = str(tmp_path / "offline.mp3")
+    streamed_path = str(tmp_path / "streamed.mp3")
+    Runner(g).export(offline_path, kbps=192)
+    Runner(g).export_streamed(streamed_path, kbps=192, chunk_seconds=0.5)
+    with open(offline_path, "rb") as f:
+        offline_bytes = f.read()
+    with open(streamed_path, "rb") as f:
+        streamed_bytes = f.read()
+    assert offline_bytes == streamed_bytes
+
+
 def test_streamed_export_time_variant_graph(tmp_path):
     """WSOLA graphs — rejected by overlap-discard chunking — stream end to
     end and match the offline render."""
