@@ -64,6 +64,10 @@ class LowerCtx:
         if spec is None:
             raise LogicError(f"No source bound for node {node_id} pin {pin}")
         data, length = self._args[external_key(node_id, pin)]
+        if data.dtype == jnp.int16:
+            # s16 ingest wire: dequantize s/32768 (exactly FFmpeg's
+            # s16->flt conversion) fused into the program.
+            data = data.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         return Stream(
             data=data,
             length=length,

@@ -105,10 +105,22 @@ class Runner:
                 decoded = host_decode.decode_file(path)
                 n = decoded.num_samples
                 capacity = _bucket(n, self.exec_config.pad_quantum)
-                padded = np.zeros(
-                    (decoded.channels, capacity), dtype=np.float32
-                )
-                padded[:, :n] = decoded.data
+                if decoded.fmt == host_decode.FMT_S16:
+                    # s16 sources ingest as native int16 — half the
+                    # PCIe/relay bytes; round(x*32768) exactly inverts the
+                    # decoder's s/32768 and the jitted program dequantizes
+                    # (compiler.LowerCtx.external).
+                    padded = np.zeros(
+                        (decoded.channels, capacity), dtype=np.int16
+                    )
+                    padded[:, :n] = np.clip(
+                        np.round(decoded.data * 32768.0), -32768, 32767
+                    ).astype(np.int16)
+                else:
+                    padded = np.zeros(
+                        (decoded.channels, capacity), dtype=np.float32
+                    )
+                    padded[:, :n] = decoded.data
                 key = compiler.external_key(nid, f"output_{i}")
                 arrays[key] = padded
                 lengths[key] = n

@@ -343,7 +343,7 @@ def render_chunked(
         clens: Dict[str, int] = {}
         for key in compiled.input_keys:
             src = arrays[key]
-            buf = np.zeros((src.shape[0], window), dtype=np.float32)
+            buf = np.zeros((src.shape[0], window), dtype=src.dtype)
             lo = max(0, start)
             hi = min(src.shape[1], start + window)
             if hi > lo:
