@@ -82,12 +82,15 @@ def cmd_help(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    """Read-only web viewer (reference editor's engine-honest slice:
-    imnodes canvas + diagnostics overlay, app.cpp:1493-1786)."""
+    """Interactive web editor (reference editor's engine-honest slice:
+    imnodes canvas + mutations + diagnostics overlay, app.cpp:1493-1901)."""
     from nodey_tpu.app import server as web_server
 
     graph = _load_graph(args.project)
-    srv = web_server.serve(graph, args.project, args.host, args.port)
+    srv = web_server.serve(
+        graph, args.project, args.host, args.port,
+        project_path=args.project,
+    )
     print(f"serving {args.project} at http://{args.host}:{args.port}/")
     try:
         srv.serve_forever()
@@ -251,31 +254,13 @@ def _apply_params(proc, params) -> dict:
     volume, which is deliberately NOT in the serde, reference quirk); other
     keys merge through serialize()/deserialize(). Returns what was applied.
     Raises NodeyError for keys neither settable nor serializable."""
-    applied = {}
-    serde_updates = {}
+    from nodey_tpu.app.session import apply_params
+
+    parsed = {}
     for kv in params:
         key, _, value = kv.partition("=")
-        parsed = _parse_param_value(value)
-        setter = getattr(proc, f"set_{key}", None)
-        if callable(setter):
-            setter(parsed)
-            applied[key] = parsed
-        else:
-            serde_updates[key] = parsed
-    if serde_updates:
-        blob = proc.serialize()
-        if not isinstance(blob, dict):
-            blob = {}
-        unknown = [k for k in serde_updates if k not in blob]
-        if unknown:
-            raise NodeyError(
-                f"{type(proc).__name__} has no settable parameter(s) "
-                f"{unknown} (serde fields: {sorted(blob)})"
-            )
-        blob.update(serde_updates)
-        proc.deserialize(blob)
-        applied.update(serde_updates)
-    return applied
+        parsed[key] = _parse_param_value(value)
+    return apply_params(proc, parsed)
 
 
 def _save_graph(graph: Graph, path: str) -> None:

@@ -1,4 +1,4 @@
-"""Read-only web viewer: the engine-honest slice of the reference editor.
+"""Interactive web editor: the engine-honest slice of the reference editor.
 
 ``python -m nodey_tpu.app.cli serve project.json`` serves one HTML page that
 renders the node graph (nodes/pins/links at their saved editor positions —
@@ -7,6 +7,13 @@ state and queue occupancy (the diagnostics overlay, app.cpp:1493-1600, with
 the per-link fill gauge of app.cpp:1574-1595 mapped to the egress queue),
 and the spectrum tap as a rendered spectrogram. A "preview" button drives a
 real StreamingSession through the chunk-flow executor.
+
+Editing mirrors the reference app's mutations end to end: add node from the
+registry with singleton disable (app.cpp:1700-1717), drag to move, link
+creation with validate-and-rollback (app.cpp:1819-1839), unlink/remove via
+the node panel, parameter edits, undo/redo snapshots (app.cpp:919-1041) and
+project save — all through JSON endpoints backed by the same SessionService
+the CLI uses.
 
 Stdlib-only (http.server + embedded HTML/JS); the engine API stays
 UI-independent — this is a client of the public surface, not a layer the
@@ -23,6 +30,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+from nodey_tpu.core import registry
 from nodey_tpu.core.errors import NodeyError
 from nodey_tpu.core.graph import Graph
 
@@ -34,14 +42,22 @@ _PAGE = """<!DOCTYPE html>
  #canvas { flex:1; overflow:auto; }
  #side { width:340px; border-left:1px solid #2c2f36; padding:12px;
          overflow-y:auto; }
- .node { fill:#23262d; stroke:#3a3f4a; rx:8; }
- .title { fill:#9ecbff; font-weight:600; }
- .pin-in { fill:#7fd962; } .pin-out { fill:#e8a04c; }
- .link { stroke:#5a8fd9; stroke-width:2; fill:none; opacity:.85; }
- .label { fill:#aab; font-size:11px; }
- button { background:#2d6cdf; border:0; color:#fff; padding:6px 14px;
-          border-radius:6px; cursor:pointer; }
+ .node { fill:#23262d; stroke:#3a3f4a; rx:8; cursor:move; }
+ .node.sel { stroke:#9ecbff; stroke-width:2; }
+ .title { fill:#9ecbff; font-weight:600; pointer-events:none; }
+ .pin-in { fill:#7fd962; cursor:crosshair; }
+ .pin-out { fill:#e8a04c; cursor:crosshair; }
+ .pin-armed { stroke:#fff; stroke-width:2; }
+ .link { stroke:#5a8fd9; stroke-width:2; fill:none; opacity:.85;
+         cursor:pointer; }
+ .link:hover { stroke:#e06c75; }
+ .label { fill:#aab; font-size:11px; pointer-events:none; }
+ button { background:#2d6cdf; border:0; color:#fff; padding:6px 10px;
+          border-radius:6px; cursor:pointer; margin:1px; }
  button:disabled { background:#444; }
+ select, textarea { background:#23262d; color:#d6d8de; border:1px solid
+          #3a3f4a; border-radius:6px; width:100%%; }
+ textarea { height:84px; font:11px monospace; }
  .gauge { height:10px; background:#2c2f36; border-radius:5px; margin:4px 0; }
  .gauge>i { display:block; height:100%%; border-radius:5px;
             background:#7fd962; }
@@ -50,10 +66,16 @@ _PAGE = """<!DOCTYPE html>
  h3 { margin:14px 0 4px; font-size:12px; text-transform:uppercase;
       color:#8a8f99; }
  pre { white-space:pre-wrap; font-size:11px; color:#9aa0ab; }
+ #err { color:#e06c75; font-size:11px; min-height:14px; }
 </style></head><body>
 <div id="canvas"><svg id="svg" width="2400" height="1600"></svg></div>
 <div id="side">
  <h3>Project</h3><div id="proj"></div>
+ <div><button id="save">save</button><button id="undo">undo</button>
+ <button id="redo">redo</button></div>
+ <div id="err"></div>
+ <h3>Add node</h3>
+ <select id="addsel"></select> <button id="addbtn">+ add</button>
  <h3>Preview</h3>
  <button id="run">▶ preview</button> <button id="stop">■ stop</button>
  <div>state: <b id="state">idle</b></div>
@@ -61,38 +83,57 @@ _PAGE = """<!DOCTYPE html>
  <div id="metrics"></div>
  <h3>Spectrum tap</h3>
  <canvas id="spec" width="512" height="128"></canvas>
- <h3>Node info</h3><pre id="info">click a node…</pre>
+ <h3>Node</h3><pre id="info">click a node…</pre>
+ <div id="editbox" style="display:none">
+  <textarea id="params"></textarea>
+  <button id="apply">apply params</button>
+  <button id="del">remove node</button>
+ </div>
 </div>
 <script>
 const svg = document.getElementById('svg');
+const err = (m) => document.getElementById('err').textContent = m || '';
 function el(n, attrs, text) {
   const e = document.createElementNS('http://www.w3.org/2000/svg', n);
   for (const k in attrs) e.setAttribute(k, attrs[k]);
   if (text) e.textContent = text;
   return e;
 }
-let graph = null;
+async function api(path, body) {
+  const r = await fetch(path, body === undefined ? {} :
+    {method:'POST', headers:{'Content-Type':'application/json'},
+     body: JSON.stringify(body)});
+  const j = await r.json();
+  if (j && j.error) { err(j.error); throw new Error(j.error); }
+  err('');
+  return j;
+}
+let graph = null, selected = null, armedPin = null;
 async function loadGraph() {
-  graph = await (await fetch('/api/graph')).json();
+  graph = await api('/api/graph');
   document.getElementById('proj').textContent =
     graph.title + ' — ' + graph.nodes.length + ' nodes, ' +
-    graph.links.length + ' links';
+    graph.links.length + ' links' + (graph.modified ? '  (unsaved)' : '');
+  svg.textContent = '';
   const pinPos = {};
   for (const n of graph.nodes) {
     const h = 34 + 18 * n.pins.length;
     const g = el('g', {transform:`translate(${n.x},${n.y})`});
-    const r = el('rect', {class:'node', width:190, height:h, rx:8});
-    r.addEventListener('click', () => {
-      document.getElementById('info').textContent =
-        n.identifier + ' (#' + n.id + ')\\n' +
-        JSON.stringify(n.params, null, 1) + '\\n\\n' + n.description;
-    });
+    const r = el('rect', {class:'node' + (selected === n.id ? ' sel' : ''),
+                          width:190, height:h, rx:8});
+    r.addEventListener('mousedown', (ev) => startDrag(ev, n, g));
+    r.addEventListener('click', () => selectNode(n));
     g.appendChild(r);
     g.appendChild(el('text', {class:'title', x:10, y:20}, n.display_name));
     n.pins.forEach((p, i) => {
       const y = 40 + 18 * i, x = p.is_input ? 0 : 190;
-      g.appendChild(el('circle',
-        {class: p.is_input ? 'pin-in' : 'pin-out', cx:x, cy:y, r:5}));
+      const c = el('circle',
+        {class: (p.is_input ? 'pin-in' : 'pin-out') +
+                (armedPin === p.id ? ' pin-armed' : ''),
+         cx:x, cy:y, r:6});
+      c.addEventListener('click', (ev) => { ev.stopPropagation();
+                                            pinClick(p); });
+      g.appendChild(c);
       g.appendChild(el('text',
         {class:'label', x: p.is_input ? 10 : 130, y: y + 4},
         p.display_name));
@@ -104,11 +145,88 @@ async function loadGraph() {
     const a = pinPos[l.from], b = pinPos[l.to];
     if (!a || !b) continue;
     const mx = (a[0] + b[0]) / 2;
-    svg.insertBefore(el('path', {class:'link',
-      d:`M${a[0]},${a[1]} C${mx},${a[1]} ${mx},${b[1]} ${b[0]},${b[1]}`}),
-      svg.firstChild);
+    const path = el('path', {class:'link',
+      d:`M${a[0]},${a[1]} C${mx},${a[1]} ${mx},${b[1]} ${b[0]},${b[1]}`});
+    path.addEventListener('click', async () => {
+      await api('/api/edit/unlink', {from_pin: l.from, to_pin: l.to});
+      loadGraph();
+    });
+    svg.insertBefore(path, svg.firstChild);
   }
 }
+function selectNode(n) {
+  selected = n.id;
+  document.getElementById('info').textContent =
+    n.identifier + ' (#' + n.id + ')\\n\\n' + n.description;
+  const box = document.getElementById('editbox');
+  box.style.display = 'block';
+  document.getElementById('params').value =
+    JSON.stringify(n.params === undefined ? {} : n.params, null, 1);
+  loadGraph();
+}
+function startDrag(ev, n, g) {
+  ev.preventDefault();
+  const sx = ev.clientX - n.x, sy = ev.clientY - n.y;
+  const move = (e) => {
+    n.x = e.clientX - sx; n.y = e.clientY - sy;
+    g.setAttribute('transform', `translate(${n.x},${n.y})`);
+  };
+  const up = async () => {
+    window.removeEventListener('mousemove', move);
+    window.removeEventListener('mouseup', up);
+    await api('/api/edit/move', {node_id: n.id, x: n.x, y: n.y});
+    loadGraph();
+  };
+  window.addEventListener('mousemove', move);
+  window.addEventListener('mouseup', up);
+}
+async function pinClick(p) {
+  // Reference link flow: pick an output pin, then an input pin; the
+  // server validates and rolls back on failure (app.cpp:1819-1839).
+  if (armedPin === null) { armedPin = p.id; loadGraph(); return; }
+  if (armedPin === p.id) { armedPin = null; loadGraph(); return; }
+  const from = p.is_input ? armedPin : p.id;
+  const to = p.is_input ? p.id : armedPin;
+  armedPin = null;
+  try { await api('/api/edit/link', {from_pin: from, to_pin: to}); }
+  finally { loadGraph(); }
+}
+async function loadRegistry() {
+  const reg = await api('/api/registry');
+  const sel = document.getElementById('addsel');
+  sel.textContent = '';
+  for (const r of reg) {
+    const o = document.createElement('option');
+    o.value = r.identifier;
+    o.textContent = r.display_name + (r.disabled ? ' (singleton)' : '');
+    o.disabled = r.disabled;
+    sel.appendChild(o);
+  }
+}
+document.getElementById('addbtn').onclick = async () => {
+  const identifier = document.getElementById('addsel').value;
+  await api('/api/edit/add-node', {identifier, x: 80, y: 80});
+  loadGraph(); loadRegistry();
+};
+document.getElementById('apply').onclick = async () => {
+  let params;
+  try { params = JSON.parse(document.getElementById('params').value); }
+  catch (e) { err('bad JSON: ' + e.message); return; }
+  await api('/api/edit/set', {node_id: selected, params});
+  loadGraph();
+};
+document.getElementById('del').onclick = async () => {
+  await api('/api/edit/remove-node', {node_id: selected});
+  selected = null;
+  document.getElementById('editbox').style.display = 'none';
+  loadGraph(); loadRegistry();
+};
+document.getElementById('undo').onclick =
+  async () => { await api('/api/undo', {}); loadGraph(); loadRegistry(); };
+document.getElementById('redo').onclick =
+  async () => { await api('/api/redo', {}); loadGraph(); loadRegistry(); };
+document.getElementById('save').onclick =
+  async () => { await api('/api/save', {}); loadGraph(); };
 async function poll() {
   try {
     const s = await (await fetch('/api/state')).json();
@@ -135,25 +253,27 @@ function drawSpec(rows) {
   c.width = W; c.height = H;
   ctx.putImageData(img, 0, 0);
 }
-document.getElementById('run').onclick = () => fetch('/api/preview',
-  {method:'POST'});
-document.getElementById('stop').onclick = () => fetch('/api/stop',
-  {method:'POST'});
-loadGraph(); poll();
+document.getElementById('run').onclick = () => api('/api/preview', {});
+document.getElementById('stop').onclick = () => api('/api/stop', {});
+loadGraph(); loadRegistry(); poll();
 </script></body></html>
 """
 
 
 class ViewerState:
-    """Holds the live preview session + derived overlay data."""
+    """Holds the editing session + live preview + derived overlay data."""
 
-    def __init__(self, graph: Graph, title: str):
+    def __init__(self, graph: Graph, title: str,
+                 project_path: Optional[str] = None):
         from nodey_tpu.app.notifications import NotificationCenter
+        from nodey_tpu.app.session import SessionService
 
-        self.graph = graph
+        self.session = SessionService()
+        self.session.graph = graph
+        self.session.project_path = project_path
         self.title = title
         self.lock = threading.Lock()
-        self.session = None
+        self.preview_session = None
         self.state = "idle"
         self.blocks = 0
         self.seconds = 0.0
@@ -165,6 +285,10 @@ class ViewerState:
         # /api/notifications for editor clients.
         self.notifications = NotificationCenter()
 
+    @property
+    def graph(self) -> Graph:
+        return self.session.graph
+
     def graph_json(self) -> Dict[str, Any]:
         nodes = []
         for nid, node in self.graph.nodes.items():
@@ -172,6 +296,7 @@ class ViewerState:
             pins = [
                 {
                     "id": pid,
+                    "identifier": self.graph.pins[pid].attribute.identifier,
                     "display_name": self.graph.pins[pid].attribute.display_name,
                     "is_input": self.graph.pins[pid].attribute.is_input,
                 }
@@ -193,7 +318,116 @@ class ViewerState:
             {"from": link.from_pin, "to": link.to_pin}
             for link in self.graph.links.values()
         ]
-        return {"title": self.title, "nodes": nodes, "links": links}
+        return {
+            "title": self.title,
+            "nodes": nodes,
+            "links": links,
+            "modified": self.graph.modified,
+        }
+
+    def registry_json(self) -> list:
+        return [
+            {
+                "identifier": ident,
+                "display_name": info.display_name,
+                "singleton": info.singleton,
+                # Singleton types already instantiated are disabled in the
+                # add menu, like the reference (app.cpp:1700-1717).
+                "disabled": bool(
+                    info.singleton
+                    and ident in self.graph.singleton_node_map
+                ),
+            }
+            for ident, info in sorted(registry.processor_map.items())
+        ]
+
+    # -- edits (each mirrors a reference app mutation) -----------------------
+
+    def _guard_editable(self) -> None:
+        if self.state == "running":
+            raise NodeyError("Stop the preview before editing the graph")
+
+    def edit(self, op: str, body: Dict[str, Any]) -> Dict[str, Any]:
+        from nodey_tpu.app.session import apply_params
+
+        self._guard_editable()
+        g = self.graph
+        if op == "add-node":
+            info = registry.processor_map.get(body.get("identifier"))
+            if info is None:
+                raise NodeyError(
+                    f"Unknown node type '{body.get('identifier')}'"
+                )
+            self.session.save_undo_state()
+            proc = info.generate()
+            if body.get("params"):
+                apply_params(proc, body["params"])
+            nid = g.add_node(proc)
+            g.nodes[nid].position = (
+                float(body.get("x", 80.0)), float(body.get("y", 80.0))
+            )
+            g.modified = True
+            return {"ok": True, "node_id": nid}
+        if op == "remove-node":
+            nid = int(body["node_id"])
+            if nid not in g.nodes:
+                raise NodeyError(f"No node {nid}")
+            self.session.save_undo_state()
+            g.remove_node(nid)
+            g.modified = True
+            return {"ok": True}
+        if op == "link":
+            self.session.save_undo_state()
+            link_id = g.add_link(int(body["from_pin"]), int(body["to_pin"]))
+            try:
+                # Validate-and-rollback, exactly the app's link flow
+                # (app.cpp:1826-1839).
+                g.check_graph()
+            except NodeyError:
+                g.remove_link(link_id)
+                self.session.undo_stack.pop()
+                raise
+            g.modified = True
+            return {"ok": True, "link_id": link_id}
+        if op == "unlink":
+            self.session.save_undo_state()
+            g.remove_link_between(
+                int(body["from_pin"]), int(body["to_pin"])
+            )
+            g.modified = True
+            return {"ok": True}
+        if op == "set":
+            nid = int(body["node_id"])
+            node = g.nodes.get(nid)
+            if node is None:
+                raise NodeyError(f"No node {nid}")
+            applied = apply_params(node.processor, body.get("params") or {})
+            g.update_node_pin(nid)  # arity may have changed
+            g.modified = True
+            return {"ok": True, "applied": applied}
+        if op == "move":
+            nid = int(body["node_id"])
+            node = g.nodes.get(nid)
+            if node is None:
+                raise NodeyError(f"No node {nid}")
+            node.position = (float(body["x"]), float(body["y"]))
+            g.modified = True
+            return {"ok": True}
+        raise NodeyError(f"Unknown edit op '{op}'")
+
+    def undo(self) -> Dict[str, Any]:
+        self._guard_editable()
+        return {"ok": self.session.undo()}
+
+    def redo(self) -> Dict[str, Any]:
+        self._guard_editable()
+        return {"ok": self.session.redo()}
+
+    def save(self) -> Dict[str, Any]:
+        path = self.session.save_project()
+        return {"ok": True, "path": path}
+
+    # -- preview --------------------------------------------------------------
 
     def start_preview(self) -> None:
         from nodey_tpu.core.streaming import StreamingSession
@@ -206,7 +440,7 @@ class ViewerState:
             self.seconds = 0.0
             self.error = None
         session = StreamingSession(self.graph)
-        self.session = session
+        self.preview_session = session
 
         def consume() -> None:
             try:
@@ -247,8 +481,8 @@ class ViewerState:
             self.spectrum = spec[-256:]
 
     def stop_preview(self) -> None:
-        if self.session is not None:
-            self.session.stop()
+        if self.preview_session is not None:
+            self.preview_session.stop()
         with self.lock:
             if self.state == "running":
                 self.state = "stopped"
@@ -283,12 +517,23 @@ def make_handler(viewer: ViewerState):
                 code, json.dumps(obj).encode(), "application/json"
             )
 
+        def _body(self) -> Dict[str, Any]:
+            length = int(self.headers.get("Content-Length") or 0)
+            if not length:
+                return {}
+            try:
+                return json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                return {}
+
         def do_GET(self) -> None:
             if self.path == "/":
                 page = _PAGE.replace("%TITLE%", viewer.title)
                 self._send(200, page.encode(), "text/html; charset=utf-8")
             elif self.path == "/api/graph":
                 self._json(viewer.graph_json())
+            elif self.path == "/api/registry":
+                self._json(viewer.registry_json())
             elif self.path == "/api/state":
                 self._json(viewer.state_json())
             elif self.path.startswith("/api/notifications"):
@@ -306,25 +551,39 @@ def make_handler(viewer: ViewerState):
                 self._json({"error": "not found"}, 404)
 
         def do_POST(self) -> None:
-            if self.path == "/api/preview":
-                try:
+            try:
+                if self.path == "/api/preview":
                     viewer.start_preview()
                     self._json({"ok": True})
-                except NodeyError as exc:
-                    self._json({"ok": False, "error": str(exc)}, 400)
-            elif self.path == "/api/stop":
-                viewer.stop_preview()
-                self._json({"ok": True})
-            else:
-                self._json({"error": "not found"}, 404)
+                elif self.path == "/api/stop":
+                    viewer.stop_preview()
+                    self._json({"ok": True})
+                elif self.path.startswith("/api/edit/"):
+                    op = self.path[len("/api/edit/"):]
+                    self._json(viewer.edit(op, self._body()))
+                elif self.path == "/api/undo":
+                    self._json(viewer.undo())
+                elif self.path == "/api/redo":
+                    self._json(viewer.redo())
+                elif self.path == "/api/save":
+                    self._json(viewer.save())
+                else:
+                    self._json({"error": "not found"}, 404)
+            except NodeyError as exc:
+                self._json({"ok": False, "error": str(exc)}, 400)
+            except (KeyError, TypeError, ValueError) as exc:
+                self._json(
+                    {"ok": False, "error": f"bad request: {exc}"}, 400
+                )
 
     return Handler
 
 
 def serve(graph: Graph, title: str, host: str = "127.0.0.1",
-          port: int = 8787) -> ThreadingHTTPServer:
-    """Start the viewer server (returns it; call serve_forever/shutdown)."""
-    viewer = ViewerState(graph, title)
+          port: int = 8787,
+          project_path: Optional[str] = None) -> ThreadingHTTPServer:
+    """Start the editor server (returns it; call serve_forever/shutdown)."""
+    viewer = ViewerState(graph, title, project_path=project_path)
     server = ThreadingHTTPServer((host, port), make_handler(viewer))
     server.viewer = viewer  # for tests
     return server

@@ -56,6 +56,39 @@ def shallow_copy_graph(graph: Graph) -> Graph:
     return out
 
 
+def apply_params(proc, params: Dict) -> Dict:
+    """Apply a {key: value} dict to a processor.
+
+    A dedicated ``set_<key>`` setter wins (it applies live-state semantics
+    like clamping — e.g. the gain node's volume, which is deliberately NOT
+    in the serde, reference quirk); other keys merge through
+    serialize()/deserialize(). Returns what was applied; raises
+    InvalidFileError for keys neither settable nor serializable."""
+    applied = {}
+    serde_updates = {}
+    for key, value in params.items():
+        setter = getattr(proc, f"set_{key}", None)
+        if callable(setter):
+            setter(value)
+            applied[key] = value
+        else:
+            serde_updates[key] = value
+    if serde_updates:
+        blob = proc.serialize()
+        if not isinstance(blob, dict):
+            blob = {}
+        unknown = [k for k in serde_updates if k not in blob]
+        if unknown:
+            raise InvalidFileError(
+                f"{type(proc).__name__} has no settable parameter(s) "
+                f"{unknown} (serde fields: {sorted(blob)})"
+            )
+        blob.update(serde_updates)
+        proc.deserialize(blob)
+        applied.update(serde_updates)
+    return applied
+
+
 class SessionService:
     """Holds the live graph plus editing state for one project."""
 

@@ -99,3 +99,111 @@ def test_preview_runs_and_reports_state(running_server):
     assert state["blocks"] > 0
     assert state["seconds"] == pytest.approx(1.0, abs=0.1)
     assert state["spectrum"] and len(state["spectrum"][0]) == 128
+
+def _post_json(port, path, obj):
+    data = json.dumps(obj).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_editor_mutations_roundtrip(running_server, tmp_path):
+    """add-node / set / move / link(validate+rollback) / unlink /
+    remove-node / undo / redo / save — the reference app's edit surface
+    (app.cpp:919-1041, 1700-1839) over HTTP."""
+    srv, port = running_server
+    srv.viewer.session.project_path = str(tmp_path / "edited.json")
+
+    # Registry lists all types; instantiated singletons are disabled.
+    status, body = _get(port, "/api/registry")
+    reg = {r["identifier"]: r for r in json.loads(body)}
+    assert status == 200
+    assert reg["audio_input"]["disabled"]          # singleton, present
+    assert not reg["audio_volume_adjust"]["disabled"]
+
+    # Add a gain node with params and a position.
+    status, r = _post_json(port, "/api/edit/add-node", {
+        "identifier": "audio_volume_adjust",
+        "params": {"volume": 2.0}, "x": 300, "y": 200,
+    })
+    assert status == 200 and r["ok"]
+    nid = r["node_id"]
+    g = srv.viewer.graph
+    assert g.nodes[nid].position == (300.0, 200.0)
+    assert g.nodes[nid].processor.volume == 2.0
+
+    # Parameter edit via set (setter path applies clamping semantics).
+    status, r = _post_json(port, "/api/edit/set", {
+        "node_id": nid, "params": {"volume": 99.0},
+    })
+    assert status == 200 and r["ok"]
+    assert g.nodes[nid].processor.volume == 10.0   # clamped to max
+
+    # Move.
+    status, r = _post_json(port, "/api/edit/move",
+                           {"node_id": nid, "x": 10, "y": 20})
+    assert status == 200 and g.nodes[nid].position == (10.0, 20.0)
+
+    # A link into an occupied input pin must validate-and-roll-back.
+    status, body = _get(port, "/api/graph")
+    gj = json.loads(body)
+    # NB: two audio_volume_adjust nodes exist now — keep the ORIGINAL
+    # (not the just-added nid) when indexing by identifier.
+    by_ident = {
+        n["identifier"]: n for n in gj["nodes"] if n["id"] != nid
+    }
+    out_pin = next(p["id"] for n in gj["nodes"] if n["id"] == nid
+                   for p in n["pins"] if not p["is_input"])
+    occupied_in = next(p["id"]
+                       for p in by_ident["audio_spectrum"]["pins"]
+                       if p["is_input"])
+    n_links = len(gj["links"])
+    status, r = _post_json(port, "/api/edit/link",
+                           {"from_pin": out_pin, "to_pin": occupied_in})
+    assert status == 400 and not r["ok"]
+    assert len(srv.viewer.graph.links) == n_links  # rolled back
+
+    # A valid link: new gain feeds nothing yet; wire source output_0's
+    # consumer chain is full, so instead link new gain INTO the graph by
+    # unlinking vol->spectrum and inserting the new node between.
+    vol_out = next(p["id"]
+                   for p in by_ident["audio_volume_adjust"]["pins"]
+                   if not p["is_input"])
+    status, r = _post_json(port, "/api/edit/unlink",
+                           {"from_pin": vol_out, "to_pin": occupied_in})
+    assert status == 200 and r["ok"]
+    new_in = next(p["id"] for n in gj["nodes"] if n["id"] == nid
+                  for p in n["pins"] if p["is_input"])
+    assert _post_json(port, "/api/edit/link",
+                      {"from_pin": vol_out, "to_pin": new_in})[1]["ok"]
+    assert _post_json(port, "/api/edit/link",
+                      {"from_pin": out_pin, "to_pin": occupied_in})[1]["ok"]
+    srv.viewer.graph.check_graph()
+
+    # Undo twice removes both links; redo restores them.
+    links_now = len(srv.viewer.graph.links)
+    assert _post_json(port, "/api/undo", {})[1]["ok"]
+    assert _post_json(port, "/api/undo", {})[1]["ok"]
+    assert len(srv.viewer.graph.links) == links_now - 2
+    assert _post_json(port, "/api/redo", {})[1]["ok"]
+    assert _post_json(port, "/api/redo", {})[1]["ok"]
+    assert len(srv.viewer.graph.links) == links_now
+
+    # Save writes a loadable project file.
+    status, r = _post_json(port, "/api/save", {})
+    assert status == 200 and r["ok"]
+    with open(r["path"]) as f:
+        reloaded = Graph.deserialize(json.load(f))
+    reloaded.check_graph()
+    assert len(reloaded.nodes) == len(srv.viewer.graph.nodes)
+
+    # Remove the inserted node (links to it drop with it).
+    status, r = _post_json(port, "/api/edit/remove-node", {"node_id": nid})
+    assert status == 200 and r["ok"]
+    assert nid not in srv.viewer.graph.nodes
