@@ -133,7 +133,7 @@ def _run_inner(args, graph, runner, diagnostics) -> int:
             print(
                 f"exported {args.export} (streamed): "
                 f"{metrics.audio_seconds:.2f} audio-s in "
-                f"{metrics.wall_seconds:.2f} s wall (RTF {metrics.rtf:.0f}x; "
+                f"{metrics.wall_seconds:.2f} s wall (RTF {metrics.rtf:.1f}x; "
                 f"compile {metrics.compile_seconds:.2f}s)"
             )
         else:
@@ -143,7 +143,7 @@ def _run_inner(args, graph, runner, diagnostics) -> int:
             print(
                 f"exported {args.export}: {metrics.audio_seconds:.2f} "
                 f"audio-s in {metrics.wall_seconds:.2f} s wall "
-                f"(RTF {metrics.rtf:.0f}x; "
+                f"(RTF {metrics.rtf:.1f}x; "
                 f"decode {metrics.decode_seconds:.2f}s, "
                 f"compile {metrics.compile_seconds:.2f}s, "
                 f"device {metrics.device_seconds:.3f}s, "
@@ -198,7 +198,7 @@ def _run_inner(args, graph, runner, diagnostics) -> int:
         host_decode.write_wav(out, master, cfg.SAMPLE_RATE)
         print(
             f"streamed {session.duration_seconds:.2f} audio-s in "
-            f"{wall:.2f} s wall (compute RTF {session.stats.rtf_compute:.0f}x,"
+            f"{wall:.2f} s wall (compute RTF {session.stats.rtf_compute:.1f}x,"
             f" {session.stats.blocks} blocks, "
             f"{session.stats.underruns} underruns) -> {out}"
         )
@@ -229,7 +229,7 @@ def _run_inner(args, graph, runner, diagnostics) -> int:
         m = result.metrics
         print(
             f"previewed -> {out}: {m.audio_seconds:.2f} audio-s, "
-            f"RTF {m.rtf:.0f}x"
+            f"RTF {m.rtf:.1f}x"
         )
         for key, spec in result.spectra.items():
             print(f"  spectrum '{key}': shape {spec.shape}")
@@ -367,7 +367,27 @@ def cmd_new(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: graph programs recompile only when the
+    graph/shapes change, across CLI invocations (first TPU compile of a new
+    program costs seconds to minutes; cached reloads are ~instant)."""
+    import pathlib
+
+    import jax
+
+    cache = pathlib.Path.home() / ".cache" / "nodey_tpu" / "jax"
+    try:
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:  # cache flags vary across jax versions; best-effort
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(prog="nodey_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
