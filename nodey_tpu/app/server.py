@@ -255,6 +255,26 @@ function drawSpec(rows) {
 }
 document.getElementById('run').onclick = () => api('/api/preview', {});
 document.getElementById('stop').onclick = () => api('/api/stop', {});
+// Keyboard shortcuts, matching the reference editor (app.cpp:1841-1901).
+window.addEventListener('keydown', async (e) => {
+  if (e.target.tagName === 'TEXTAREA' || e.target.tagName === 'INPUT') return;
+  const mod = e.ctrlKey || e.metaKey;
+  if (mod && e.key === 'z') { e.preventDefault();
+    await api('/api/undo', {}); loadGraph(); loadRegistry(); }
+  else if (mod && e.key === 'y') { e.preventDefault();
+    await api('/api/redo', {}); loadGraph(); loadRegistry(); }
+  else if (mod && e.key === 's') { e.preventDefault();
+    await api('/api/save', {}); loadGraph(); }
+  else if (mod && e.key === 'c' && selected !== null) { e.preventDefault();
+    await api('/api/copy', {node_ids: [selected]}); }
+  else if (mod && e.key === 'v') { e.preventDefault();
+    await api('/api/paste', {}); loadGraph(); loadRegistry(); }
+  else if (e.key === 'Delete' && selected !== null) { e.preventDefault();
+    await api('/api/edit/remove-node', {node_id: selected});
+    selected = null; loadGraph(); loadRegistry(); }
+  else if (e.key === 'Escape') { armedPin = null; selected = null;
+    loadGraph(); }
+});
 loadGraph(); loadRegistry(); poll();
 </script></body></html>
 """
@@ -415,6 +435,20 @@ class ViewerState:
             return {"ok": True}
         raise NodeyError(f"Unknown edit op '{op}'")
 
+    def copy(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        count = self.session.copy_nodes(
+            [int(n) for n in body.get("node_ids", [])]
+        )
+        return {"ok": True, "count": count}
+
+    def paste(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        self._guard_editable()
+        at = None
+        if "x" in body and "y" in body:
+            at = (float(body["x"]), float(body["y"]))
+        new_ids = self.session.paste_nodes(at=at)
+        return {"ok": True, "node_ids": new_ids}
+
     def undo(self) -> Dict[str, Any]:
         self._guard_editable()
         return {"ok": self.session.undo()}
@@ -561,6 +595,10 @@ def make_handler(viewer: ViewerState):
                 elif self.path.startswith("/api/edit/"):
                     op = self.path[len("/api/edit/"):]
                     self._json(viewer.edit(op, self._body()))
+                elif self.path == "/api/copy":
+                    self._json(viewer.copy(self._body()))
+                elif self.path == "/api/paste":
+                    self._json(viewer.paste(self._body()))
                 elif self.path == "/api/undo":
                     self._json(viewer.undo())
                 elif self.path == "/api/redo":

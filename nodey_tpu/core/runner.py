@@ -89,48 +89,60 @@ class Runner:
     # -- decode -------------------------------------------------------------
 
     def _decode_inputs(self):
-        """Decode every audio_input slot host-side.
+        """Decode every audio_input slot host-side, files in parallel.
 
-        The per-file fan-out the reference runs as nested fibers
-        (audio-io.cpp:242-279) is sequential host work here; the heavy
-        parallelism lives on-device."""
+        The per-file fan-out the reference runs as nested decode fibers
+        (audio-io.cpp:242-279) maps to a thread pool here — the native
+        FFmpeg shim releases the GIL inside libavcodec, so multi-file
+        projects decode concurrently."""
+        from concurrent.futures import ThreadPoolExecutor
+
         arrays: Dict[str, np.ndarray] = {}
         lengths: Dict[str, int] = {}
         sources: Dict[Tuple[int, str], compiler.SourceSpec] = {}
+        slots = []
         for nid, node in self.graph.nodes.items():
             proc = node.processor
             if proc.info().identifier != cfg.AUDIO_INPUT_NODE_NAME:
                 continue
-            for i, path in enumerate(proc.file_paths):
-                decoded = host_decode.decode_file(path)
-                n = decoded.num_samples
-                capacity = _bucket(n, self.exec_config.pad_quantum)
-                if decoded.fmt == host_decode.FMT_S16:
-                    # s16 sources ingest as native int16 — half the
-                    # PCIe/relay bytes; round(x*32768) exactly inverts the
-                    # decoder's s/32768 and the jitted program dequantizes
-                    # (compiler.LowerCtx.external).
-                    padded = np.zeros(
-                        (decoded.channels, capacity), dtype=np.int16
-                    )
-                    padded[:, :n] = np.clip(
-                        np.round(decoded.data * 32768.0), -32768, 32767
-                    ).astype(np.int16)
-                else:
-                    padded = np.zeros(
-                        (decoded.channels, capacity), dtype=np.float32
-                    )
-                    padded[:, :n] = decoded.data
-                key = compiler.external_key(nid, f"output_{i}")
-                arrays[key] = padded
-                lengths[key] = n
-                sources[(nid, f"output_{i}")] = compiler.SourceSpec(
-                    rate=decoded.rate,
-                    channels=decoded.channels,
-                    fmt=decoded.fmt,
-                    capacity=capacity,
-                    t0_us=float(decoded.pts0_us),
+            slots.extend(
+                (nid, i, path) for i, path in enumerate(proc.file_paths)
+            )
+        if not slots:
+            return arrays, lengths, sources
+        with ThreadPoolExecutor(max_workers=min(8, len(slots))) as pool:
+            decoded_all = list(
+                pool.map(lambda s: host_decode.decode_file(s[2]), slots)
+            )
+        for (nid, i, path), decoded in zip(slots, decoded_all):
+            n = decoded.num_samples
+            capacity = _bucket(n, self.exec_config.pad_quantum)
+            if decoded.fmt == host_decode.FMT_S16:
+                # s16 sources ingest as native int16 — half the
+                # PCIe/relay bytes; round(x*32768) exactly inverts the
+                # decoder's s/32768 and the jitted program dequantizes
+                # (compiler.LowerCtx.external).
+                padded = np.zeros(
+                    (decoded.channels, capacity), dtype=np.int16
                 )
+                padded[:, :n] = np.clip(
+                    np.round(decoded.data * 32768.0), -32768, 32767
+                ).astype(np.int16)
+            else:
+                padded = np.zeros(
+                    (decoded.channels, capacity), dtype=np.float32
+                )
+                padded[:, :n] = decoded.data
+            key = compiler.external_key(nid, f"output_{i}")
+            arrays[key] = padded
+            lengths[key] = n
+            sources[(nid, f"output_{i}")] = compiler.SourceSpec(
+                rate=decoded.rate,
+                channels=decoded.channels,
+                fmt=decoded.fmt,
+                capacity=capacity,
+                t0_us=float(decoded.pts0_us),
+            )
         return arrays, lengths, sources
 
     # -- compile ------------------------------------------------------------

@@ -207,3 +207,31 @@ def test_editor_mutations_roundtrip(running_server, tmp_path):
     status, r = _post_json(port, "/api/edit/remove-node", {"node_id": nid})
     assert status == 200 and r["ok"]
     assert nid not in srv.viewer.graph.nodes
+
+
+def test_editor_copy_paste(running_server):
+    """Clipboard-as-subgraph-JSON over HTTP (reference app.cpp:1047-1383):
+    copy a non-singleton node, paste re-instantiates with a fresh ID."""
+    srv, port = running_server
+    gj = json.loads(_get(port, "/api/graph")[1])
+    vol = next(n for n in gj["nodes"]
+               if n["identifier"] == "audio_volume_adjust")
+    n_before = len(srv.viewer.graph.nodes)
+    status, r = _post_json(port, "/api/copy", {"node_ids": [vol["id"]]})
+    assert status == 200 and r["count"] == 1
+    status, r = _post_json(port, "/api/paste", {"x": 400, "y": 400})
+    assert status == 200 and r["ok"] and len(r["node_ids"]) == 1
+    assert len(srv.viewer.graph.nodes) == n_before + 1
+    new_id = r["node_ids"][0]
+    info = srv.viewer.graph.nodes[new_id].processor.info()
+    assert info.identifier == "audio_volume_adjust"
+
+    # Copying the singleton input then pasting must SKIP it (singleton
+    # rule, app.cpp:1204-1383) — no new node appears.
+    src = next(n for n in gj["nodes"] if n["identifier"] == "audio_input")
+    assert _post_json(port, "/api/copy",
+                      {"node_ids": [src["id"]]})[1]["count"] == 1
+    n_now = len(srv.viewer.graph.nodes)
+    status, r = _post_json(port, "/api/paste", {})
+    assert status == 200 and r["node_ids"] == []
+    assert len(srv.viewer.graph.nodes) == n_now
