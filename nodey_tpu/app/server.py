@@ -83,6 +83,7 @@ _PAGE = """<!DOCTYPE html>
  <div id="metrics"></div>
  <h3>Spectrum tap</h3>
  <canvas id="spec" width="512" height="128"></canvas>
+ <h3>Events</h3><pre id="notif"></pre>
  <h3>Node</h3><pre id="info">click a node…</pre>
  <div id="editbox" style="display:none">
   <textarea id="params"></textarea>
@@ -227,8 +228,22 @@ document.getElementById('redo').onclick =
   async () => { await api('/api/redo', {}); loadGraph(); loadRegistry(); };
 document.getElementById('save').onclick =
   async () => { await api('/api/save', {}); loadGraph(); };
+let notifSince = 0;
+async function pollNotifications() {
+  // The popup-manager analog: structured events stream into the panel.
+  const items = await (await fetch('/api/notifications?since=' +
+                                   notifSince)).json();
+  if (!items.length) return;
+  notifSince = Math.max(...items.map(n => n.seq)) + 1;
+  const pane = document.getElementById('notif');
+  for (const n of items)
+    pane.textContent = `[${n.severity}] ${n.message}` +
+      (n.explanation ? ` — ${n.explanation}` : '') + '\\n' +
+      pane.textContent;
+}
 async function poll() {
   try {
+    await pollNotifications();
     const s = await (await fetch('/api/state')).json();
     document.getElementById('state').textContent = s.state;
     document.getElementById('fill').style.width =
