@@ -476,6 +476,16 @@ class ViewerState:
         path = self.session.save_project()
         return {"ok": True, "path": path}
 
+    def settings_json(self) -> Dict[str, Any]:
+        return self.session.settings.serialize()
+
+    def apply_settings(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        # Staged apply like the reference settings dialog
+        # (settings.cpp:118-206): merge the posted blob, report back the
+        # effective values.
+        self.session.settings.deserialize(body)
+        return {"ok": True, "settings": self.session.settings.serialize()}
+
     # -- preview --------------------------------------------------------------
 
     def start_preview(self) -> None:
@@ -584,7 +594,13 @@ def make_handler(viewer: ViewerState):
             elif self.path == "/api/registry":
                 self._json(viewer.registry_json())
             elif self.path == "/api/state":
+                # The poll tick doubles as the autosave heartbeat (the
+                # reference declares auto_save but never wires it;
+                # SessionService implements it).
+                viewer.session.maybe_autosave()
                 self._json(viewer.state_json())
+            elif self.path == "/api/settings":
+                self._json(viewer.settings_json())
             elif self.path.startswith("/api/notifications"):
                 # Drain-style consumption: ?since=<seq> peeks newer items.
                 since = 0
@@ -620,6 +636,8 @@ def make_handler(viewer: ViewerState):
                     self._json(viewer.redo())
                 elif self.path == "/api/save":
                     self._json(viewer.save())
+                elif self.path == "/api/settings":
+                    self._json(viewer.apply_settings(self._body()))
                 else:
                     self._json({"error": "not found"}, 404)
             except NodeyError as exc:

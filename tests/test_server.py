@@ -235,3 +235,13 @@ def test_editor_copy_paste(running_server):
     status, r = _post_json(port, "/api/paste", {})
     assert status == 200 and r["node_ids"] == []
     assert len(srv.viewer.graph.nodes) == n_now
+
+
+def test_settings_endpoints(running_server):
+    srv, port = running_server
+    status, body = _get(port, "/api/settings")
+    s = json.loads(body)
+    assert status == 200 and set(s) >= {"ui", "editor", "render"}
+    status, r = _post_json(port, "/api/settings",
+                           {"editor": {"auto_save": True}})
+    assert status == 200 and r["settings"]["editor"]["auto_save"] is True
