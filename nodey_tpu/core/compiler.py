@@ -195,8 +195,11 @@ class CompiledGraph:
             args = jax.tree_util.tree_map(shard, args)
         if self._batched_fn is None:
             self._batched_fn = jax.jit(jax.vmap(self.fn))
-        out = self._batched_fn(args)
-        return jax.tree_util.tree_map(np.asarray, out)
+        # Outputs stay device-resident (like ``fn``): a serving loop keeps
+        # dispatching while egress fetches only what it needs — fetching
+        # the whole batch here would serialize every dispatch behind a
+        # full-batch d2h transfer.
+        return self._batched_fn(args)
 
 
 def compile_graph(
