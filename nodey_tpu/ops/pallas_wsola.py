@@ -290,6 +290,35 @@ def wsola_chain_pallas(
     overlap: int,
     interpret: bool = False,
 ):
+    """Batch-safe entry: under ``vmap`` (e.g. ``CompiledGraph.run_batch``)
+    the serial-chain kernel runs per clip via ``lax.map`` — the chain's
+    SMEM carry is inherently per-clip, and Mosaic cannot batch an
+    ANY-memory-space pallas_call anyway."""
+    inner = functools.partial(
+        _wsola_chain_pallas_impl,
+        K=K, num=num, den=den, seq=seq, seek=seek, overlap=overlap,
+        interpret=interpret,
+    )
+    wrapped = jax.custom_batching.custom_vmap(inner)
+
+    @wrapped.def_vmap
+    def _batch_rule(axis_size, in_batched, xs):  # noqa: ANN001
+        del axis_size, in_batched
+        return lax.map(inner, xs), True
+
+    return wrapped(x)
+
+
+def _wsola_chain_pallas_impl(
+    x,
+    K: int,
+    num: int,
+    den: int,
+    seq: int,
+    seek: int,
+    overlap: int,
+    interpret: bool = False,
+):
     """The greedy WSOLA chain run INSIDE one kernel: exact f32 splice
     offsets bs [K] int32.
 

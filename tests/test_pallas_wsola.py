@@ -146,3 +146,28 @@ def test_chain_kernel_matches_numpy_chain(tempo):
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_chain_kernel_vmaps_via_lax_map():
+    """vmap over clips (CompiledGraph.run_batch) must produce per-clip
+    chains identical to running each clip alone."""
+    import jax
+
+    rate = 8000
+    seq, seek, overlap = 320, 120, 64
+    num, den = 5 * (seq - overlap), 4
+    n = 4000
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(
+        (0.3 * rng.standard_normal((3, 2, n))).astype(np.float32)
+    )
+    K = (n - seq - seek) * den // num
+
+    def one(x):
+        return pallas_wsola.wsola_chain_pallas(
+            x, K, num, den, seq, seek, overlap, interpret=True
+        )
+
+    batched = jax.vmap(one)(xs)
+    for b in range(3):
+        np.testing.assert_array_equal(batched[b], one(xs[b]))
