@@ -76,8 +76,16 @@ _PAGE = """<!DOCTYPE html>
  <div id="err"></div>
  <h3>Add node</h3>
  <select id="addsel"></select> <button id="addbtn">+ add</button>
- <h3>Preview</h3>
+ <h3>Preview / Export</h3>
  <button id="run">▶ preview</button> <button id="stop">■ stop</button>
+ <div style="margin-top:4px">
+  <input id="exppath" value="export.mp3" style="width:140px;background:#23262d;
+   color:#d6d8de;border:1px solid #3a3f4a;border-radius:6px">
+  <select id="expkbps" style="width:70px">
+   <option>128</option><option>192</option><option selected>256</option>
+   <option>320</option></select>
+  <button id="export">⬇ export</button>
+ </div>
  <div>state: <b id="state">idle</b></div>
  <div>egress queue <div class="gauge"><i id="fill" style="width:0"></i></div></div>
  <div id="metrics"></div>
@@ -270,6 +278,9 @@ function drawSpec(rows) {
 }
 document.getElementById('run').onclick = () => api('/api/preview', {});
 document.getElementById('stop').onclick = () => api('/api/stop', {});
+document.getElementById('export').onclick = () => api('/api/export', {
+  path: document.getElementById('exppath').value,
+  kbps: parseInt(document.getElementById('expkbps').value, 10)});
 // Keyboard shortcuts, matching the reference editor (app.cpp:1841-1901).
 window.addEventListener('keydown', async (e) => {
   if (e.target.tagName === 'TEXTAREA' || e.target.tagName === 'INPUT') return;
@@ -486,6 +497,53 @@ class ViewerState:
         self.session.settings.deserialize(body)
         return {"ok": True, "settings": self.session.settings.serialize()}
 
+    # -- export ---------------------------------------------------------------
+
+    def start_export(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """Streamed MP3 export with live progress (the reference's export
+        window flow: path + kbps + progress atomic, app.cpp:590-682,
+        2042-2094)."""
+        from nodey_tpu.core.runner import Runner
+
+        path = body.get("path") or "export.mp3"
+        kbps = int(body.get("kbps", 320))
+        if kbps not in (64, 96, 128, 160, 192, 256, 320):
+            raise NodeyError(f"Unsupported bitrate {kbps} kbps")
+        with self.lock:
+            if self.state == "running":
+                raise NodeyError("A preview or export is already running")
+            self.state = "running"
+            self.blocks = 0
+            self.seconds = 0.0
+            self.error = None
+
+        def progress(seconds: float) -> None:
+            with self.lock:
+                self.seconds = seconds
+
+        def consume() -> None:
+            try:
+                metrics = Runner(self.graph).export_streamed(
+                    path, kbps=kbps, progress=progress
+                )
+                self.notifications.push(
+                    "info", f"Exported {path}",
+                    f"{metrics.audio_seconds:.1f} audio-s at {kbps} kbps "
+                    f"in {metrics.wall_seconds:.1f} s (RTF "
+                    f"{metrics.rtf:.1f}x)",
+                )
+                with self.lock:
+                    self.rtf_compute = metrics.rtf
+                    self.state = "finished"
+            except BaseException as exc:
+                self.notifications.push_error(exc)
+                with self.lock:
+                    self.state = "error"
+                    self.error = str(exc)
+
+        threading.Thread(target=consume, daemon=True).start()
+        return {"ok": True, "path": path, "kbps": kbps}
+
     # -- preview --------------------------------------------------------------
 
     def start_preview(self) -> None:
@@ -620,6 +678,8 @@ def make_handler(viewer: ViewerState):
                 if self.path == "/api/preview":
                     viewer.start_preview()
                     self._json({"ok": True})
+                elif self.path == "/api/export":
+                    self._json(viewer.start_export(self._body()))
                 elif self.path == "/api/stop":
                     viewer.stop_preview()
                     self._json({"ok": True})

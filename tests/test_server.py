@@ -245,3 +245,28 @@ def test_settings_endpoints(running_server):
     status, r = _post_json(port, "/api/settings",
                            {"editor": {"auto_save": True}})
     assert status == 200 and r["settings"]["editor"]["auto_save"] is True
+
+
+def test_export_endpoint(running_server, tmp_path):
+    """The export-window flow (app.cpp:590-682): POST path+kbps, watch
+    progress via /api/state, completion via a notification."""
+    srv, port = running_server
+    out = str(tmp_path / "web_export.mp3")
+    status, r = _post_json(port, "/api/export", {"path": out, "kbps": 192})
+    assert status == 200 and r["ok"]
+    deadline = time.time() + 120
+    state = None
+    while time.time() < deadline:
+        state = json.loads(_get(port, "/api/state")[1])
+        if state["state"] in ("finished", "error"):
+            break
+        time.sleep(0.3)
+    assert state["state"] == "finished", state.get("error")
+    import os
+    assert os.path.getsize(out) > 1000
+    notes = json.loads(_get(port, "/api/notifications")[1])
+    assert any("Exported" in n["message"] for n in notes)
+
+    # Bad bitrate is a structured 400, not a crash.
+    status, r = _post_json(port, "/api/export", {"path": out, "kbps": 123})
+    assert status == 400 and not r["ok"]
