@@ -498,14 +498,19 @@ def main() -> int:
             from nodey_tpu.core.runner import Runner as _Runner
 
             t0 = time.perf_counter()
-            em = _Runner(graph).export_streamed(
+            runner = _Runner(graph)
+            em = runner.export_streamed(
                 f"{tmp}/e2e.mp3", kbps=256, chunk_seconds=8.0
             )
+            sm = runner.last_stream_metrics
             log(
                 f"e2e_streamed_export: {em.audio_seconds:.1f} audio-s in "
                 f"{em.wall_seconds:.2f} s wall (RTF {em.rtf:.0f}x, "
-                f"compile {em.compile_seconds:.1f}s, total "
-                f"{time.perf_counter() - t0:.2f}s)"
+                f"compile {em.compile_seconds:.1f}s; stage busy: "
+                f"LAME {sm.sink_busy_seconds:.1f}s, "
+                f"d2h {sm.d2h_busy_seconds:.1f}s, decode-wait "
+                f"{sm.decode_wait_seconds:.1f}s — wall tracks the LAME/"
+                f"relay bound, not the device)"
             )
 
         if run_pallas_ab:

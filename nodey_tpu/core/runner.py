@@ -367,6 +367,8 @@ class Runner:
                     pass
             raise
         self.state = RunnerState.FINISHED
+        # Full per-stage StreamMetrics kept for diagnostics/bench.
+        self.last_stream_metrics = sm
         metrics = RunMetrics(
             audio_seconds=sm.audio_seconds,
             wall_seconds=sm.wall_seconds,

@@ -50,6 +50,8 @@ class StreamMetrics:
     steps: int = 0
     decode_wait_seconds: float = 0.0   # pump stalls waiting on decode
     egress_wait_seconds: float = 0.0   # pump stalls on egress backpressure
+    d2h_busy_seconds: float = 0.0      # egress thread inside device_get
+    sink_busy_seconds: float = 0.0     # sink thread inside sink() (LAME…)
 
     @property
     def rtf(self) -> float:
@@ -271,7 +273,11 @@ class StreamExecutor:
                     item = egress_q.pop(stop=self._stop)
                     if item is None:
                         break
+                    t0 = time.perf_counter()
                     host, n = jax.device_get(item)
+                    self.metrics.d2h_busy_seconds += (
+                        time.perf_counter() - t0
+                    )
                     n = int(n)
                     if not n:
                         continue
@@ -291,7 +297,11 @@ class StreamExecutor:
                     host = host_q.pop(stop=self._stop)
                     if host is None:
                         break
+                    t0 = time.perf_counter()
                     sink(host)
+                    self.metrics.sink_busy_seconds += (
+                        time.perf_counter() - t0
+                    )
                     written[0] += host.shape[1]
                     if progress is not None:
                         progress(written[0] / out_rate)
