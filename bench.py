@@ -352,7 +352,7 @@ def pallas_resample_ab(seconds: float, iters: int = 8) -> None:
         winner = "pallas" if pl_t < xla_t else "xla"
         log(
             f"pallas-ab: max|diff|={err:.2e}, winner={winner} "
-            f"({min(xla_t, pl_t) / max(min(xla_t, pl_t), 1e-12):.0f}; "
+            f"({max(xla_t, pl_t) / max(min(xla_t, pl_t), 1e-12):.2f}x; "
             f"xla {xla_t * 1e3:.2f} ms vs pallas {pl_t * 1e3:.2f} ms)"
         )
     except Exception as exc:  # pallas lowering may fail on some backends

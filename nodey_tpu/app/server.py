@@ -56,12 +56,12 @@ _PAGE = """<!DOCTYPE html>
           border-radius:6px; cursor:pointer; margin:1px; }
  button:disabled { background:#444; }
  select, textarea { background:#23262d; color:#d6d8de; border:1px solid
-          #3a3f4a; border-radius:6px; width:100%%; }
+          #3a3f4a; border-radius:6px; width:100%; }
  textarea { height:84px; font:11px monospace; }
  .gauge { height:10px; background:#2c2f36; border-radius:5px; margin:4px 0; }
- .gauge>i { display:block; height:100%%; border-radius:5px;
+ .gauge>i { display:block; height:100%; border-radius:5px;
             background:#7fd962; }
- #spec { width:100%%; image-rendering:pixelated; background:#000;
+ #spec { width:100%; image-rendering:pixelated; background:#000;
          border-radius:6px; }
  h3 { margin:14px 0 4px; font-size:12px; text-transform:uppercase;
       color:#8a8f99; }
@@ -255,7 +255,7 @@ async function poll() {
     const s = await (await fetch('/api/state')).json();
     document.getElementById('state').textContent = s.state;
     document.getElementById('fill').style.width =
-      Math.round(100 * s.fill_ratio) + '%%';
+      Math.round(100 * s.fill_ratio) + '%';
     document.getElementById('metrics').textContent =
       s.blocks + ' blocks, ' + s.seconds.toFixed(1) + ' s' +
       (s.rtf_compute ? ', compute RTF ' + s.rtf_compute.toFixed(0) + 'x' : '');
@@ -570,7 +570,11 @@ class ViewerState:
                     self._update_spectrum(block)
                 with self.lock:
                     self.rtf_compute = session.stats.rtf_compute
-                    self.state = "finished"
+                    if self.state == "running":
+                        # A user stop drains the block iterator too; keep
+                        # the 'stopped' status instead of reporting a
+                        # cancelled preview as finished.
+                        self.state = "finished"
             except BaseException as exc:  # surfaced in the overlay
                 self.notifications.push_error(exc)
                 with self.lock:

@@ -41,13 +41,23 @@ from nodey_tpu.core.graph import Graph
 
 @dataclasses.dataclass(frozen=True)
 class ChunkSpec:
-    """Static description of one edge's chunk format."""
+    """Static description of one edge's chunk format.
+
+    ``cadence`` is the NOMINAL valid samples delivered per step (the
+    steady-state arrival rate, known statically: sources deliver their
+    chunk width, resamplers scale by the rate ratio, WSOLA by 1/tempo).
+    Lockstep merges require equal cadences on every input — a faster
+    branch would grow its alignment FIFO without bound (the reference's
+    per-edge channels would instead backpressure the producer,
+    audio-stream.hpp:46-83). -1 marks "unknown" for internal stage specs
+    that never reach a merge."""
 
     rate: int
     channels: int
     fmt: str
     width: int          # static chunk buffer width (valid n <= width)
     t0_us: float = 0.0
+    cadence: float = -1.0
 
     def replace(self, **kw) -> "ChunkSpec":
         return dataclasses.replace(self, **kw)
@@ -108,6 +118,7 @@ class StreamPlanCtx:
         return ChunkSpec(
             rate=spec.rate, channels=spec.channels, fmt=spec.fmt,
             width=spec.capacity, t0_us=spec.t0_us,
+            cadence=float(spec.capacity),
         )
 
     def emit_spec(self, key: str, meta: Dict[str, Any]) -> None:
@@ -322,7 +333,12 @@ def plan_resample_stage(spec: ChunkSpec, out_rate: int):
         return spec, None, None
     plan = chunkops.resample_plan(spec.rate, out_rate, spec.width)
     state = chunkops.resample_stream_init(plan, spec.channels)
-    out_spec = spec.replace(rate=out_rate, width=plan.out_cap, fmt="flt")
+    cadence = (
+        spec.cadence * out_rate / spec.rate if spec.cadence > 0 else -1.0
+    )
+    out_spec = spec.replace(
+        rate=out_rate, width=plan.out_cap, fmt="flt", cadence=cadence
+    )
     return out_spec, state, plan
 
 
@@ -347,6 +363,18 @@ def plan_aligned_merge(specs: List[ChunkSpec], prefills: List[int]):
     the planning processor, NOT in the jitted carry (jit would trace it)."""
     from nodey_tpu.ops import chunkops
 
+    known = [s.cadence for s in specs if s.cadence > 0]
+    if known and max(known) > min(known) * (1 + 1e-6):
+        # A faster branch would outrun the aligned take (min over live
+        # inputs) and silently overflow its FIFO — reject at plan time.
+        raise ProcessorRuntimeError(
+            "Mixer inputs arrive at different rates",
+            "Streaming a mixer whose branches produce different "
+            "audio-seconds per step (e.g. one side through a velocity/"
+            "pitch change) is not supported by lockstep chunk execution; "
+            "use the offline render/export path for this graph.",
+            f"per-step arrivals at 48 kHz: {[round(c, 2) for c in known]}",
+        )
     take_cap = max(s.width for s in specs)
     states = []
     for s, pre in zip(specs, prefills):

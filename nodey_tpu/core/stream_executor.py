@@ -187,8 +187,11 @@ class StreamExecutor:
         self.master_meta: Optional[Dict[str, Any]] = None
 
     def _open_feeds(self):
+        import math
+
         feeds: Dict[str, _SourceFeed] = {}
         sources: Dict[Tuple[int, str], compiler.SourceSpec] = {}
+        pins: Dict[str, Tuple[int, str]] = {}
         for nid, node in self.graph.nodes.items():
             proc = node.processor
             if proc.info().identifier != cfg.AUDIO_INPUT_NODE_NAME:
@@ -197,7 +200,20 @@ class StreamExecutor:
                 feed = _SourceFeed(path, chunk_seconds=self.chunk_seconds)
                 key = compiler.external_key(nid, f"output_{i}")
                 feeds[key] = feed
-                sources[(nid, f"output_{i}")] = compiler.SourceSpec(
+                pins[key] = (nid, f"output_{i}")
+        # Snap every source's chunk to a shared time quantum (1/gcd of the
+        # rates) so all feeds deliver EXACTLY the same audio-seconds per
+        # step — lockstep merges require exactly proportional cadences
+        # (chunkflow.plan_aligned_merge), and independent per-rate
+        # rounding would drift their alignment FIFOs on long clips.
+        if feeds:
+            g = 0
+            for feed in feeds.values():
+                g = math.gcd(g, feed.rate)
+            m = max(1, round(self.chunk_seconds * g))
+            for key, feed in feeds.items():
+                feed.chunk = m * feed.rate // g
+                sources[pins[key]] = compiler.SourceSpec(
                     rate=feed.rate, channels=feed.channels, fmt=feed.fmt,
                     capacity=feed.chunk, t0_us=float(feed.t0_us),
                 )
@@ -382,12 +398,23 @@ class StreamExecutor:
                         )
         finally:
             egress_q.set_eof()
-            sink_done.wait(timeout=60.0)
+            # Wait for the drain (both threads set their downstream EOF in
+            # their finally blocks, so sink_done fires even on errors).
+            drained = sink_done.wait(timeout=600.0)
             self._stop.set()
             for feed in feeds.values():
                 feed.stop()
         if egress_errors:
             raise egress_errors[0]
+        if not drained:
+            # A silent timeout would truncate the sink's output while
+            # reporting success — fail loudly instead.
+            raise ProcessorRuntimeError(
+                "Streaming sink drain timed out",
+                "The egress/sink pipeline did not finish within 600 s "
+                "of the last chunk; output may be incomplete.",
+                f"steps={self.metrics.steps}",
+            )
         for key in feeds:
             if feeds[key].errors:
                 raise feeds[key].errors[0]

@@ -138,9 +138,13 @@ class StreamingSession:
         from nodey_tpu.core.stream_executor import StreamExecutor
 
         # Half-second chunks keep first-sample latency low while amortizing
-        # dispatch overhead.
+        # dispatch overhead. Spectrum-tap frames are NOT accumulated —
+        # nothing consumes them on the realtime path, and collecting them
+        # device-resident would grow HBM with clip length, defeating the
+        # bounded-memory point of streaming.
         self._executor = StreamExecutor(
-            self.runner.graph, mode="preview", chunk_seconds=0.5
+            self.runner.graph, mode="preview", chunk_seconds=0.5,
+            collect_frames=False,
         )
 
         def produce() -> None:

@@ -73,8 +73,13 @@ def wsola_score_table(
     # HBM->VMEM copies must start lane-aligned: DMA a 128-aligned superset
     # window and fold the residual offset into the in-kernel rolls.
     span_dma = span_pad + LANE
-    if N < span_dma + stride:
-        x = jnp.pad(x, ((0, 0), (0, span_dma + stride - N)))
+    # Pad so the LAST frame's lane-aligned DMA window (and its successor's
+    # tail read at pos + stride) fits — otherwise cand_start clips to
+    # max_start and the final frames score a left-shifted window.
+    last_pos = ((K - 1) * num + den // 2) // den
+    need = last_pos + stride + span_dma
+    if N < need:
+        x = jnp.pad(x, ((0, 0), (0, need - N)))
         N = x.shape[1]
 
     head = x[:, :overlap]  # frame 0's tail row (raw clip head)
@@ -344,8 +349,14 @@ def _wsola_chain_pallas_impl(
     # Lane rolls need a 128-multiple width; tails are carried at ov_pad
     # (padding lanes are never read: accesses are 8j + s < overlap).
     ov_pad = -(-overlap // LANE) * LANE
-    if N < span_dma + LANE:
-        x = jnp.pad(x, ((0, 0), (0, span_dma + LANE - N)))
+    # Pad so the LAST frame's lane-aligned DMA window fits: callers pad
+    # only to last_pos + seek + seq, which is less than the 128-aligned
+    # span_dma superset — without this, cand_start(K-1) would clip to
+    # max_start and the final frames would score a left-shifted window.
+    last_pos = ((K - 1) * num + den // 2) // den
+    need = max(last_pos + span_dma, span_dma + LANE)
+    if N < need:
+        x = jnp.pad(x, ((0, 0), (0, need - N)))
         N = x.shape[1]
     head = x[:, :ov_pad]
     max_start = N - span_dma

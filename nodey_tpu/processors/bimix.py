@@ -87,6 +87,7 @@ class _BimixStreamBase(Processor):
         out_spec = chunkflow.ChunkSpec(
             rate=config.BIMIX_STD_SAMPLE_RATE, channels=2, fmt="flt",
             width=self._merge_plan["take_cap"], t0_us=self._t0_out,
+            cadence=normed[0].cadence,
         )
         return {"output": out_spec}, {"rs": rs_states, "merge": merge_fifos}
 

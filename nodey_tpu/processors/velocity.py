@@ -91,7 +91,11 @@ class _SoundTouchStreamBase(Processor):
             states["r"] = st
             width = plan.out_cap
 
-        out_spec = spec.replace(width=width, fmt="flt")
+        # Output duration scales by 1/rate_f overall (tempo x transpose),
+        # so the nominal per-step arrival does too — merges downstream
+        # must see the true cadence to reject un-streamable mixes.
+        cadence = spec.cadence / rate_f if spec.cadence > 0 else -1.0
+        out_spec = spec.replace(width=width, fmt="flt", cadence=cadence)
         return {"output": out_spec}, states
 
     def lower_stream(self, ctx, inputs, state):

@@ -58,11 +58,22 @@ def run_offline(g, src_arrays, mode="export"):
 
 
 def run_streamed(g, src_arrays, chunk, mode="export", max_flush=64):
-    """Chunked render through the streaming compiler; concatenates outputs."""
+    """Chunked render through the streaming compiler; concatenates outputs.
+
+    ``chunk`` is the capacity at the FASTEST source rate; slower-rate
+    sources get exactly rate-proportional capacities (the same contract
+    the production StreamExecutor enforces via the rate-gcd quantum) so
+    every branch delivers the same audio-seconds per step."""
+    max_rate = max(rate for (_d, rate, _f) in src_arrays.values())
     sources = {}
     for (nid, pin), (data, rate, fmt) in src_arrays.items():
+        cap = chunk * rate // max_rate
+        assert cap * max_rate == chunk * rate, (
+            "test chunk must be rate-proportional; pick a chunk divisible "
+            f"by {max_rate}/gcd (rates {rate} vs {max_rate})"
+        )
         sources[(nid, pin)] = compiler.SourceSpec(
-            rate=rate, channels=data.shape[0], fmt=fmt, capacity=chunk,
+            rate=rate, channels=data.shape[0], fmt=fmt, capacity=cap,
         )
     sc = chunkflow.compile_stream_graph(g, sources, mode=mode)
     states = sc.init_states
@@ -86,8 +97,9 @@ def run_streamed(g, src_arrays, chunk, mode="export", max_flush=64):
         for key in sc.input_keys:
             data = full[key]
             p = pos[key]
-            n = min(chunk, totals[key] - p)
-            block = np.zeros((data.shape[0], chunk), dtype=np.float32)
+            cap = sc.chunk_in[key]
+            n = min(cap, totals[key] - p)
+            block = np.zeros((data.shape[0], cap), dtype=np.float32)
             if n > 0:
                 block[:, : n] = data[:, p : p + n]
             pos[key] = p + max(n, 0)
@@ -202,7 +214,7 @@ def test_stream_amix_mixed_rates_and_lengths():
 
     off, _ = run_offline(g, srcs)
     ref, ref_len = off["master"]
-    got, _ = run_streamed(g, srcs, chunk=4000)
+    got, _ = run_streamed(g, srcs, chunk=4410)
     m = got["master"]
     assert m.shape[1] == int(ref_len)
     np.testing.assert_allclose(m, ref[:, : int(ref_len)], rtol=0, atol=3e-7)

@@ -171,3 +171,35 @@ def test_chain_kernel_vmaps_via_lax_map():
     batched = jax.vmap(one)(xs)
     for b in range(3):
         np.testing.assert_array_equal(batched[b], one(xs[b]))
+
+
+@pytest.mark.parametrize("kernel", ["chain", "table"])
+def test_last_frame_window_not_clipped(kernel):
+    """Regression: the input padded only to last_pos + seek + seq (what
+    stretch._wsola_impl provides) must still give the LAST frames the same
+    splices as a generously padded input — the kernels' lane-aligned DMA
+    windows extend past seek+seq and used to clip cand_start at the end,
+    scoring a left-shifted window."""
+    rate = 8_000
+    seq, seek, overlap = stretch_ops._params(rate)
+    stride = seq - overlap
+    num = int(round(stride * 1.25 * 65536))
+    den = 65536
+    K = 12
+    last_pos = ((K - 1) * num + den // 2) // den
+    n_tight = last_pos + seek + seq + 2          # stretch.py's exact pad
+    rng = np.random.default_rng(3)
+    x = (0.4 * rng.standard_normal((2, n_tight))).astype(np.float32)
+
+    want = _numpy_chain(x, K, num, den, seq, seek, overlap)
+    if kernel == "chain":
+        got = np.asarray(pallas_wsola.wsola_chain_pallas(
+            jnp.asarray(x), K, num, den, seq, seek, overlap,
+            interpret=True,
+        ))
+    else:
+        got = np.asarray(pallas_wsola.splice_offsets(
+            jnp.asarray(x), K, num, den, seq, seek, overlap,
+            interpret=True,
+        ))
+    np.testing.assert_array_equal(got, want)

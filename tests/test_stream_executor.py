@@ -183,3 +183,61 @@ def test_streamed_executor_stop_midway(tmp_path):
 
     ex.run(sink=sink)
     assert 2 <= len(seen) < 12  # stopped early, not the full clip
+
+
+def test_streamed_mixer_rejects_mismatched_cadence(tmp_path):
+    """A velocity-changed branch mixed with a raw branch cannot stream in
+    lockstep (the fast branch's alignment FIFO would overflow silently);
+    plan time must raise the structured error instead."""
+    from nodey_tpu.core.errors import ProcessorRuntimeError
+    from nodey_tpu.processors.velocity import VelocityModifier
+
+    registry.register_all_processors()
+    paths = _write_fixtures(tmp_path, seconds=1.0)
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = list(paths)
+    g.update_node_pin(src)
+    vel = g.add_node(VelocityModifier())
+    g.nodes[vel].processor.set_velocity(2.0)
+    amix = g.add_node(AudioAmix())
+    g.nodes[amix].processor.set_input_num(2)
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, vel, "input"))
+    g.add_link(_pin(g, vel, "output"), _pin(g, amix, "input_1"))
+    g.add_link(_pin(g, src, "output_1"), _pin(g, amix, "input_2"))
+    g.add_link(_pin(g, amix, "output"), _pin(g, out, "input"))
+
+    ex = StreamExecutor(g, mode="export", chunk_seconds=0.25)
+    with pytest.raises(ProcessorRuntimeError, match="different rates"):
+        ex.run(sink=lambda b: None)
+
+
+def test_streamed_mixer_accepts_pitch_branch(tmp_path):
+    """Pitch shift preserves duration (tempo x transpose cancel), so a
+    pitch branch into a mixer still streams — and matches offline."""
+    registry.register_all_processors()
+    paths = _write_fixtures(tmp_path, seconds=1.0)
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = list(paths)
+    g.update_node_pin(src)
+    pit = g.add_node(PitchModifier())
+    g.nodes[pit].processor.pitch = 3.0
+    amix = g.add_node(AudioAmix())
+    g.nodes[amix].processor.set_input_num(2)
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, pit, "input"))
+    g.add_link(_pin(g, pit, "output"), _pin(g, amix, "input_1"))
+    g.add_link(_pin(g, src, "output_1"), _pin(g, amix, "input_2"))
+    g.add_link(_pin(g, amix, "output"), _pin(g, out, "input"))
+
+    blocks = []
+    ex = StreamExecutor(g, mode="export", chunk_seconds=0.25)
+    ex.run(sink=lambda b: blocks.append(b.copy()))
+    got = np.concatenate(blocks, axis=1)
+
+    offline = Runner(g).render(mode="export")
+    ref = np.asarray(offline.master)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
