@@ -357,6 +357,24 @@ class Runner:
             sm = executor.run(sink, progress=progress)
             if "enc" in enc_holder:
                 enc_holder["enc"].close()
+        except ProcessorRuntimeError as exc:
+            if (
+                "lockstep" in (exc.explanation or "")
+                and "enc" not in enc_holder
+            ):
+                # Graphs whose mixer branches run at different tempos
+                # cannot stream in lockstep (chunkflow.plan_aligned_merge
+                # rejects them before any output); fall back to the
+                # offline whole-clip export, which handles them exactly.
+                return self.export(path, kbps=kbps, progress=progress)
+            self.state = RunnerState.ERROR
+            self.error = exc
+            if "enc" in enc_holder:
+                try:
+                    enc_holder["enc"].close()
+                except Exception:
+                    pass
+            raise
         except BaseException as exc:
             self.state = RunnerState.ERROR
             self.error = exc

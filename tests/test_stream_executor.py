@@ -241,3 +241,36 @@ def test_streamed_mixer_accepts_pitch_branch(tmp_path):
     ref = np.asarray(offline.master)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
+def test_export_streamed_falls_back_offline_for_mismatched_cadence(tmp_path):
+    """`run --stream --export` of a velocity-mix graph must still produce a
+    correct MP3: the streamed path rejects lockstep execution and
+    export_streamed silently falls back to the offline pipeline."""
+    from nodey_tpu.processors.velocity import VelocityModifier
+
+    if native_lib.load() is None:
+        pytest.skip("native host runtime unavailable")
+    registry.register_all_processors()
+    paths = _write_fixtures(tmp_path, seconds=1.0)
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = list(paths)
+    g.update_node_pin(src)
+    vel = g.add_node(VelocityModifier())
+    g.nodes[vel].processor.set_velocity(2.0)
+    amix = g.add_node(AudioAmix())
+    g.nodes[amix].processor.set_input_num(2)
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, vel, "input"))
+    g.add_link(_pin(g, vel, "output"), _pin(g, amix, "input_1"))
+    g.add_link(_pin(g, src, "output_1"), _pin(g, amix, "input_2"))
+    g.add_link(_pin(g, amix, "output"), _pin(g, out, "input"))
+
+    streamed_path = str(tmp_path / "fallback.mp3")
+    offline_path = str(tmp_path / "offline.mp3")
+    m = Runner(g).export_streamed(streamed_path, kbps=192)
+    assert m.audio_seconds > 0.9
+    Runner(g).export(offline_path, kbps=192)
+    with open(streamed_path, "rb") as f1, open(offline_path, "rb") as f2:
+        assert f1.read() == f2.read()
