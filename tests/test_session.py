@@ -206,3 +206,93 @@ def test_shallow_copy_independent_structure():
     s.graph.remove_node(nid_vol)
     assert nid_vol in snap.nodes
     assert snap.nodes[nid_vol].processor is not None
+
+
+def test_fuzz_random_editing_invariants():
+    """Randomized editing soak: hundreds of mutations through the session
+    surface must never corrupt the graph — after every step the structure
+    is internally consistent, and whenever check_graph passes the project
+    round-trips through the JSON serde."""
+    import json as _json
+    import random
+
+    from nodey_tpu.core import registry as _registry
+    from nodey_tpu.core.errors import NodeyError
+    from nodey_tpu.core.graph import Graph
+
+    _registry.register_all_processors()
+    rng = random.Random(1234)
+    svc = SessionService()
+    idents = sorted(_registry.processor_map)
+
+    def consistent(g):
+        for pid, pin in g.pins.items():
+            assert pin.parent in g.nodes
+            assert pid in g.nodes[pin.parent].pins
+        for nid, node in g.nodes.items():
+            for name, pid in node.pin_name_map.items():
+                assert pid in g.pins and g.pins[pid].parent == nid
+        for link in g.links.values():
+            assert link.from_pin in g.pins and link.to_pin in g.pins
+        for ident, nid in g.singleton_node_map.items():
+            assert nid in g.nodes
+            assert g.nodes[nid].processor.info().identifier == ident
+
+    for step in range(400):
+        g = svc.graph
+        op = rng.choice(
+            ["add", "add", "remove", "link", "link", "unlink",
+             "undo", "redo", "copy_paste", "set_pos"]
+        )
+        try:
+            if op == "add":
+                info = _registry.processor_map[rng.choice(idents)]
+                if info.singleton and info.identifier in g.singleton_node_map:
+                    continue
+                svc.save_undo_state()
+                g.add_node(info.generate())
+            elif op == "remove" and g.nodes:
+                svc.save_undo_state()
+                g.remove_node(rng.choice(sorted(g.nodes)))
+            elif op == "link" and g.pins:
+                outs = [p for p, pin in g.pins.items()
+                        if not pin.attribute.is_input]
+                ins = [p for p, pin in g.pins.items()
+                       if pin.attribute.is_input]
+                if not outs or not ins:
+                    continue
+                svc.save_undo_state()
+                lid = g.add_link(rng.choice(outs), rng.choice(ins))
+                try:
+                    g.check_graph()
+                except NodeyError:
+                    g.remove_link(lid)   # editor rollback flow
+                    svc.undo_stack.pop()
+            elif op == "unlink" and g.links:
+                svc.save_undo_state()
+                lid = rng.choice(sorted(g.links))
+                link = g.links[lid]
+                g.remove_link_between(link.from_pin, link.to_pin)
+            elif op == "undo":
+                svc.undo()
+            elif op == "redo":
+                svc.redo()
+            elif op == "copy_paste" and g.nodes:
+                picks = rng.sample(
+                    sorted(g.nodes), k=min(2, len(g.nodes))
+                )
+                if svc.copy_nodes(picks):
+                    svc.paste_nodes()
+            elif op == "set_pos" and g.nodes:
+                nid = rng.choice(sorted(g.nodes))
+                g.nodes[nid].position = (
+                    rng.uniform(0, 900), rng.uniform(0, 600)
+                )
+        except NodeyError:
+            pass  # structured rejections are fine; corruption is not
+        consistent(svc.graph)
+        blob = _json.loads(_json.dumps(svc.graph.serialize()))
+        reloaded = Graph.deserialize(blob)
+        consistent(reloaded)
+        assert len(reloaded.nodes) == len(svc.graph.nodes)
+        assert len(reloaded.links) == len(svc.graph.links)

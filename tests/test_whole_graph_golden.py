@@ -197,3 +197,47 @@ def test_config5_editor_graph_vs_composition():
     # before is held to >= 90 dB.
     sl = slice(0, min(la, lb) - 200)
     assert snr_db(want[:, sl], master[:, sl]) > 90.0
+
+
+def test_config2_split_gain_merge_vs_oracle_composition():
+    """Config 2: 44.1 kHz stereo -> split -> per-channel gain -> bimix
+    master, vs NumPy gains + REAL swr per-side resample + bias weighting
+    (the reference's per-side SwrContext path, audio-bimix.cpp:196-317)."""
+    registry.register_all_processors()
+    rate = 44_100
+    x = _tone(4, 1.0, rate)
+
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = ["x.wav"]
+    g.update_node_pin(src)
+    split = g.add_node(AudioSplit())
+    vl = g.add_node(AudioVol())
+    g.nodes[vl].processor.set_volume(0.8)
+    vr = g.add_node(AudioVol())
+    g.nodes[vr].processor.set_volume(1.4)
+    merge = g.add_node(AudioBimix())
+    g.nodes[merge].processor.set_bias(0.25)
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, split, "input"))
+    g.add_link(_pin(g, split, "output_l"), _pin(g, vl, "input"))
+    g.add_link(_pin(g, split, "output_r"), _pin(g, vr, "input"))
+    g.add_link(_pin(g, vl, "output"), _pin(g, merge, "input_l"))
+    g.add_link(_pin(g, vr, "output"), _pin(g, merge, "input_r"))
+    g.add_link(_pin(g, merge, "output"), _pin(g, out, "input"))
+
+    master = _compile_and_run(g, {(src, "output_0"): (x, rate)})
+
+    # Independent composition: per-side gain in NumPy, the -3 dB mono
+    # upmix, REAL libswresample to 48 kHz, then the (1 -/+ bias) weights.
+    side_l = apply_gain_reference(x[0:1], 0.8, "flt") * SQRT1_2
+    side_r = apply_gain_reference(x[1:2], 1.4, "flt") * SQRT1_2
+    rl = swr_convert(side_l.astype(np.float32), rate, 48_000)
+    rr = swr_convert(side_r.astype(np.float32), rate, 48_000)
+    n = min(rl.shape[1], rr.shape[1], master.shape[1])
+    want = np.concatenate(
+        [rl[:, :n] * (1.0 - 0.25), rr[:, :n] * (1.0 + 0.25)], axis=0
+    ).astype(np.float64)
+
+    sl = slice(200, n - 200)
+    assert snr_db(want[:, sl], master[:, sl]) > 90.0
