@@ -314,6 +314,48 @@ def wsola_chain_pallas(
     return wrapped(x)
 
 
+def wsola_chain_assemble_pallas(
+    x,
+    K: int,
+    num: int,
+    den: int,
+    seq: int,
+    seek: int,
+    overlap: int,
+    interpret: bool = False,
+):
+    """Fused chain + assembly: returns (bs [K] int32, body [C, K*stride]).
+
+    The kernel already holds the realized previous tail and the chosen
+    candidate window in VMEM when the splice resolves, so each grid step
+    also EMITS its stride of output audio (fade-blend head + direct body)
+    — eliminating the separate XLA gather/overlap-add assembly pass.
+    Blend arithmetic is identical to stretch._assemble_from_offsets
+    (tail*fade_out + seg*fade_in in f32). Requires stride to be
+    lane-aligned and >= the padded overlap (true for the production
+    40/15/8 ms parameters at standard rates); callers gate on
+    ``can_fuse_assembly``. Batch-safe like wsola_chain_pallas."""
+    inner = functools.partial(
+        _wsola_chain_pallas_impl,
+        K=K, num=num, den=den, seq=seq, seek=seek, overlap=overlap,
+        interpret=interpret, emit_audio=True,
+    )
+    wrapped = jax.custom_batching.custom_vmap(inner)
+
+    @wrapped.def_vmap
+    def _batch_rule(axis_size, in_batched, xs):  # noqa: ANN001
+        del axis_size, in_batched
+        return lax.map(inner, xs), (True, True)
+
+    return wrapped(x)
+
+
+def can_fuse_assembly(seq: int, overlap: int) -> bool:
+    stride = seq - overlap
+    ov_pad = -(-overlap // LANE) * LANE
+    return stride % LANE == 0 and stride >= ov_pad
+
+
 def _wsola_chain_pallas_impl(
     x,
     K: int,
@@ -323,6 +365,7 @@ def _wsola_chain_pallas_impl(
     seek: int,
     overlap: int,
     interpret: bool = False,
+    emit_audio: bool = False,
 ):
     """The greedy WSOLA chain run INSIDE one kernel: exact f32 splice
     offsets bs [K] int32.
@@ -358,8 +401,27 @@ def _wsola_chain_pallas_impl(
     if N < need:
         x = jnp.pad(x, ((0, 0), (0, need - N)))
         N = x.shape[1]
-    head = x[:, :ov_pad]
+    if emit_audio and not can_fuse_assembly(seq, overlap):
+        raise ValueError(
+            f"emit_audio requires lane-aligned stride >= padded overlap "
+            f"(seq={seq}, overlap={overlap})"
+        )
+    head_w = stride if emit_audio else ov_pad
+    head = x[:, :head_w]
     max_start = N - span_dma
+    if emit_audio:
+        # fades[0] = fade_in extended with 1s past the overlap, fades[1] =
+        # fade_out extended with 0s: `tail*fades[1] + seg*fades[0]` then
+        # yields the blended head AND the direct body in one expression
+        # (tail lanes past the overlap are finite garbage times 0.0).
+        # Same f32 arithmetic as stretch._assemble_from_offsets.
+        f_in = np.ones(stride, dtype=np.float32)
+        f_in[:overlap] = (
+            np.arange(overlap, dtype=np.float32) + np.float32(0.5)
+        ) / np.float32(overlap)
+        fades = np.stack([f_in, np.float32(1.0) - f_in])
+        fades[1, overlap:] = 0.0
+        fades = jnp.asarray(fades)                      # [2, stride]
     if overlap % 8:
         raise ValueError(
             f"wsola_chain_pallas requires overlap % 8 == 0, got {overlap}"
@@ -370,7 +432,12 @@ def _wsola_chain_pallas_impl(
     S = 16 if overlap % 16 == 0 else 8
     nj = overlap // S
 
-    def kernel(x_hbm, head_ref, out_ref, win, bprev, sems):
+    def kernel(x_hbm, head_ref, *rest):
+        if emit_audio:
+            fades_ref, bs_ref, body_ref, win, bprev, sems = rest
+        else:
+            (bs_ref, win, bprev, sems) = rest
+            fades_ref = body_ref = None
         k = pl.program_id(0)
         n_steps = pl.num_programs(0)
 
@@ -422,9 +489,20 @@ def _wsola_chain_pallas_impl(
         d_prev = prev_s % LANE
         off = bprev[0, 0] + stride + d_prev
         wprev = win[(k + 2) % 3]
-        tail_full = pltpu.roll(wprev, span_dma - off, 1)[:, :ov_pad]
+        tail_roll = pltpu.roll(wprev, span_dma - off, 1)
         is_first = k == 0
-        tail = jnp.where(is_first, head_ref[:, :], tail_full)  # [C, ov_pad]
+        if emit_audio:
+            # One wide tail covers both uses: scoring reads the first
+            # ov_pad lanes, the emit blend the first stride lanes (lanes
+            # past the overlap are zeroed by fade_out).
+            tail_wide = jnp.where(
+                is_first, head_ref[:, :], tail_roll[:, :stride]
+            )                                           # [C, stride]
+            tail = tail_wide[:, :ov_pad]
+        else:
+            tail = jnp.where(
+                is_first, head_ref[:, :], tail_roll[:, :ov_pad]
+            )                                           # [C, ov_pad]
 
         # The step is ISSUE-bound (~100 ns per Mosaic vector op), so every
         # op runs on ALL channels at once ([C, w] vectors, sublane-stacked)
@@ -498,19 +576,48 @@ def _wsola_chain_pallas_impl(
         )
         best = jnp.argmax(ranked, axis=1)[0].astype(jnp.int32)
         bprev[0, 0] = best
-        out_ref[0, :, :] = jnp.broadcast_to(best, (8, LANE))
+        bs_ref[0, :, :] = jnp.broadcast_to(best, (8, LANE))
+        if emit_audio:
+            # Emit this frame's stride of output: realign the window so
+            # the chosen candidate starts at lane 0, then blend/copy in
+            # one fused expression (see fades construction above).
+            w_b = pltpu.roll(w, span_dma - best, 1)[:, :stride]
+            body = (
+                tail_wide * fades_ref[1:2, :] + w_b * fades_ref[0:1, :]
+            )
+            body_ref[0, :, :] = body
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    bs_spec = pl.BlockSpec(
+        (1, 8, LANE), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
+    )
+    bs_shape = jax.ShapeDtypeStruct((K, 8, LANE), jnp.int32)
+    if emit_audio:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # fades
+        out_specs = [
+            bs_spec,
+            pl.BlockSpec(
+                (1, C, stride), lambda k: (k, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            bs_shape, jax.ShapeDtypeStruct((K, C, stride), jnp.float32)
+        ]
+        args = (x, head, fades)
+    else:
+        out_specs = bs_spec
+        out_shape = bs_shape
+        args = (x, head)
     out = pl.pallas_call(
         kernel,
         grid=(K,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 8, LANE), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((K, 8, LANE), jnp.int32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((3, C, span_dma), jnp.float32),
             pltpu.SMEM((1, 1), jnp.int32),
@@ -520,5 +627,9 @@ def _wsola_chain_pallas_impl(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, head)
+    )(*args)
+    if emit_audio:
+        bs, frames = out
+        body = jnp.transpose(frames, (1, 0, 2)).reshape(C, K * stride)
+        return bs[:, 0, 0], body
     return out[:, 0, 0]

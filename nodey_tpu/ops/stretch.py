@@ -173,13 +173,20 @@ def _wsola_impl(data, length, tempo, rate):
         # Serial-chain kernel: exact f32 VPU scoring of only the realized
         # tail per frame (see ops/pallas_wsola.wsola_chain_pallas) — both
         # faster and numerically stricter than the parallel score-table
-        # kernel at MXU precision.
-        bs = pallas_wsola.wsola_chain_pallas(
-            x, K, num, den, seq, seek, overlap,
-        )
-        body = _assemble_from_offsets(
-            x, bs, K, num, den, seq, seek, overlap
-        )
+        # kernel at MXU precision. When the geometry allows, the kernel
+        # also EMITS the assembled audio directly (the windows are already
+        # in VMEM at splice time), skipping the XLA gather/overlap-add.
+        if pallas_wsola.can_fuse_assembly(seq, overlap):
+            _bs, body = pallas_wsola.wsola_chain_assemble_pallas(
+                x, K, num, den, seq, seek, overlap,
+            )
+        else:
+            bs = pallas_wsola.wsola_chain_pallas(
+                x, K, num, den, seq, seek, overlap,
+            )
+            body = _assemble_from_offsets(
+                x, bs, K, num, den, seq, seek, overlap
+            )
     elif K >= _BLOCKED_MIN_FRAMES:
         body = _wsola_blocked(x, K, num, den, seq, seek, overlap)
     else:
@@ -229,6 +236,11 @@ def _assemble_from_offsets(x, bs, K, num, den, seq, seek, overlap, block=64):
     fade_out = 1.0 - fade_in
     head = x[:, :overlap]
     span_w = (block + 1) * (num // den + 1) + win_w + 64
+    # Small K (just past the blocked-path gate) can leave x narrower than
+    # one block span; pad so the dynamic block slice always fits (the
+    # clamps keep every frame read inside the real samples).
+    if x.shape[1] < span_w:
+        x = jnp.pad(x, ((0, 0), (0, span_w - x.shape[1])))
 
     def block_step(_carry, blk):
         k0 = blk * block

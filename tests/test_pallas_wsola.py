@@ -203,3 +203,58 @@ def test_last_frame_window_not_clipped(kernel):
             interpret=True,
         ))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("tempo", [1.25, 0.8])
+def test_fused_assembly_matches_xla_assembly(tempo):
+    """The kernel-emitted audio must equal the XLA gather/overlap-add
+    assembly fed the same splice offsets (and those offsets must match
+    the separate offsets-only kernel)."""
+    rate = 8_000
+    seq, seek, overlap = stretch_ops._params(rate)
+    assert pallas_wsola.can_fuse_assembly(seq, overlap)
+    stride = seq - overlap
+    num = int(round(stride * tempo * 65536))
+    den = 65536
+    K = 14
+    last_pos = ((K - 1) * num + den // 2) // den
+    n = last_pos + seek + seq + 2
+    rng = np.random.default_rng(9)
+    x = (0.4 * rng.standard_normal((2, n))).astype(np.float32)
+
+    bs, body = pallas_wsola.wsola_chain_assemble_pallas(
+        jnp.asarray(x), K, num, den, seq, seek, overlap, interpret=True
+    )
+    bs_ref = pallas_wsola.wsola_chain_pallas(
+        jnp.asarray(x), K, num, den, seq, seek, overlap, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(bs), np.asarray(bs_ref))
+
+    want = stretch_ops._assemble_from_offsets(
+        jnp.asarray(x), bs_ref, K, num, den, seq, seek, overlap
+    )
+    np.testing.assert_array_equal(np.asarray(body), np.asarray(want))
+
+
+def test_fused_assembly_vmaps():
+    rate = 8_000
+    seq, seek, overlap = stretch_ops._params(rate)
+    stride = seq - overlap
+    num, den = 5 * stride, 4
+    K = 6
+    n = ((K - 1) * num + den // 2) // den + seek + seq + 2
+    rng = np.random.default_rng(10)
+    xs = jnp.asarray(
+        (0.3 * rng.standard_normal((2, 2, n))).astype(np.float32)
+    )
+
+    def one(x):
+        return pallas_wsola.wsola_chain_assemble_pallas(
+            x, K, num, den, seq, seek, overlap, interpret=True
+        )
+
+    bs_b, body_b = jax.vmap(one)(xs)
+    for b in range(2):
+        bs1, body1 = one(xs[b])
+        np.testing.assert_array_equal(bs_b[b], bs1)
+        np.testing.assert_array_equal(body_b[b], body1)
