@@ -319,7 +319,13 @@ class ViewerState:
         self.session.project_path = project_path
         self.title = title
         self.lock = threading.Lock()
+        # Serializes all graph/session access across HTTP handler threads
+        # (ThreadingHTTPServer runs each request on its own thread; the
+        # reference is single-threaded UI + an engine thread).
+        self.edit_lock = threading.RLock()
         self.preview_session = None
+        self._job_thread: Optional[threading.Thread] = None
+        self._export_runner = None
         self.state = "idle"
         self.blocks = 0
         self.seconds = 0.0
@@ -390,8 +396,14 @@ class ViewerState:
     # -- edits (each mirrors a reference app mutation) -----------------------
 
     def _guard_editable(self) -> None:
-        if self.state == "running":
-            raise NodeyError("Stop the preview before editing the graph")
+        # Guard on the WORKER THREAD being alive, not the state string: a
+        # stop request flips the state immediately, but the preview/export
+        # thread may still be reading the graph while it winds down.
+        if self._job_thread is not None and self._job_thread.is_alive():
+            raise NodeyError(
+                "Stop the running preview/export (and let it finish "
+                "winding down) before editing the graph"
+            )
 
     def edit(self, op: str, body: Dict[str, Any]) -> Dict[str, Any]:
         from nodey_tpu.app.session import apply_params
@@ -510,7 +522,10 @@ class ViewerState:
         if kbps not in (64, 96, 128, 160, 192, 256, 320):
             raise NodeyError(f"Unsupported bitrate {kbps} kbps")
         with self.lock:
-            if self.state == "running":
+            if self.state == "running" or (
+                self._job_thread is not None
+                and self._job_thread.is_alive()
+            ):
                 raise NodeyError("A preview or export is already running")
             self.state = "running"
             self.blocks = 0
@@ -521,9 +536,12 @@ class ViewerState:
             with self.lock:
                 self.seconds = seconds
 
+        runner = Runner(self.graph)
+        self._export_runner = runner
+
         def consume() -> None:
             try:
-                metrics = Runner(self.graph).export_streamed(
+                metrics = runner.export_streamed(
                     path, kbps=kbps, progress=progress
                 )
                 self.notifications.push(
@@ -534,14 +552,16 @@ class ViewerState:
                 )
                 with self.lock:
                     self.rtf_compute = metrics.rtf
-                    self.state = "finished"
+                    if self.state == "running":
+                        self.state = "finished"
             except BaseException as exc:
                 self.notifications.push_error(exc)
                 with self.lock:
                     self.state = "error"
                     self.error = str(exc)
 
-        threading.Thread(target=consume, daemon=True).start()
+        self._job_thread = threading.Thread(target=consume, daemon=True)
+        self._job_thread.start()
         return {"ok": True, "path": path, "kbps": kbps}
 
     # -- preview --------------------------------------------------------------
@@ -550,7 +570,10 @@ class ViewerState:
         from nodey_tpu.core.streaming import StreamingSession
 
         with self.lock:
-            if self.state == "running":
+            if self.state == "running" or (
+                self._job_thread is not None
+                and self._job_thread.is_alive()
+            ):
                 return
             self.state = "running"
             self.blocks = 0
@@ -581,7 +604,8 @@ class ViewerState:
                     self.state = "error"
                     self.error = str(exc)
 
-        threading.Thread(target=consume, daemon=True).start()
+        self._job_thread = threading.Thread(target=consume, daemon=True)
+        self._job_thread.start()
 
     def _update_spectrum(self, block: np.ndarray) -> None:
         """Rolling STFT of the preview output for the spectrum panel."""
@@ -602,8 +626,13 @@ class ViewerState:
             self.spectrum = spec[-256:]
 
     def stop_preview(self) -> None:
+        """Cooperative stop for whichever job is running (preview OR
+        export); edits stay blocked until the worker thread exits
+        (_guard_editable checks thread liveness, not the state string)."""
         if self.preview_session is not None:
             self.preview_session.stop()
+        if self._export_runner is not None:
+            self._export_runner.stop_streaming()
         with self.lock:
             if self.state == "running":
                 self.state = "stopped"
@@ -648,18 +677,33 @@ def make_handler(viewer: ViewerState):
                 return {}
 
         def do_GET(self) -> None:
+            try:
+                self._do_get()
+            except NodeyError as exc:
+                self._json({"ok": False, "error": str(exc)}, 400)
+            except Exception as exc:  # keep the poll endpoints alive
+                self._json({"ok": False, "error": f"internal: {exc}"}, 500)
+
+        def _do_get(self) -> None:
             if self.path == "/":
                 page = _PAGE.replace("%TITLE%", viewer.title)
                 self._send(200, page.encode(), "text/html; charset=utf-8")
             elif self.path == "/api/graph":
-                self._json(viewer.graph_json())
+                with viewer.edit_lock:
+                    self._json(viewer.graph_json())
             elif self.path == "/api/registry":
-                self._json(viewer.registry_json())
+                with viewer.edit_lock:
+                    self._json(viewer.registry_json())
             elif self.path == "/api/state":
                 # The poll tick doubles as the autosave heartbeat (the
                 # reference declares auto_save but never wires it;
-                # SessionService implements it).
-                viewer.session.maybe_autosave()
+                # SessionService implements it). Serialized with edits and
+                # best-effort: an autosave failure must not kill the poll.
+                try:
+                    with viewer.edit_lock:
+                        viewer.session.maybe_autosave()
+                except Exception:
+                    pass
                 self._json(viewer.state_json())
             elif self.path == "/api/settings":
                 self._json(viewer.settings_json())
@@ -689,19 +733,26 @@ def make_handler(viewer: ViewerState):
                     self._json({"ok": True})
                 elif self.path.startswith("/api/edit/"):
                     op = self.path[len("/api/edit/"):]
-                    self._json(viewer.edit(op, self._body()))
+                    with viewer.edit_lock:
+                        self._json(viewer.edit(op, self._body()))
                 elif self.path == "/api/copy":
-                    self._json(viewer.copy(self._body()))
+                    with viewer.edit_lock:
+                        self._json(viewer.copy(self._body()))
                 elif self.path == "/api/paste":
-                    self._json(viewer.paste(self._body()))
+                    with viewer.edit_lock:
+                        self._json(viewer.paste(self._body()))
                 elif self.path == "/api/undo":
-                    self._json(viewer.undo())
+                    with viewer.edit_lock:
+                        self._json(viewer.undo())
                 elif self.path == "/api/redo":
-                    self._json(viewer.redo())
+                    with viewer.edit_lock:
+                        self._json(viewer.redo())
                 elif self.path == "/api/save":
-                    self._json(viewer.save())
+                    with viewer.edit_lock:
+                        self._json(viewer.save())
                 elif self.path == "/api/settings":
-                    self._json(viewer.apply_settings(self._body()))
+                    with viewer.edit_lock:
+                        self._json(viewer.apply_settings(self._body()))
                 else:
                     self._json({"error": "not found"}, 404)
             except NodeyError as exc:

@@ -222,7 +222,9 @@ def compile_stream_graph(
         except ProcessorRuntimeError as exc:
             info = node.processor.info()
             if f"[node {nid}" not in exc.detail:
-                raise ProcessorRuntimeError(
+                # type(exc) keeps subclasses (UnstreamableGraphError)
+                # so callers can dispatch fallbacks on them.
+                raise type(exc)(
                     exc.message, exc.explanation,
                     f"{exc.detail} [node {nid}: {info.identifier}]",
                 ) from exc
@@ -255,7 +257,7 @@ def compile_stream_graph(
             except ProcessorRuntimeError as exc:
                 info = node.processor.info()
                 if f"[node {nid}" not in exc.detail:
-                    raise ProcessorRuntimeError(
+                    raise type(exc)(
                         exc.message, exc.explanation,
                         f"{exc.detail} [node {nid}: {info.identifier}]",
                     ) from exc
@@ -367,7 +369,9 @@ def plan_aligned_merge(specs: List[ChunkSpec], prefills: List[int]):
     if known and max(known) > min(known) * (1 + 1e-6):
         # A faster branch would outrun the aligned take (min over live
         # inputs) and silently overflow its FIFO — reject at plan time.
-        raise ProcessorRuntimeError(
+        from nodey_tpu.core.errors import UnstreamableGraphError
+
+        raise UnstreamableGraphError(
             "Mixer inputs arrive at different rates",
             "Streaming a mixer whose branches produce different "
             "audio-seconds per step (e.g. one side through a velocity/"

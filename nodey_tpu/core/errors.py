@@ -70,3 +70,11 @@ class ProcessorRuntimeError(NodeyError):
         self.message = message
         self.explanation = explanation
         self.detail = detail
+
+
+class UnstreamableGraphError(ProcessorRuntimeError):
+    """The graph is valid but cannot execute under LOCKSTEP chunk
+    streaming (e.g. mixer branches with different per-step audio-second
+    cadences, chunkflow.plan_aligned_merge). Raised before any output is
+    produced, so callers may fall back to the offline whole-clip paths,
+    which handle these graphs exactly."""

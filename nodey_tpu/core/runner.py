@@ -27,7 +27,11 @@ import numpy as np
 
 from nodey_tpu import config as cfg
 from nodey_tpu.core import compiler
-from nodey_tpu.core.errors import NodeyError, ProcessorRuntimeError
+from nodey_tpu.core.errors import (
+    NodeyError,
+    ProcessorRuntimeError,
+    UnstreamableGraphError,
+)
 from nodey_tpu.core.graph import Graph
 from nodey_tpu.host import decode as host_decode
 from nodey_tpu.host import encode as host_encode
@@ -85,6 +89,17 @@ class Runner:
         self.state = RunnerState.READY
         self.error: Optional[BaseException] = None
         self._compile_cache: Dict[str, compiler.CompiledGraph] = {}
+        # Per-stage StreamMetrics of the most recent streamed export
+        # (None when the run took the offline fallback or never streamed).
+        self.last_stream_metrics = None
+        self._active_executor = None
+
+    def stop_streaming(self) -> None:
+        """Cooperatively cancel an in-flight export_streamed (the
+        stop_source analog, reference: include/infra/runner.hpp:47)."""
+        executor = self._active_executor
+        if executor is not None:
+            executor.stop()
 
     # -- decode -------------------------------------------------------------
 
@@ -339,6 +354,8 @@ class Runner:
             self.graph, mode="export", chunk_seconds=chunk_seconds,
             master_wire="s16", collect_frames=False,
         )
+        # Exposed for cooperative cancellation (Runner.stop_streaming).
+        self._active_executor = executor
         enc_holder: Dict[str, Any] = {}
 
         def sink(block: np.ndarray) -> None:
@@ -357,24 +374,13 @@ class Runner:
             sm = executor.run(sink, progress=progress)
             if "enc" in enc_holder:
                 enc_holder["enc"].close()
-        except ProcessorRuntimeError as exc:
-            if (
-                "lockstep" in (exc.explanation or "")
-                and "enc" not in enc_holder
-            ):
-                # Graphs whose mixer branches run at different tempos
-                # cannot stream in lockstep (chunkflow.plan_aligned_merge
-                # rejects them before any output); fall back to the
-                # offline whole-clip export, which handles them exactly.
-                return self.export(path, kbps=kbps, progress=progress)
-            self.state = RunnerState.ERROR
-            self.error = exc
-            if "enc" in enc_holder:
-                try:
-                    enc_holder["enc"].close()
-                except Exception:
-                    pass
-            raise
+        except UnstreamableGraphError:
+            # Graphs whose mixer branches run at different tempos cannot
+            # stream in lockstep (chunkflow.plan_aligned_merge rejects
+            # them before any output is produced); fall back to the
+            # offline whole-clip export, which handles them exactly.
+            self.last_stream_metrics = None
+            return self.export(path, kbps=kbps, progress=progress)
         except BaseException as exc:
             self.state = RunnerState.ERROR
             self.error = exc

@@ -35,7 +35,10 @@ import jax.numpy as jnp
 
 from nodey_tpu import config as cfg
 from nodey_tpu.core import compiler
-from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.errors import (
+    ProcessorRuntimeError,
+    UnstreamableGraphError,
+)
 from nodey_tpu.core.graph import Graph
 from nodey_tpu.core.runner import Runner
 from nodey_tpu.host.streamio import BoundedBlockQueue, RealtimePacer
@@ -154,6 +157,17 @@ class StreamingSession:
                 )
                 self._length = int(metrics.audio_seconds * cfg.SAMPLE_RATE)
                 self.stats.rtf_compute = metrics.rtf
+            except UnstreamableGraphError:
+                # Lockstep streaming rejects mixers whose branches run at
+                # different tempos BEFORE producing any block; preview
+                # them through the whole-clip path instead (it handles
+                # these graphs exactly), feeding the same queue.
+                try:
+                    self._start_whole_clip()
+                    self._producer.join()
+                    return  # whole-clip egress set the queue EOF
+                except BaseException as exc:
+                    self._producer_errors.append(exc)
             except BaseException as exc:
                 self._producer_errors.append(exc)
             finally:

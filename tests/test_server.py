@@ -270,3 +270,30 @@ def test_export_endpoint(running_server, tmp_path):
     # Bad bitrate is a structured 400, not a crash.
     status, r = _post_json(port, "/api/export", {"path": out, "kbps": 123})
     assert status == 400 and not r["ok"]
+
+
+def test_edits_blocked_while_job_thread_alive(running_server):
+    """A stop request flips the state immediately, but edits must stay
+    blocked until the worker thread actually exits (it still reads the
+    graph while winding down)."""
+    import threading as _threading
+
+    srv, port = running_server
+    release = _threading.Event()
+
+    def fake_job():
+        release.wait(timeout=30)
+
+    srv.viewer._job_thread = _threading.Thread(target=fake_job, daemon=True)
+    srv.viewer._job_thread.start()
+    srv.viewer.state = "stopped"  # as if /api/stop already ran
+    try:
+        status, r = _post_json(port, "/api/edit/add-node",
+                               {"identifier": "audio_volume_adjust"})
+        assert status == 400 and "Stop the running" in r["error"]
+    finally:
+        release.set()
+        srv.viewer._job_thread.join(timeout=5)
+    status, r = _post_json(port, "/api/edit/add-node",
+                           {"identifier": "audio_volume_adjust"})
+    assert status == 200 and r["ok"]
