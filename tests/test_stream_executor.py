@@ -274,3 +274,35 @@ def test_export_streamed_falls_back_offline_for_mismatched_cadence(tmp_path):
     Runner(g).export(offline_path, kbps=192)
     with open(streamed_path, "rb") as f1, open(offline_path, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_streamed_preview_falls_back_for_mismatched_cadence(tmp_path):
+    """The editor preview of a velocity-mix graph must still play: the
+    streamed session detects UnstreamableGraphError before any block and
+    reroutes through the whole-clip path."""
+    from nodey_tpu.processors.velocity import VelocityModifier
+
+    registry.register_all_processors()
+    paths = _write_fixtures(tmp_path, seconds=1.0)
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = list(paths)
+    g.update_node_pin(src)
+    vel = g.add_node(VelocityModifier())
+    g.nodes[vel].processor.set_velocity(2.0)
+    amix = g.add_node(AudioAmix())
+    g.nodes[amix].processor.set_input_num(2)
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, vel, "input"))
+    g.add_link(_pin(g, vel, "output"), _pin(g, amix, "input_1"))
+    g.add_link(_pin(g, src, "output_1"), _pin(g, amix, "input_2"))
+    g.add_link(_pin(g, amix, "output"), _pin(g, out, "input"))
+
+    session = StreamingSession(g).start(streamed=True)
+    blocks = list(session.blocks())
+    assert not session._producer_errors
+    got = np.concatenate(blocks, axis=1)
+
+    ref = Runner(g).render(mode="preview").master
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
