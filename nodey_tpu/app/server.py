@@ -499,6 +499,24 @@ class ViewerState:
         path = self.session.save_project()
         return {"ok": True, "path": path}
 
+    def new_project(self) -> Dict[str, Any]:
+        """Clear to an empty graph (reference: new_project_async,
+        app.cpp:775-831; the modified-flag confirmation lives client-side)."""
+        self._guard_editable()
+        keep_path = self.session.project_path
+        self.session.new_project()  # clears undo/redo: fresh project
+        self.session.project_path = keep_path
+        return {"ok": True}
+
+    def open_project(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        self._guard_editable()
+        path = body.get("path")
+        if not path:
+            raise NodeyError("open requires a 'path'")
+        self.session.open_project(path)
+        self.title = path
+        return {"ok": True, "nodes": len(self.graph.nodes)}
+
     def settings_json(self) -> Dict[str, Any]:
         return self.session.settings.serialize()
 
@@ -750,6 +768,12 @@ def make_handler(viewer: ViewerState):
                 elif self.path == "/api/save":
                     with viewer.edit_lock:
                         self._json(viewer.save())
+                elif self.path == "/api/new":
+                    with viewer.edit_lock:
+                        self._json(viewer.new_project())
+                elif self.path == "/api/open":
+                    with viewer.edit_lock:
+                        self._json(viewer.open_project(self._body()))
                 elif self.path == "/api/settings":
                     with viewer.edit_lock:
                         self._json(viewer.apply_settings(self._body()))
@@ -757,7 +781,7 @@ def make_handler(viewer: ViewerState):
                     self._json({"error": "not found"}, 404)
             except NodeyError as exc:
                 self._json({"ok": False, "error": str(exc)}, 400)
-            except (KeyError, TypeError, ValueError) as exc:
+            except (KeyError, TypeError, ValueError, OSError) as exc:
                 self._json(
                     {"ok": False, "error": f"bad request: {exc}"}, 400
                 )

@@ -297,3 +297,21 @@ def test_edits_blocked_while_job_thread_alive(running_server):
     status, r = _post_json(port, "/api/edit/add-node",
                            {"identifier": "audio_volume_adjust"})
     assert status == 200 and r["ok"]
+
+
+def test_new_and_open_project(running_server, tmp_path):
+    srv, port = running_server
+    srv.viewer.session.project_path = str(tmp_path / "p.json")
+    # Save the current 4-node graph, clear it, then reopen it.
+    assert _post_json(port, "/api/save", {})[1]["ok"]
+    status, r = _post_json(port, "/api/new", {})
+    assert status == 200 and len(srv.viewer.graph.nodes) == 0
+    # A new project starts with clean history (like the reference).
+    assert _post_json(port, "/api/undo", {})[1]["ok"] is False
+    status, r = _post_json(port, "/api/open",
+                           {"path": str(tmp_path / "p.json")})
+    assert status == 200 and r["nodes"] == 4
+    srv.viewer.graph.check_graph()
+    # Missing file is a structured 400, not a hung handler.
+    status, r = _post_json(port, "/api/open", {"path": "/nope/x.json"})
+    assert status == 400 and not r["ok"]
