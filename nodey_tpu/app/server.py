@@ -71,8 +71,8 @@ _PAGE = """<!DOCTYPE html>
 <div id="canvas"><svg id="svg" width="2400" height="1600"></svg></div>
 <div id="side">
  <h3>Project</h3><div id="proj"></div>
- <div><button id="save">save</button><button id="undo">undo</button>
- <button id="redo">redo</button></div>
+ <div><button id="save">save</button><button id="new">new</button>
+ <button id="undo">undo</button><button id="redo">redo</button></div>
  <div id="err"></div>
  <h3>Add node</h3>
  <select id="addsel"></select> <button id="addbtn">+ add</button>
@@ -236,6 +236,13 @@ document.getElementById('redo').onclick =
   async () => { await api('/api/redo', {}); loadGraph(); loadRegistry(); };
 document.getElementById('save').onclick =
   async () => { await api('/api/save', {}); loadGraph(); };
+document.getElementById('new').onclick = async () => {
+  if (!graph || !graph.nodes.length ||
+      confirm('Discard the current graph?')) {
+    await api('/api/new', {});
+    selected = null; loadGraph(); loadRegistry();
+  }
+};
 let notifSince = 0;
 async function pollNotifications() {
   // The popup-manager analog: structured events stream into the panel.
