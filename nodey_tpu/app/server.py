@@ -24,9 +24,11 @@ include/infra/graph.hpp:30).
 from __future__ import annotations
 
 import json
+import queue as _queue
+import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -67,12 +69,21 @@ _PAGE = """<!DOCTYPE html>
       color:#8a8f99; }
  pre { white-space:pre-wrap; font-size:11px; color:#9aa0ab; }
  #err { color:#e06c75; font-size:11px; min-height:14px; }
+ #helpwin { display:none; position:fixed; inset:6% 12%; background:#1e2128;
+   border:1px solid #3a3f4a; border-radius:10px; padding:18px;
+   overflow-y:auto; z-index:10; box-shadow:0 8px 40px #000a; }
+ #helpwin h4 { color:#9ecbff; margin:14px 0 4px; }
+ #helpwin code { background:#2c2f36; border-radius:4px; padding:0 4px; }
+ .stage { font-size:11px; color:#8a8f99; }
 </style></head><body>
+<div id="helpwin"><button id="helpclose" style="float:right">close</button>
+<div id="helpbody">loading…</div></div>
 <div id="canvas"><svg id="svg" width="2400" height="1600"></svg></div>
 <div id="side">
  <h3>Project</h3><div id="proj"></div>
  <div><button id="save">save</button><button id="new">new</button>
- <button id="undo">undo</button><button id="redo">redo</button></div>
+ <button id="undo">undo</button><button id="redo">redo</button>
+ <button id="help">help</button></div>
  <div id="err"></div>
  <h3>Add node</h3>
  <select id="addsel"></select> <button id="addbtn">+ add</button>
@@ -86,8 +97,10 @@ _PAGE = """<!DOCTYPE html>
    <option>320</option></select>
   <button id="export">⬇ export</button>
  </div>
+ <audio id="aud" style="width:100%;margin-top:4px" controls></audio>
  <div>state: <b id="state">idle</b></div>
  <div>egress queue <div class="gauge"><i id="fill" style="width:0"></i></div></div>
+ <div id="stages"></div>
  <div id="metrics"></div>
  <h3>Spectrum tap</h3>
  <canvas id="spec" width="512" height="128"></canvas>
@@ -266,6 +279,18 @@ async function poll() {
     document.getElementById('metrics').textContent =
       s.blocks + ' blocks, ' + s.seconds.toFixed(1) + ' s' +
       (s.rtf_compute ? ', compute RTF ' + s.rtf_compute.toFixed(0) + 'x' : '');
+    // Per-stage queue fills during a streamed export (the reference's
+    // per-link channel gauges, app.cpp:1574-1595).
+    const st = document.getElementById('stages');
+    if (s.stages) {
+      let html = '';
+      for (const k of ['decode_fill', 'egress_fill', 'host_fill'])
+        if (s.stages[k] !== undefined)
+          html += '<div class="stage">' + k.replace('_fill', ' queue') +
+            ' <div class="gauge"><i style="width:' +
+            Math.round(100 * s.stages[k]) + '%"></i></div></div>';
+      st.innerHTML = html;
+    } else st.innerHTML = '';
     if (s.spectrum) drawSpec(s.spectrum);
   } catch (e) {}
   setTimeout(poll, 500);
@@ -283,8 +308,45 @@ function drawSpec(rows) {
   c.width = W; c.height = H;
   ctx.putImageData(img, 0, 0);
 }
-document.getElementById('run').onclick = () => api('/api/preview', {});
-document.getElementById('stop').onclick = () => api('/api/stop', {});
+document.getElementById('run').onclick = async () => {
+  // Attach the audio sink BEFORE starting, so the stream catches the
+  // first blocks; the click is the user gesture autoplay policies need.
+  const aud = document.getElementById('aud');
+  aud.src = '/api/preview.wav?ts=' + Date.now();
+  aud.play().catch(() => {});
+  await api('/api/preview', {});
+};
+document.getElementById('stop').onclick = async () => {
+  const aud = document.getElementById('aud');
+  aud.pause(); aud.removeAttribute('src'); aud.load();
+  await api('/api/stop', {});
+};
+// Help/About (reference: help.cpp:62-101's markdown manual).
+function mdToHtml(s) {
+  const esc = s.replace(/&/g, '&amp;').replace(/</g, '&lt;');
+  return esc.split('\\n').map(l => {
+    if (l.startsWith('### ')) return '<h4>' + l.slice(4) + '</h4>';
+    if (l.startsWith('## ')) return '<h4>' + l.slice(3) + '</h4>';
+    if (l.startsWith('# ')) return '<h4>' + l.slice(2) + '</h4>';
+    if (l.startsWith('- ')) return '<div>&bull; ' + l.slice(2) + '</div>';
+    return '<div>' + (l || '&nbsp;') + '</div>';
+  }).join('')
+    .replace(/\\*\\*([^*]+)\\*\\*/g, '<b>$1</b>')
+    .replace(/`([^`]+)`/g, '<code>$1</code>');
+}
+document.getElementById('help').onclick = async () => {
+  const h = await api('/api/help');
+  let html = '<h4>' + h.about.name + '</h4><div>' + h.about.description +
+    '</div><div>' + h.about.project_format + '</div><h4>Node manual</h4>';
+  for (const n of h.nodes)
+    html += '<h4>' + n.display_name + ' <code>' + n.identifier + '</code>' +
+      (n.singleton ? ' (singleton)' : '') + '</h4>' +
+      mdToHtml(n.description || '');
+  document.getElementById('helpbody').innerHTML = html;
+  document.getElementById('helpwin').style.display = 'block';
+};
+document.getElementById('helpclose').onclick = () =>
+  document.getElementById('helpwin').style.display = 'none';
 document.getElementById('export').onclick = () => api('/api/export', {
   path: document.getElementById('exppath').value,
   kbps: parseInt(document.getElementById('expkbps').value, 10)});
@@ -311,6 +373,44 @@ window.addEventListener('keydown', async (e) => {
 loadGraph(); loadRegistry(); poll();
 </script></body></html>
 """
+
+
+class _AudioListener:
+    """Bounded PCM buffer for one live-audio HTTP client.
+
+    Live-stream semantics: a stalled client drops the OLDEST blocks rather
+    than back-pressuring the preview (the reference instead paces preview to
+    1.0x against the SDL queue, audio-io.cpp:620-624 — here the realtime
+    pacer lives in the preview loop, so a healthy client never overruns)."""
+
+    def __init__(self, max_blocks: int = 256):
+        self.q: "_queue.Queue[Optional[bytes]]" = _queue.Queue(max_blocks)
+        self.dropped = 0
+
+    def push(self, item: Optional[bytes]) -> None:
+        while True:
+            try:
+                self.q.put_nowait(item)
+                return
+            except _queue.Full:
+                try:
+                    self.q.get_nowait()
+                    self.dropped += 1
+                except _queue.Empty:
+                    pass
+
+
+def _wav_stream_header(rate: int = 48_000, channels: int = 2) -> bytes:
+    """RIFF/WAVE header for an unbounded live stream (sizes pinned at
+    0xFFFFFFFF, the conventional marker players accept for live WAV)."""
+    byte_rate = rate * channels * 2
+    return (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * 2, 16
+        )
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
 
 
 class ViewerState:
@@ -343,6 +443,45 @@ class ViewerState:
         # Structured event queue (the popup-manager analog) — exposed at
         # /api/notifications for editor clients.
         self.notifications = NotificationCenter()
+        # Live audio fan-out: each /api/preview.wav connection registers a
+        # bounded listener the preview loop publishes s16 PCM into — the
+        # browser-audible counterpart of the reference's SDL playback queue
+        # (sdl-context.cpp:40-59, audio-io.cpp:620-636), with the same
+        # bounded-buffer drop-on-overrun live semantics.
+        self._audio_lock = threading.Lock()
+        self._audio_listeners: List[_AudioListener] = []
+
+    # -- live audio fan-out ---------------------------------------------------
+
+    def add_audio_listener(self) -> "_AudioListener":
+        listener = _AudioListener()
+        with self._audio_lock:
+            self._audio_listeners.append(listener)
+        return listener
+
+    def remove_audio_listener(self, listener: "_AudioListener") -> None:
+        with self._audio_lock:
+            if listener in self._audio_listeners:
+                self._audio_listeners.remove(listener)
+
+    def _publish_audio(self, block: np.ndarray) -> None:
+        """Push one preview master block (float32 [2, n] @48 kHz) to every
+        attached /api/preview.wav stream as interleaved s16 bytes."""
+        with self._audio_lock:
+            listeners = list(self._audio_listeners)
+        if not listeners:
+            return
+        pcm = np.clip(
+            block.T * np.float32(32767.0), -32768, 32767
+        ).astype(np.int16).tobytes()
+        for listener in listeners:
+            listener.push(pcm)
+
+    def _publish_audio_eof(self) -> None:
+        with self._audio_lock:
+            listeners = list(self._audio_listeners)
+        for listener in listeners:
+            listener.push(None)
 
     @property
     def graph(self) -> Graph:
@@ -615,6 +754,7 @@ class ViewerState:
                         self.blocks += 1
                         self.seconds += block.shape[1] / 48_000.0
                         self.fill_ratio = session.queue.stats.fill_ratio
+                    self._publish_audio(block)
                     self._update_spectrum(block)
                 with self.lock:
                     self.rtf_compute = session.stats.rtf_compute
@@ -628,6 +768,8 @@ class ViewerState:
                 with self.lock:
                     self.state = "error"
                     self.error = str(exc)
+            finally:
+                self._publish_audio_eof()
 
         self._job_thread = threading.Thread(target=consume, daemon=True)
         self._job_thread.start()
@@ -663,7 +805,21 @@ class ViewerState:
                 self.state = "stopped"
 
     def state_json(self) -> Dict[str, Any]:
+        # Mid-run stage-queue occupancy (the reference's per-link fill
+        # gauges, app.cpp:1574-1595): during a streamed export the executor
+        # publishes decode-ahead / egress / host-queue fills.
+        stages = None
+        runner = self._export_runner
+        if runner is not None:
+            executor = getattr(runner, "_active_executor", None)
+            if executor is not None:
+                try:
+                    stages = executor.live_stats()
+                except Exception:
+                    stages = None
         with self.lock:
+            if self.state != "running":
+                stages = None
             return {
                 "state": self.state,
                 "blocks": self.blocks,
@@ -671,8 +827,38 @@ class ViewerState:
                 "fill_ratio": self.fill_ratio,
                 "rtf_compute": self.rtf_compute,
                 "spectrum": self.spectrum,
+                "stages": stages,
                 "error": self.error,
             }
+
+    def help_json(self) -> Dict[str, Any]:
+        """The help/about surface (reference: src/frontend/help.cpp:5-132 —
+        node manual from each processor's markdown description plus an
+        about box)."""
+        return {
+            "about": {
+                "name": "nodey_tpu",
+                "description": (
+                    "TPU-native node-graph audio engine: the DAG compiles "
+                    "to one fused XLA program (JAX/Pallas); decode/encode "
+                    "run in a native host runtime. A ground-up re-design "
+                    "of Stehsaer/nodey-audio-editor for TPU hardware."
+                ),
+                "project_format": (
+                    "Project files are JSON, schema-compatible with the "
+                    "reference editor (nodes/links/positions)."
+                ),
+            },
+            "nodes": [
+                {
+                    "identifier": ident,
+                    "display_name": info.display_name,
+                    "singleton": info.singleton,
+                    "description": info.description,
+                }
+                for ident, info in sorted(registry.processor_map.items())
+            ],
+        }
 
 
 def make_handler(viewer: ViewerState):
@@ -732,6 +918,10 @@ def make_handler(viewer: ViewerState):
                 self._json(viewer.state_json())
             elif self.path == "/api/settings":
                 self._json(viewer.settings_json())
+            elif self.path == "/api/help":
+                self._json(viewer.help_json())
+            elif self.path.startswith("/api/preview.wav"):
+                self._stream_preview_wav()
             elif self.path.startswith("/api/notifications"):
                 # Drain-style consumption: ?since=<seq> peeks newer items.
                 since = 0
@@ -745,6 +935,50 @@ def make_handler(viewer: ViewerState):
                 )
             else:
                 self._json({"error": "not found"}, 404)
+
+        def _stream_preview_wav(self) -> None:
+            """Chunked live-WAV response: the audible preview sink.
+
+            Attaches to the running preview (or starts one with ?start=1)
+            and streams its 48 kHz stereo master as s16 WAV until the
+            preview ends or the client disconnects — the browser-played
+            counterpart of the reference's SDL audio queue
+            (audio-io.cpp:620-636). Realtime pacing comes from the preview
+            loop itself; this response just relays its blocks."""
+            listener = viewer.add_audio_listener()
+            if "start=1" in self.path:
+                viewer.start_preview()
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(_wav_stream_header())
+                idle, streamed = 0.0, False
+                while True:
+                    try:
+                        item = listener.q.get(timeout=0.5)
+                    except _queue.Empty:
+                        idle += 0.5
+                        with viewer.lock:
+                            running = viewer.state == "running"
+                        # Keep a not-yet-started stream alive briefly (the
+                        # UI attaches the <audio> element before POSTing
+                        # /api/preview), but never hang a dead one.
+                        if not running and (streamed or idle > 10.0):
+                            break
+                        if idle > 600.0:
+                            break
+                        continue
+                    if item is None:
+                        break
+                    idle, streamed = 0.0, True
+                    self.wfile.write(item)
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up (audio element paused/navigated away)
+            finally:
+                viewer.remove_audio_listener(listener)
 
         def do_POST(self) -> None:
             try:

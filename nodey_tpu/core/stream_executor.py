@@ -185,6 +185,12 @@ class StreamExecutor:
         # right after compile, before the first sink call — lazy sinks
         # (e.g. the LAME encoder) read it on their first block.
         self.master_meta: Optional[Dict[str, Any]] = None
+        # Live-introspection handles (the per-link fill gauges of the
+        # reference diagnostics overlay, app.cpp:1574-1595): run() parks its
+        # stage queues here so a UI poll thread can read their occupancy
+        # mid-run via live_stats().
+        self._feeds: Dict[str, "_SourceFeed"] = {}
+        self._stage_queues: Dict[str, BoundedBlockQueue] = {}
 
     def _open_feeds(self):
         import math
@@ -276,6 +282,8 @@ class StreamExecutor:
         written = [0]
 
         host_q = BoundedBlockQueue(self.egress_depth)
+        self._feeds = feeds
+        self._stage_queues = {"egress": egress_q, "host": host_q}
 
         def egress():
             # One device_get per chunk resolves (data, n) in a single relay
@@ -436,3 +444,22 @@ class StreamExecutor:
         """Cooperative cancellation (the stop_source analog,
         reference: include/infra/runner.hpp:47)."""
         self._stop.set()
+
+    def live_stats(self) -> Dict[str, Any]:
+        """Mid-run stage occupancy for a polling UI — the per-link fill
+        gauge of the reference diagnostics overlay (app.cpp:1574-1595)
+        mapped onto the real queues of this pipeline: per-source decode-
+        ahead, device→host egress, and host→sink. Safe to call from any
+        thread (reads plain ints maintained under the queues' own locks)."""
+        stats: Dict[str, Any] = {
+            "steps": self.metrics.steps,
+            "sink_busy_seconds": round(self.metrics.sink_busy_seconds, 3),
+            "d2h_busy_seconds": round(self.metrics.d2h_busy_seconds, 3),
+        }
+        if self._feeds:
+            stats["decode_fill"] = min(
+                f.queue.stats.fill_ratio for f in self._feeds.values()
+            )
+        for name, q in self._stage_queues.items():
+            stats[f"{name}_fill"] = q.stats.fill_ratio
+        return stats

@@ -100,6 +100,56 @@ def test_preview_runs_and_reports_state(running_server):
     assert state["seconds"] == pytest.approx(1.0, abs=0.1)
     assert state["spectrum"] and len(state["spectrum"][0]) == 128
 
+def test_help_endpoint(running_server):
+    """The help/about surface (reference: help.cpp:5-132): about box +
+    per-node markdown manual from the registry."""
+    srv, port = running_server
+    status, body = _get(port, "/api/help")
+    assert status == 200
+    h = json.loads(body)
+    assert h["about"]["name"] == "nodey_tpu"
+    idents = {n["identifier"] for n in h["nodes"]}
+    assert {"audio_input", "audio_output", "audio_amix"} <= idents
+    inp = next(n for n in h["nodes"] if n["identifier"] == "audio_input")
+    assert inp["singleton"] is True and inp["description"]
+
+
+def test_preview_wav_live_stream(running_server):
+    """/api/preview.wav?start=1 starts a preview and streams it as live
+    WAV — the browser-audible counterpart of the reference's SDL playback
+    queue (audio-io.cpp:620-636)."""
+    import struct
+
+    srv, port = running_server
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/api/preview.wav?start=1", timeout=90
+    ) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "audio/wav"
+        header = r.read(44)
+        assert header[:4] == b"RIFF" and header[8:12] == b"WAVE"
+        # fmt chunk: PCM (1), stereo, 48 kHz, 16-bit.
+        assert header[12:16] == b"fmt "
+        chunk_size, audio_fmt, channels, rate = struct.unpack(
+            "<IHHI", header[16:28]
+        )
+        assert (chunk_size, audio_fmt, channels, rate) == (16, 1, 2, 48_000)
+        assert header[36:40] == b"data"
+        # 0.2 s of PCM from the live stream; the 1 s test tone is loud
+        # enough that the stream cannot be all-zero.
+        pcm = r.read(48_000 * 2 * 2 // 5)
+        samples = np.frombuffer(pcm, dtype=np.int16)
+        assert samples.size > 0 and np.abs(samples).max() > 1000
+    # The preview keeps running/finishes cleanly after the client leaves.
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        _s, raw = _get(port, "/api/state")
+        if json.loads(raw)["state"] in ("finished", "error"):
+            break
+        time.sleep(0.3)
+    assert json.loads(raw)["state"] == "finished"
+
+
 def _post_json(port, path, obj):
     data = json.dumps(obj).encode()
     req = urllib.request.Request(

@@ -76,6 +76,13 @@ def test_streamed_export_matches_offline_master(tmp_path):
     assert metrics.audio_seconds == pytest.approx(
         offline.metrics.audio_seconds, abs=1e-6
     )
+    # Live-introspection hook (the per-link fill gauges of the reference
+    # overlay, app.cpp:1574-1595): stage-queue stats stay readable from a
+    # polling thread, including after the run drains.
+    stats = ex.live_stats()
+    assert stats["steps"] == metrics.steps
+    for key in ("decode_fill", "egress_fill", "host_fill"):
+        assert 0.0 <= stats[key] <= 1.0
 
 
 def test_streamed_export_mp3_roundtrip(tmp_path):
