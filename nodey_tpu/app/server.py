@@ -75,15 +75,31 @@ _PAGE = """<!DOCTYPE html>
  #helpwin h4 { color:#9ecbff; margin:14px 0 4px; }
  #helpwin code { background:#2c2f36; border-radius:4px; padding:0 4px; }
  .stage { font-size:11px; color:#8a8f99; }
+ #ctxmenu { display:none; position:fixed; background:#23262d; border:1px
+   solid #3a3f4a; border-radius:8px; padding:4px; z-index:20;
+   box-shadow:0 4px 20px #000a; max-height:60vh; overflow-y:auto; }
+ #ctxmenu div { padding:5px 14px; border-radius:5px; cursor:pointer;
+   font-size:12px; }
+ #ctxmenu div:hover { background:#2d6cdf; }
+ #ctxmenu div.dis { color:#555; cursor:default; }
+ #ctxmenu div.dis:hover { background:none; }
+ #setwin { display:none; position:fixed; inset:20% 30%; background:#1e2128;
+   border:1px solid #3a3f4a; border-radius:10px; padding:18px; z-index:10;
+   box-shadow:0 8px 40px #000a; }
 </style></head><body>
 <div id="helpwin"><button id="helpclose" style="float:right">close</button>
 <div id="helpbody">loading…</div></div>
+<div id="ctxmenu"></div>
+<div id="setwin"><h3>Settings</h3>
+ <textarea id="settext" style="height:160px"></textarea>
+ <div style="margin-top:6px"><button id="setapply">apply</button>
+ <button id="setclose">cancel</button></div></div>
 <div id="canvas"><svg id="svg" width="2400" height="1600"></svg></div>
 <div id="side">
  <h3>Project</h3><div id="proj"></div>
  <div><button id="save">save</button><button id="new">new</button>
  <button id="undo">undo</button><button id="redo">redo</button>
- <button id="help">help</button></div>
+ <button id="help">help</button><button id="settings">settings</button></div>
  <div id="err"></div>
  <h3>Add node</h3>
  <select id="addsel"></select> <button id="addbtn">+ add</button>
@@ -130,7 +146,9 @@ async function api(path, body) {
   err('');
   return j;
 }
-let graph = null, selected = null, armedPin = null;
+// Multi-node selection (the reference editor's selected-set semantics:
+// shift-click extends, Ctrl+A selects all — app.cpp:1841-1901).
+let graph = null, selected = new Set(), primary = null, armedPin = null;
 async function loadGraph() {
   graph = await api('/api/graph');
   document.getElementById('proj').textContent =
@@ -141,10 +159,11 @@ async function loadGraph() {
   for (const n of graph.nodes) {
     const h = 34 + 18 * n.pins.length;
     const g = el('g', {transform:`translate(${n.x},${n.y})`});
-    const r = el('rect', {class:'node' + (selected === n.id ? ' sel' : ''),
+    const r = el('rect', {class:'node' + (selected.has(n.id) ? ' sel' : ''),
                           width:190, height:h, rx:8});
     r.addEventListener('mousedown', (ev) => startDrag(ev, n, g));
-    r.addEventListener('click', () => selectNode(n));
+    r.addEventListener('click', (ev) => selectNode(n, ev));
+    r.addEventListener('contextmenu', (ev) => nodeMenu(ev, n));
     g.appendChild(r);
     g.appendChild(el('text', {class:'title', x:10, y:20}, n.display_name));
     n.pins.forEach((p, i) => {
@@ -176,15 +195,34 @@ async function loadGraph() {
     svg.insertBefore(path, svg.firstChild);
   }
 }
-function selectNode(n) {
-  selected = n.id;
-  document.getElementById('info').textContent =
-    n.identifier + ' (#' + n.id + ')\\n\\n' + n.description;
+function selectNode(n, ev) {
+  if (ev && ev.shiftKey) {
+    if (selected.has(n.id)) selected.delete(n.id); else selected.add(n.id);
+  } else {
+    selected = new Set([n.id]);
+  }
+  primary = selected.has(n.id) ? n.id : null;
   const box = document.getElementById('editbox');
-  box.style.display = 'block';
-  document.getElementById('params').value =
-    JSON.stringify(n.params === undefined ? {} : n.params, null, 1);
+  if (primary !== null) {
+    document.getElementById('info').textContent =
+      n.identifier + ' (#' + n.id + ')' +
+      (selected.size > 1 ? '  [+' + (selected.size - 1) + ' selected]' : '') +
+      '\\n\\n' + n.description;
+    box.style.display = 'block';
+    document.getElementById('params').value =
+      JSON.stringify(n.params === undefined ? {} : n.params, null, 1);
+  } else {
+    box.style.display = 'none';
+    document.getElementById('info').textContent = 'click a node…';
+  }
   loadGraph();
+}
+async function removeSelected() {
+  for (const id of [...selected])
+    await api('/api/edit/remove-node', {node_id: id});
+  selected = new Set(); primary = null;
+  document.getElementById('editbox').style.display = 'none';
+  loadGraph(); loadRegistry();
 }
 function startDrag(ev, n, g) {
   ev.preventDefault();
@@ -234,15 +272,10 @@ document.getElementById('apply').onclick = async () => {
   let params;
   try { params = JSON.parse(document.getElementById('params').value); }
   catch (e) { err('bad JSON: ' + e.message); return; }
-  await api('/api/edit/set', {node_id: selected, params});
+  await api('/api/edit/set', {node_id: primary, params});
   loadGraph();
 };
-document.getElementById('del').onclick = async () => {
-  await api('/api/edit/remove-node', {node_id: selected});
-  selected = null;
-  document.getElementById('editbox').style.display = 'none';
-  loadGraph(); loadRegistry();
-};
+document.getElementById('del').onclick = removeSelected;
 document.getElementById('undo').onclick =
   async () => { await api('/api/undo', {}); loadGraph(); loadRegistry(); };
 document.getElementById('redo').onclick =
@@ -253,7 +286,7 @@ document.getElementById('new').onclick = async () => {
   if (!graph || !graph.nodes.length ||
       confirm('Discard the current graph?')) {
     await api('/api/new', {});
-    selected = null; loadGraph(); loadRegistry();
+    selected = new Set(); primary = null; loadGraph(); loadRegistry();
   }
 };
 let notifSince = 0;
@@ -360,16 +393,73 @@ window.addEventListener('keydown', async (e) => {
     await api('/api/redo', {}); loadGraph(); loadRegistry(); }
   else if (mod && e.key === 's') { e.preventDefault();
     await api('/api/save', {}); loadGraph(); }
-  else if (mod && e.key === 'c' && selected !== null) { e.preventDefault();
-    await api('/api/copy', {node_ids: [selected]}); }
+  else if (mod && e.key === 'c' && selected.size) { e.preventDefault();
+    await api('/api/copy', {node_ids: [...selected]}); }
   else if (mod && e.key === 'v') { e.preventDefault();
     await api('/api/paste', {}); loadGraph(); loadRegistry(); }
-  else if (e.key === 'Delete' && selected !== null) { e.preventDefault();
-    await api('/api/edit/remove-node', {node_id: selected});
-    selected = null; loadGraph(); loadRegistry(); }
-  else if (e.key === 'Escape') { armedPin = null; selected = null;
-    loadGraph(); }
+  else if (mod && e.key === 'a') { e.preventDefault();
+    selected = new Set(graph.nodes.map(n => n.id)); loadGraph(); }
+  else if (e.key === 'Delete' && selected.size) { e.preventDefault();
+    await removeSelected(); }
+  else if (e.key === 'Escape') { armedPin = null; selected = new Set();
+    primary = null; hideMenu(); loadGraph(); }
 });
+// Context menus (reference: app.cpp:1720-1786 — background menu adds
+// nodes at the cursor; node menu duplicates/removes the selection).
+const menuEl = document.getElementById('ctxmenu');
+function hideMenu() { menuEl.style.display = 'none'; }
+function showMenu(ev, items) {
+  ev.preventDefault(); ev.stopPropagation();
+  menuEl.textContent = '';
+  for (const it of items) {
+    const d = document.createElement('div');
+    d.textContent = it.label;
+    if (it.disabled) d.className = 'dis';
+    else d.onclick = () => { hideMenu(); it.run(); };
+    menuEl.appendChild(d);
+  }
+  menuEl.style.left = ev.clientX + 'px';
+  menuEl.style.top = ev.clientY + 'px';
+  menuEl.style.display = 'block';
+}
+function nodeMenu(ev, n) {
+  if (!selected.has(n.id)) selectNode(n, null);
+  showMenu(ev, [
+    {label: 'duplicate', run: async () => {
+      await api('/api/copy', {node_ids: [...selected]});
+      await api('/api/paste', {x: n.x + 40, y: n.y + 40});
+      loadGraph(); loadRegistry(); }},
+    {label: 'copy', run: () => api('/api/copy', {node_ids: [...selected]})},
+    {label: 'remove', run: removeSelected},
+  ]);
+}
+svg.addEventListener('contextmenu', async (ev) => {
+  if (ev.target !== svg) return;
+  ev.preventDefault();  // before the await, or the native menu wins
+  const x = ev.offsetX, y = ev.offsetY;
+  const reg = await api('/api/registry');
+  showMenu(ev, reg.map(r => ({
+    label: '+ ' + r.display_name, disabled: r.disabled,
+    run: async () => {
+      await api('/api/edit/add-node', {identifier: r.identifier, x, y});
+      loadGraph(); loadRegistry(); }})));
+});
+window.addEventListener('click', hideMenu);
+// Settings dialog with staged apply (reference: settings.cpp:118-206).
+document.getElementById('settings').onclick = async () => {
+  const s = await api('/api/settings');
+  document.getElementById('settext').value = JSON.stringify(s, null, 1);
+  document.getElementById('setwin').style.display = 'block';
+};
+document.getElementById('setclose').onclick = () =>
+  document.getElementById('setwin').style.display = 'none';
+document.getElementById('setapply').onclick = async () => {
+  let body;
+  try { body = JSON.parse(document.getElementById('settext').value); }
+  catch (e) { err('bad JSON: ' + e.message); return; }
+  await api('/api/settings', body);
+  document.getElementById('setwin').style.display = 'none';
+};
 loadGraph(); loadRegistry(); poll();
 </script></body></html>
 """

@@ -67,6 +67,11 @@ def test_page_and_graph_api(running_server):
     srv, port = running_server
     status, body = _get(port, "/")
     assert status == 200 and b"<svg" in body
+    # Editor chrome: context menu, help overlay, settings dialog, audio
+    # element (the audible-preview sink), stage gauges.
+    for needle in (b"ctxmenu", b"helpwin", b"setwin", b"preview.wav",
+                   b"stages"):
+        assert needle in body, needle
 
     status, body = _get(port, "/api/graph")
     g = json.loads(body)
