@@ -97,7 +97,8 @@ _PAGE = """<!DOCTYPE html>
 <div id="canvas"><svg id="svg" width="2400" height="1600"></svg></div>
 <div id="side">
  <h3>Project</h3><div id="proj"></div>
- <div><button id="save">save</button><button id="new">new</button>
+ <div><button id="save">save</button><button id="open">open</button>
+ <button id="new">new</button>
  <button id="undo">undo</button><button id="redo">redo</button>
  <button id="help">help</button><button id="settings">settings</button></div>
  <div id="err"></div>
@@ -282,6 +283,17 @@ document.getElementById('redo').onclick =
   async () => { await api('/api/redo', {}); loadGraph(); loadRegistry(); };
 document.getElementById('save').onclick =
   async () => { await api('/api/save', {}); loadGraph(); };
+document.getElementById('open').onclick = async () => {
+  // The open-project flow (reference: open_project + confirm dialog,
+  // app.cpp:706-772); path prompt stands in for the native file dialog.
+  if (graph && graph.modified &&
+      !confirm('Discard unsaved changes?')) return;
+  const path = prompt('Project file path:');
+  if (!path) return;
+  await api('/api/open', {path});
+  selected = new Set(); primary = null;
+  loadGraph(); loadRegistry();
+};
 document.getElementById('new').onclick = async () => {
   if (!graph || !graph.nodes.length ||
       confirm('Discard the current graph?')) {
@@ -399,6 +411,10 @@ window.addEventListener('keydown', async (e) => {
     await api('/api/paste', {}); loadGraph(); loadRegistry(); }
   else if (mod && e.key === 'a') { e.preventDefault();
     selected = new Set(graph.nodes.map(n => n.id)); loadGraph(); }
+  else if (mod && e.key === 'o') { e.preventDefault();
+    document.getElementById('open').onclick(); }
+  else if (mod && e.key === 'n') { e.preventDefault();
+    document.getElementById('new').onclick(); }
   else if (e.key === 'Delete' && selected.size) { e.preventDefault();
     await removeSelected(); }
   else if (e.key === 'Escape') { armedPin = null; selected = new Set();
