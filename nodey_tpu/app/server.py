@@ -219,11 +219,14 @@ function selectNode(n, ev) {
   loadGraph();
 }
 async function removeSelected() {
-  for (const id of [...selected])
-    await api('/api/edit/remove-node', {node_id: id});
-  selected = new Set(); primary = null;
-  document.getElementById('editbox').style.display = 'none';
-  loadGraph(); loadRegistry();
+  // One request, one undo snapshot — a multi-node delete reverts with a
+  // single Ctrl+Z, like the reference's delete-selected.
+  try { await api('/api/edit/remove-nodes', {node_ids: [...selected]}); }
+  finally {
+    selected = new Set(); primary = null;
+    document.getElementById('editbox').style.display = 'none';
+    loadGraph(); loadRegistry();
+  }
 }
 function startDrag(ev, n, g) {
   ev.preventDefault();
@@ -354,10 +357,12 @@ function drawSpec(rows) {
   ctx.putImageData(img, 0, 0);
 }
 document.getElementById('run').onclick = async () => {
-  // Attach the audio sink BEFORE starting, so the stream catches the
-  // first blocks; the click is the user gesture autoplay policies need.
+  // ?start=1: the stream endpoint registers its listener BEFORE starting
+  // the preview, so the first blocks are never lost to a request race;
+  // the click is the user gesture autoplay policies need. The POST is an
+  // idempotent backstop in case the media fetch is deferred.
   const aud = document.getElementById('aud');
-  aud.src = '/api/preview.wav?ts=' + Date.now();
+  aud.src = '/api/preview.wav?start=1&ts=' + Date.now();
   aud.play().catch(() => {});
   await api('/api/preview', {});
 };
@@ -442,8 +447,9 @@ function nodeMenu(ev, n) {
   if (!selected.has(n.id)) selectNode(n, null);
   showMenu(ev, [
     {label: 'duplicate', run: async () => {
-      await api('/api/copy', {node_ids: [...selected]});
-      await api('/api/paste', {x: n.x + 40, y: n.y + 40});
+      // Dedicated endpoint: duplicating must not clobber the clipboard.
+      await api('/api/duplicate',
+                {node_ids: [...selected], x: n.x + 40, y: n.y + 40});
       loadGraph(); loadRegistry(); }},
     {label: 'copy', run: () => api('/api/copy', {node_ids: [...selected]})},
     {label: 'remove', run: removeSelected},
@@ -539,6 +545,10 @@ class ViewerState:
         self.preview_session = None
         self._job_thread: Optional[threading.Thread] = None
         self._export_runner = None
+        # "preview" | "export" | None — state == "running" alone cannot
+        # distinguish the two, and both the stage gauges and the audio
+        # stream's liveness checks must not conflate them.
+        self._job_kind: Optional[str] = None
         self.state = "idle"
         self.blocks = 0
         self.seconds = 0.0
@@ -686,6 +696,21 @@ class ViewerState:
             g.remove_node(nid)
             g.modified = True
             return {"ok": True}
+        if op == "remove-nodes":
+            # Batch delete = ONE undo snapshot (one user gesture, one
+            # Ctrl+Z — the reference's delete-selected semantics); validate
+            # every id up front so the mutation is all-or-nothing.
+            nids = [int(n) for n in body.get("node_ids", [])]
+            missing = [n for n in nids if n not in g.nodes]
+            if missing:
+                raise NodeyError(f"No node {missing[0]}")
+            if not nids:
+                return {"ok": True, "removed": 0}
+            self.session.save_undo_state()
+            for nid in nids:
+                g.remove_node(nid)
+            g.modified = True
+            return {"ok": True, "removed": len(nids)}
         if op == "link":
             self.session.save_undo_state()
             link_id = g.add_link(int(body["from_pin"]), int(body["to_pin"]))
@@ -737,6 +762,23 @@ class ViewerState:
         if "x" in body and "y" in body:
             at = (float(body["x"]), float(body["y"]))
         new_ids = self.session.paste_nodes(at=at)
+        return {"ok": True, "node_ids": new_ids}
+
+    def duplicate(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """Duplicate nodes WITHOUT touching the user's clipboard (the
+        context-menu action must not have copy's side effect)."""
+        self._guard_editable()
+        ids = [int(n) for n in body.get("node_ids", [])]
+        at = None
+        if "x" in body and "y" in body:
+            at = (float(body["x"]), float(body["y"]))
+        saved_clipboard = self.session.clipboard_json
+        try:
+            if not self.session.copy_nodes(ids):
+                return {"ok": True, "node_ids": []}
+            new_ids = self.session.paste_nodes(at=at)
+        finally:
+            self.session.clipboard_json = saved_clipboard
         return {"ok": True, "node_ids": new_ids}
 
     def undo(self) -> Dict[str, Any]:
@@ -798,6 +840,7 @@ class ViewerState:
             ):
                 raise NodeyError("A preview or export is already running")
             self.state = "running"
+            self._job_kind = "export"
             self.blocks = 0
             self.seconds = 0.0
             self.error = None
@@ -829,6 +872,10 @@ class ViewerState:
                 with self.lock:
                     self.state = "error"
                     self.error = str(exc)
+            finally:
+                # Drop the runner handle so a later preview's state poll
+                # cannot read this (finished) export's stage gauges.
+                self._export_runner = None
 
         self._job_thread = threading.Thread(target=consume, daemon=True)
         self._job_thread.start()
@@ -836,7 +883,10 @@ class ViewerState:
 
     # -- preview --------------------------------------------------------------
 
-    def start_preview(self) -> None:
+    def start_preview(self) -> bool:
+        """Start a preview; returns False (without error) if a job is
+        already running — the UI's play button and the audio stream's
+        ?start=1 both call this, so it must be idempotent."""
         from nodey_tpu.core.streaming import StreamingSession
 
         with self.lock:
@@ -844,8 +894,9 @@ class ViewerState:
                 self._job_thread is not None
                 and self._job_thread.is_alive()
             ):
-                return
+                return False
             self.state = "running"
+            self._job_kind = "preview"
             self.blocks = 0
             self.seconds = 0.0
             self.error = None
@@ -879,6 +930,7 @@ class ViewerState:
 
         self._job_thread = threading.Thread(target=consume, daemon=True)
         self._job_thread.start()
+        return True
 
     def _update_spectrum(self, block: np.ndarray) -> None:
         """Rolling STFT of the preview output for the spectrum panel."""
@@ -916,7 +968,7 @@ class ViewerState:
         # publishes decode-ahead / egress / host-queue fills.
         stages = None
         runner = self._export_runner
-        if runner is not None:
+        if runner is not None and self._job_kind == "export":
             executor = getattr(runner, "_active_executor", None)
             if executor is not None:
                 try:
@@ -1054,6 +1106,11 @@ def make_handler(viewer: ViewerState):
             listener = viewer.add_audio_listener()
             if "start=1" in self.path:
                 viewer.start_preview()
+            # A stalled-but-open client (paused audio element) must not
+            # park this thread in wfile.write forever — a send that makes
+            # no progress for 15 s raises socket.timeout (an OSError) and
+            # closes the stream; drop-oldest continues in the listener.
+            self.connection.settimeout(15.0)
             try:
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
@@ -1067,7 +1124,13 @@ def make_handler(viewer: ViewerState):
                     except _queue.Empty:
                         idle += 0.5
                         with viewer.lock:
-                            running = viewer.state == "running"
+                            # Only a running PREVIEW will ever feed this
+                            # stream; a running export must not keep it
+                            # alive (it never publishes audio).
+                            running = (
+                                viewer.state == "running"
+                                and viewer._job_kind == "preview"
+                            )
                         # Keep a not-yet-started stream alive briefly (the
                         # UI attaches the <audio> element before POSTing
                         # /api/preview), but never hang a dead one.
@@ -1081,16 +1144,16 @@ def make_handler(viewer: ViewerState):
                     idle, streamed = 0.0, True
                     self.wfile.write(item)
                     self.wfile.flush()
-            except (BrokenPipeError, ConnectionResetError):
-                pass  # client hung up (audio element paused/navigated away)
+            except OSError:
+                pass  # client hung up / stalled (pause, navigation, abort)
             finally:
                 viewer.remove_audio_listener(listener)
 
         def do_POST(self) -> None:
             try:
                 if self.path == "/api/preview":
-                    viewer.start_preview()
-                    self._json({"ok": True})
+                    started = viewer.start_preview()
+                    self._json({"ok": True, "started": started})
                 elif self.path == "/api/export":
                     self._json(viewer.start_export(self._body()))
                 elif self.path == "/api/stop":
@@ -1106,6 +1169,9 @@ def make_handler(viewer: ViewerState):
                 elif self.path == "/api/paste":
                     with viewer.edit_lock:
                         self._json(viewer.paste(self._body()))
+                elif self.path == "/api/duplicate":
+                    with viewer.edit_lock:
+                        self._json(viewer.duplicate(self._body()))
                 elif self.path == "/api/undo":
                     with viewer.edit_lock:
                         self._json(viewer.undo())

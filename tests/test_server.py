@@ -292,6 +292,65 @@ def test_editor_copy_paste(running_server):
     assert len(srv.viewer.graph.nodes) == n_now
 
 
+def test_batch_remove_single_undo(running_server):
+    """remove-nodes deletes an N-node selection atomically with ONE undo
+    snapshot (one gesture, one Ctrl+Z)."""
+    srv, port = running_server
+    # Add two extra volume nodes to delete together.
+    ids = []
+    for _ in range(2):
+        status, r = _post_json(
+            port, "/api/edit/add-node",
+            {"identifier": "audio_volume_adjust", "x": 10, "y": 10},
+        )
+        assert status == 200
+        ids.append(r["node_id"])
+    n_before = len(srv.viewer.graph.nodes)
+    undo_before = len(srv.viewer.session.undo_stack)
+    status, r = _post_json(
+        port, "/api/edit/remove-nodes", {"node_ids": ids}
+    )
+    assert status == 200 and r["removed"] == 2
+    assert len(srv.viewer.graph.nodes) == n_before - 2
+    assert len(srv.viewer.session.undo_stack) == undo_before + 1
+    status, r = _post_json(port, "/api/undo", {})
+    assert status == 200 and len(srv.viewer.graph.nodes) == n_before
+    # Unknown id → all-or-nothing rejection.
+    status, r = _post_json(
+        port, "/api/edit/remove-nodes", {"node_ids": [99999]}
+    )
+    assert status == 400
+    assert len(srv.viewer.graph.nodes) == n_before
+
+
+def test_duplicate_preserves_clipboard(running_server):
+    """The context-menu duplicate must not clobber the copy/paste
+    clipboard."""
+    srv, port = running_server
+    gj = json.loads(_get(port, "/api/graph")[1])
+    vol = next(n for n in gj["nodes"]
+               if n["identifier"] == "audio_volume_adjust")
+    spec = next(n for n in gj["nodes"]
+                if n["identifier"] == "audio_spectrum")
+    # Clipboard holds the SPECTRUM node...
+    _post_json(port, "/api/copy", {"node_ids": [spec["id"]]})
+    clip_before = srv.viewer.session.clipboard_json
+    # ...then duplicate the VOLUME node.
+    status, r = _post_json(
+        port, "/api/duplicate",
+        {"node_ids": [vol["id"]], "x": 500, "y": 500},
+    )
+    assert status == 200 and len(r["node_ids"]) == 1
+    dup = srv.viewer.graph.nodes[r["node_ids"][0]]
+    assert dup.processor.info().identifier == "audio_volume_adjust"
+    assert srv.viewer.session.clipboard_json == clip_before
+    # Paste still yields the spectrum node from the earlier copy.
+    status, r = _post_json(port, "/api/paste", {})
+    assert status == 200 and len(r["node_ids"]) == 1
+    pasted = srv.viewer.graph.nodes[r["node_ids"][0]]
+    assert pasted.processor.info().identifier == "audio_spectrum"
+
+
 def test_settings_endpoints(running_server):
     srv, port = running_server
     status, body = _get(port, "/api/settings")
