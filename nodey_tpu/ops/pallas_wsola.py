@@ -351,9 +351,14 @@ def wsola_chain_assemble_pallas(
 
 
 def can_fuse_assembly(seq: int, overlap: int) -> bool:
+    # The kernel's rolls all run on 128-multiple scratch widths; the
+    # stride appears only in slices and the output block's lane dim
+    # (masked stores), so lane alignment is NOT required — only that one
+    # stride covers the whole (padded) overlap read. Verified bit-identical
+    # to the gather path on real TPU at 44.1 kHz (stride 1412).
     stride = seq - overlap
     ov_pad = -(-overlap // LANE) * LANE
-    return stride % LANE == 0 and stride >= ov_pad
+    return stride >= ov_pad
 
 
 def _wsola_chain_pallas_impl(

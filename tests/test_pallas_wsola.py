@@ -205,18 +205,29 @@ def test_last_frame_window_not_clipped(kernel):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("tempo", [1.25, 0.8])
-def test_fused_assembly_matches_xla_assembly(tempo):
+@pytest.mark.parametrize(
+    "tempo,rate,K",
+    [
+        (1.25, 8_000, 14),
+        (0.8, 8_000, 14),
+        # 44.1 kHz geometry: stride 1412 is NOT lane-aligned — the fused
+        # emit must still match (masked stores / slice-only stride use);
+        # this is the production pitch-node path for 44.1 kHz sources.
+        (1.0 / 2.0 ** (-3 / 12), 44_100, 6),
+        (0.8, 44_100, 6),
+    ],
+)
+def test_fused_assembly_matches_xla_assembly(tempo, rate, K):
     """The kernel-emitted audio must equal the XLA gather/overlap-add
     assembly fed the same splice offsets (and those offsets must match
     the separate offsets-only kernel)."""
-    rate = 8_000
     seq, seek, overlap = stretch_ops._params(rate)
     assert pallas_wsola.can_fuse_assembly(seq, overlap)
     stride = seq - overlap
+    if rate == 44_100:
+        assert stride % pallas_wsola.LANE != 0  # the geometry under test
     num = int(round(stride * tempo * 65536))
     den = 65536
-    K = 14
     last_pos = ((K - 1) * num + den // 2) // den
     n = last_pos + seek + seq + 2
     rng = np.random.default_rng(9)
