@@ -247,6 +247,7 @@ def _chunk_quantum(graph: Graph, in_rate: int) -> int:
     direction, e.g. an audio_resample node going 48k -> 32k), plus every
     STFT hop."""
     from nodey_tpu.ops.resample import _rational
+    from nodey_tpu.ops.resample import group_factor as _group_factor
 
     q = 1
     rates = {in_rate, 48_000}
@@ -260,8 +261,11 @@ def _chunk_quantum(graph: Graph, in_rate: int) -> int:
     for a in rates:
         for b in rates:
             if a != b:
-                _, M = _rational(a, b)
-                q = math.lcm(q, M)
+                L, M = _rational(a, b)
+                # The grouped GEMM (resample.group_factor) sums R cycles
+                # per patch row; chunk/shard boundaries must respect the
+                # group phase for bitwise offline==chunked==sharded.
+                q = math.lcm(q, M * _group_factor(L, M))
     return q
 
 

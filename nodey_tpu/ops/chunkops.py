@@ -116,8 +116,12 @@ def resample_plan(in_rate: int, out_rate: int, push_cap: int) -> ResamplePlan:
     taps = resample_ops._effective_taps(L, M, resample_ops.DEFAULT_TAPS)
     left_ctx = taps // 2 - 1
     right_ctx = taps - 1
-    take_cap = round_up(push_cap, M) + M
-    cap = left_ctx + right_ctx + M + push_cap + take_cap
+    # Consume in multiples of M * group_factor so every step's local cycle
+    # 0 sits at a global cycle phase of 0 (mod R) — required for bitwise
+    # equality with the offline grouped GEMM (resample.apply_filter_bank).
+    quant = M * resample_ops.group_factor(L, M)
+    take_cap = round_up(push_cap, quant) + quant
+    cap = left_ctx + right_ctx + quant + push_cap + take_cap
     return ResamplePlan(
         L=L, M=M, taps=taps, left_ctx=left_ctx, right_ctx=right_ctx,
         push_cap=push_cap, take_cap=take_cap, cap=cap,
@@ -146,9 +150,14 @@ def resample_stream_step(plan: ResamplePlan, state, data, n, done):
 
     # Live: consume only segments whose full tap windows are materialized.
     # Done: consume everything, rounding the final partial group up into the
-    # zero tail (the offline right pad).
-    take_live = jnp.clip((avail - plan.right_ctx) // M * M, 0, plan.take_cap)
-    take_done = jnp.clip(-(-avail // M) * M, 0, plan.take_cap)
+    # zero tail (the offline right pad). Consumption is quantized to
+    # M * group_factor so the grouped GEMM's cycle-group phase matches the
+    # offline render exactly (see resample_plan).
+    quant = M * resample_ops.group_factor(plan.L, M)
+    take_live = jnp.clip(
+        (avail - plan.right_ctx) // quant * quant, 0, plan.take_cap
+    )
+    take_done = jnp.clip(-(-avail // quant) * quant, 0, plan.take_cap)
     take = jnp.where(done, take_done, take_live)
     out_n_done = (avail // M) * L + ((avail % M) * L + M - 1) // M
     out_n = jnp.where(

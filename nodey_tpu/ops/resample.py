@@ -149,6 +149,33 @@ def resample_data(data, in_rate: int, out_rate: int,
     return y[:, :n_out]
 
 
+def group_factor(L: int, M: int) -> int:
+    """Cycle-group factor R for the lane-aligned GEMM formulation.
+
+    With R cycles per patch row, the GEMM's output minor dim becomes R*L
+    and its contraction dim (R-1)*M + W; R = 128/gcd(L, 128) makes R*L a
+    lane multiple, so the result needs NO misaligned relayout (the
+    dominant cost of the ungrouped form: [C, G, L] -> [C, G*L] with L=160
+    costs ~2.5 ms per 300 s track on v5e). Total MACs actually SHRINK
+    (the zero-padded fraction (W-M)/W amortizes over R cycles).
+
+    R affects float summation grouping, so every execution path (offline,
+    chunked streaming, sp-sharded) must use the same R at the same global
+    cycle phase — chunk/shard planners align boundaries to M*R via
+    _chunk_quantum. Returns 1 (ungrouped) when grouping can't help:
+    small M (the patch path is cheap there), an R that exceeds the FLOP
+    sweet spot, or a grouped bank too large to keep MXU-resident."""
+    if M <= 8:
+        return 1
+    R = 128 // math.gcd(L, 128)
+    if R == 1 or R > 8:
+        return 1
+    Wg = (R - 1) * M + M + DEFAULT_TAPS + 8  # conservative W bound
+    if R * L > 2048 or R * L * Wg > 2_000_000:
+        return 1
+    return R
+
+
 def apply_filter_bank(x, G: int, M: int, W: int, bank):
     """Apply the [L, W] polyphase bank to ``x`` where patch g reads
     ``x[:, g*M : g*M + W]``; returns [C, G*L].
@@ -158,9 +185,46 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
     ONE explicit GEMM hits the MXU. A strided conv_general_dilated lowers
     poorly here (~2 TFLOP/s measured); the explicit GEMM formulation reaches
     full MXU throughput. Shared by the single-device and sp-sharded paths so
-    outputs agree exactly."""
+    outputs agree exactly — callers must start local cycle 0 at a global
+    cycle that is a multiple of group_factor(L, M) (see _chunk_quantum),
+    since the grouped GEMM's summation grouping is phase-dependent."""
     C = x.shape[0]
     L = bank.shape[0]
+    R = group_factor(L, M)
+    if R > 1:
+        # Lane-aligned grouped GEMM: R cycles per patch row. Output rows
+        # are [R*L] (a lane multiple — e.g. 640 for 44.1->48 kHz), so the
+        # final flatten is a FREE reshape instead of a ~2.5 ms relayout,
+        # and the contraction dim (R-1)*M + W pads to a near-full lane
+        # tile. The grouped bank embeds phase block j at column offset
+        # j*M; columns outside a row's [j*M, j*M+W) support are zero, so
+        # every output keeps the exact same terms as the ungrouped form.
+        Mg = M * R
+        Wg = (R - 1) * M + W
+        Gg = -(-G // R)
+        k_shifts = -(-Wg // Mg)
+        segs_needed = Gg + k_shifts
+        need = segs_needed * Mg
+        if x.shape[1] < need:
+            x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+        segs = x[:, :need].reshape(C, segs_needed, Mg)
+        bank_g = jnp.zeros((R * L, Wg), bank.dtype)
+        for j in range(R):
+            bank_g = bank_g.at[j * L : (j + 1) * L, j * M : j * M + W].set(
+                bank
+            )
+        y = None
+        for i in range(k_shifts):
+            w0 = i * Mg
+            w1 = min(Wg, w0 + Mg)
+            part = jnp.einsum(
+                "cgm,lm->cgl",
+                segs[:, i : i + Gg, : w1 - w0],
+                bank_g[:, w0:w1],
+                preferred_element_type=jnp.float32,
+            )
+            y = part if y is None else y + part
+        return y.reshape(C, Gg * R * L)[:, : G * L]
     k_shifts = -(-W // M)
     segs_needed = G + k_shifts
     need = segs_needed * M

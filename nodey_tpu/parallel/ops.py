@@ -101,8 +101,11 @@ def sharded_resample(
     taps = resample_ops._effective_taps(L, M, resample_ops.DEFAULT_TAPS)
     sp = mesh.shape[sp_axis]
     N = data.shape[-1]
-    if N % (M * sp) != 0:
-        raise ValueError(f"time length {N} not divisible by M*sp={M * sp}")
+    quant = M * resample_ops.group_factor(L, M) * sp
+    if N % quant != 0:
+        raise ValueError(
+            f"time length {N} not divisible by M*group*sp={quant}"
+        )
 
     left_halo = taps // 2 - 1
     # Last local group g_last reads window [g_last*M, g_last*M + W);
@@ -148,8 +151,10 @@ def sharded_resample(
 def sharded_time_quantum(mesh: Mesh, in_rate: int, out_rate: int,
                          sp_axis: str = "sp") -> int:
     """Pad quantum that makes a time length valid for sharded_resample."""
-    _, M = resample_ops._rational(in_rate, out_rate)
-    return M * mesh.shape[sp_axis]
+    L, M = resample_ops._rational(in_rate, out_rate)
+    # Shard boundaries must also respect the grouped GEMM's cycle-group
+    # phase (resample.group_factor) for bitwise sharded == single-device.
+    return M * resample_ops.group_factor(L, M) * mesh.shape[sp_axis]
 
 
 def shard_batch(mesh: Mesh, array, dp_axis: str = "dp"):
