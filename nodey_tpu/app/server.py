@@ -94,7 +94,16 @@ _PAGE = """<!DOCTYPE html>
  <textarea id="settext" style="height:160px"></textarea>
  <div style="margin-top:6px"><button id="setapply">apply</button>
  <button id="setclose">cancel</button></div></div>
-<div id="canvas"><svg id="svg" width="2400" height="1600"></svg></div>
+<div id="canvas"><svg id="svg" width="2400" height="1600">
+<defs><pattern id="grid" width="20" height="20" patternUnits="userSpaceOnUse">
+<path d="M 20 0 L 0 0 0 20" fill="none" stroke="#22252c" stroke-width="1"/>
+</pattern></defs>
+<rect id="gridbg" width="100%" height="100%" fill="url(#grid)"/>
+<g id="content"></g>
+</svg>
+<svg id="minimap" width="180" height="120" style="position:fixed;
+ left:12px; bottom:12px; background:#14161b; border:1px solid #2c2f36;
+ border-radius:6px"></svg></div>
 <div id="side">
  <h3>Project</h3><div id="proj"></div>
  <div><button id="save">save</button><button id="open">open</button>
@@ -131,7 +140,39 @@ _PAGE = """<!DOCTYPE html>
 </div>
 <script>
 const svg = document.getElementById('svg');
+const content = document.getElementById('content');
 const err = (m) => document.getElementById('err').textContent = m || '';
+// UI settings drive the canvas (reference: App_settings.ui — grid,
+// snap-to-grid, minimap, side panel width; settings.hpp:9-33).
+let ui = {show_grid: true, grid_size: 20, snap_to_grid: false,
+          show_minimap: true, side_panel_width: 300};
+async function loadSettings() {
+  try {
+    const s = await api('/api/settings');
+    if (s.ui) ui = Object.assign(ui, s.ui);
+  } catch (e) {}
+  document.getElementById('gridbg').style.display =
+    ui.show_grid ? '' : 'none';
+  const p = document.getElementById('grid');
+  p.setAttribute('width', ui.grid_size); p.setAttribute('height', ui.grid_size);
+  p.firstElementChild.setAttribute(
+    'd', `M ${ui.grid_size} 0 L 0 0 0 ${ui.grid_size}`);
+  document.getElementById('minimap').style.display =
+    ui.show_minimap ? '' : 'none';
+  document.getElementById('side').style.width = ui.side_panel_width + 'px';
+}
+function renderMinimap() {
+  const mm = document.getElementById('minimap');
+  mm.textContent = '';
+  if (!graph || !ui.show_minimap) return;
+  const sx = 180 / 2400, sy = 120 / 1600;
+  for (const n of graph.nodes) {
+    const r = el('rect', {x: n.x * sx, y: n.y * sy,
+      width: Math.max(3, 190 * sx), height: Math.max(2, 40 * sy),
+      fill: selected.has(n.id) ? '#9ecbff' : '#4a5160', rx: 1});
+    mm.appendChild(r);
+  }
+}
 function el(n, attrs, text) {
   const e = document.createElementNS('http://www.w3.org/2000/svg', n);
   for (const k in attrs) e.setAttribute(k, attrs[k]);
@@ -155,7 +196,7 @@ async function loadGraph() {
   document.getElementById('proj').textContent =
     graph.title + ' — ' + graph.nodes.length + ' nodes, ' +
     graph.links.length + ' links' + (graph.modified ? '  (unsaved)' : '');
-  svg.textContent = '';
+  content.textContent = '';
   const pinPos = {};
   for (const n of graph.nodes) {
     const h = 34 + 18 * n.pins.length;
@@ -181,7 +222,7 @@ async function loadGraph() {
         p.display_name));
       pinPos[p.id] = [n.x + x, n.y + y];
     });
-    svg.appendChild(g);
+    content.appendChild(g);
   }
   for (const l of graph.links) {
     const a = pinPos[l.from], b = pinPos[l.to];
@@ -193,8 +234,9 @@ async function loadGraph() {
       await api('/api/edit/unlink', {from_pin: l.from, to_pin: l.to});
       loadGraph();
     });
-    svg.insertBefore(path, svg.firstChild);
+    content.insertBefore(path, content.firstChild);
   }
+  renderMinimap();
 }
 function selectNode(n, ev) {
   if (ev && ev.shiftKey) {
@@ -231,8 +273,10 @@ async function removeSelected() {
 function startDrag(ev, n, g) {
   ev.preventDefault();
   const sx = ev.clientX - n.x, sy = ev.clientY - n.y;
+  const snap = (v) => ui.snap_to_grid
+    ? Math.round(v / ui.grid_size) * ui.grid_size : v;
   const move = (e) => {
-    n.x = e.clientX - sx; n.y = e.clientY - sy;
+    n.x = snap(e.clientX - sx); n.y = snap(e.clientY - sy);
     g.setAttribute('transform', `translate(${n.x},${n.y})`);
   };
   const up = async () => {
@@ -481,8 +525,10 @@ document.getElementById('setapply').onclick = async () => {
   catch (e) { err('bad JSON: ' + e.message); return; }
   await api('/api/settings', body);
   document.getElementById('setwin').style.display = 'none';
+  await loadSettings();  // staged apply takes effect immediately
+  loadGraph();
 };
-loadGraph(); loadRegistry(); poll();
+loadSettings().then(loadGraph); loadRegistry(); poll();
 </script></body></html>
 """
 
