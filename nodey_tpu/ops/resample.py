@@ -156,21 +156,27 @@ def group_factor(L: int, M: int) -> int:
     and its contraction dim (R-1)*M + W; R = 128/gcd(L, 128) makes R*L a
     lane multiple, so the result needs NO misaligned relayout (the
     dominant cost of the ungrouped form: [C, G, L] -> [C, G*L] with L=160
-    costs ~2.5 ms per 300 s track on v5e). Total MACs actually SHRINK
-    (the zero-padded fraction (W-M)/W amortizes over R cycles).
+    costs ~2.5 ms per 300 s track on v5e). The grouped bank is mostly
+    zeros, so MACs grow by Wg/W (~3.3x for 44.1->48 kHz) — a good trade:
+    the MXU eats the extra FLOPs far faster than the VPU relayouts it
+    replaces (measured 5.70 -> 2.74 ms per 300 s stereo track).
 
     R affects float summation grouping, so every execution path (offline,
     chunked streaming, sp-sharded) must use the same R at the same global
     cycle phase — chunk/shard planners align boundaries to M*R via
-    _chunk_quantum. Returns 1 (ungrouped) when grouping can't help:
-    small M (the patch path is cheap there), an R that exceeds the FLOP
-    sweet spot, or a grouped bank too large to keep MXU-resident."""
+    _chunk_quantum. Returns 1 (ungrouped) when grouping can't win:
+    small M (the patch path is cheap there), no alignment gain, a MAC
+    blowup past the trade-off point, or a grouped bank too large to keep
+    MXU-resident."""
     if M <= 8:
         return 1
     R = 128 // math.gcd(L, 128)
     if R == 1 or R > 8:
         return 1
-    Wg = (R - 1) * M + M + DEFAULT_TAPS + 8  # conservative W bound
+    W = M + _effective_taps(L, M, DEFAULT_TAPS) - 1
+    Wg = (R - 1) * M + W
+    if Wg > 5 * W:  # MAC blowup beyond what relayout savings repay
+        return 1
     if R * L > 2048 or R * L * Wg > 2_000_000:
         return 1
     return R

@@ -85,6 +85,29 @@ def test_out_capacity():
     assert out_capacity(48_000, 48_000, 44_100) == 44_100
 
 
+def test_grouped_gemm_matches_ungrouped():
+    """The lane-aligned grouped formulation (group_factor > 1) computes
+    the same outputs as the ungrouped per-cycle GEMM — same terms, only
+    the float summation grouping differs (kept consistent across all
+    execution paths via _chunk_quantum)."""
+    from nodey_tpu.ops import resample as rs
+
+    assert rs.group_factor(160, 147) == 4   # 44.1 -> 48 kHz
+    assert rs.group_factor(147, 160) == 1   # 48 -> 44.1 kHz (R would be 128)
+    assert rs.group_factor(3, 2) == 1       # small M: patch path
+
+    x = multitone(44_100, seconds=0.43, channels=2)
+    grouped = np.asarray(resample_data(x, 44_100, 48_000))
+    orig = rs.group_factor
+    rs.group_factor = lambda L, M: 1
+    try:
+        ungrouped = np.asarray(resample_data(x, 44_100, 48_000))
+    finally:
+        rs.group_factor = orig
+    assert grouped.shape == ungrouped.shape
+    assert snr_db(ungrouped, grouped) >= 120.0
+
+
 def test_dc_preservation():
     """Unit DC gain: each phase normalized to sum 1 (swr does the same)."""
     x = np.full((1, 44_100), 0.5, dtype=np.float32)
