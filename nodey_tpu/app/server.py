@@ -98,7 +98,8 @@ _PAGE = """<!DOCTYPE html>
 <defs><pattern id="grid" width="20" height="20" patternUnits="userSpaceOnUse">
 <path d="M 20 0 L 0 0 0 20" fill="none" stroke="#22252c" stroke-width="1"/>
 </pattern></defs>
-<rect id="gridbg" width="100%" height="100%" fill="url(#grid)"/>
+<rect id="gridbg" width="100%" height="100%" fill="url(#grid)"
+ pointer-events="none"/>
 <g id="content"></g>
 </svg>
 <svg id="minimap" width="180" height="120" style="position:fixed;
@@ -151,6 +152,7 @@ async function loadSettings() {
     const s = await api('/api/settings');
     if (s.ui) ui = Object.assign(ui, s.ui);
   } catch (e) {}
+  if (!(ui.grid_size >= 2)) ui.grid_size = 20;  // guard NaN/0 divisors
   document.getElementById('gridbg').style.display =
     ui.show_grid ? '' : 'none';
   const p = document.getElementById('grid');

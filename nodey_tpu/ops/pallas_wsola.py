@@ -331,9 +331,9 @@ def wsola_chain_assemble_pallas(
     also EMITS its stride of output audio (fade-blend head + direct body)
     — eliminating the separate XLA gather/overlap-add assembly pass.
     Blend arithmetic is identical to stretch._assemble_from_offsets
-    (tail*fade_out + seg*fade_in in f32). Requires stride to be
-    lane-aligned and >= the padded overlap (true for the production
-    40/15/8 ms parameters at standard rates); callers gate on
+    (tail*fade_out + seg*fade_in in f32). Requires stride >= the padded
+    overlap — no lane alignment needed; stores mask (true for the
+    production 40/15/8 ms parameters at standard rates); callers gate on
     ``can_fuse_assembly``. Batch-safe like wsola_chain_pallas."""
     inner = functools.partial(
         _wsola_chain_pallas_impl,
@@ -354,8 +354,10 @@ def can_fuse_assembly(seq: int, overlap: int) -> bool:
     # The kernel's rolls all run on 128-multiple scratch widths; the
     # stride appears only in slices and the output block's lane dim
     # (masked stores), so lane alignment is NOT required — only that one
-    # stride covers the whole (padded) overlap read. Verified bit-identical
-    # to the gather path on real TPU at 44.1 kHz (stride 1412).
+    # stride covers the whole (padded) overlap read. On real TPU at
+    # 44.1 kHz (stride 1412) the emitted audio matches the gather-path
+    # assembly within float ulp (max |diff| 6e-8; identical splice
+    # decisions) and the NumPy chain mirror exactly.
     stride = seq - overlap
     ov_pad = -(-overlap // LANE) * LANE
     return stride >= ov_pad
@@ -408,7 +410,7 @@ def _wsola_chain_pallas_impl(
         N = x.shape[1]
     if emit_audio and not can_fuse_assembly(seq, overlap):
         raise ValueError(
-            f"emit_audio requires lane-aligned stride >= padded overlap "
+            f"emit_audio requires stride >= padded overlap "
             f"(seq={seq}, overlap={overlap})"
         )
     head_w = stride if emit_audio else ov_pad

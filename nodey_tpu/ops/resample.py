@@ -197,75 +197,63 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
     C = x.shape[0]
     L = bank.shape[0]
     R = group_factor(L, M)
-    if R > 1:
-        # Lane-aligned grouped GEMM: R cycles per patch row. Output rows
-        # are [R*L] (a lane multiple — e.g. 640 for 44.1->48 kHz), so the
-        # final flatten is a FREE reshape instead of a ~2.5 ms relayout,
-        # and the contraction dim (R-1)*M + W pads to a near-full lane
-        # tile. The grouped bank embeds phase block j at column offset
-        # j*M; columns outside a row's [j*M, j*M+W) support are zero, so
-        # every output keeps the exact same terms as the ungrouped form.
-        Mg = M * R
-        Wg = (R - 1) * M + W
-        Gg = -(-G // R)
-        k_shifts = -(-Wg // Mg)
-        segs_needed = Gg + k_shifts
-        need = segs_needed * Mg
+    if R == 1 and -(-W // M) > 4:
+        # Many small shifts (tiny M, e.g. integer upsampling): the patch
+        # matrix is cheap relative to per-shift GEMM overheads — keep it.
+        k_shifts = -(-W // M)
+        segs_needed = G + k_shifts
+        need = segs_needed * M
         if x.shape[1] < need:
             x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
-        segs = x[:, :need].reshape(C, segs_needed, Mg)
+        segs = x[:, :need].reshape(C, segs_needed, M)
+        patches = jnp.concatenate(
+            [segs[:, i : i + G, :] for i in range(k_shifts)], axis=-1
+        )[:, :, :W]             # [C, G, W]
+        y = jnp.einsum(
+            "cgw,lw->cgl", patches, bank, preferred_element_type=jnp.float32
+        )                       # [C, G, L]
+        return y.reshape(C, G * L)
+    # Decomposed per-shift GEMM, grouped R cycles per patch row (R == 1 is
+    # the plain ungrouped case — identical shapes and summation order to
+    # the historical path). patch[g][i*Mg + m] = segs[g+i][m]: the bank
+    # contraction splits into one GEMM per Mg-aligned shift reading the
+    # contiguous segs view — the [C, G, W] patch matrix is never
+    # materialized (peak HBM -128 MB per 300 s track). With R > 1 the
+    # output rows are [R*L], a lane multiple (e.g. 640 for 44.1->48 kHz),
+    # so the final flatten is a FREE reshape instead of a ~2.5 ms
+    # misaligned relayout, and the contraction dim (R-1)*M + W is
+    # near-tile-dense. The grouped bank embeds phase block j at column
+    # offset j*M; columns outside a row's [j*M, j*M+W) support are zero,
+    # so every output keeps the exact same terms as the ungrouped form.
+    Mg = M * R
+    Wg = (R - 1) * M + W
+    Gg = -(-G // R)
+    k_shifts = -(-Wg // Mg)
+    segs_needed = Gg + k_shifts
+    need = segs_needed * Mg
+    if x.shape[1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    segs = x[:, :need].reshape(C, segs_needed, Mg)
+    if R == 1:
+        bank_g = bank
+    else:
         bank_g = jnp.zeros((R * L, Wg), bank.dtype)
         for j in range(R):
             bank_g = bank_g.at[j * L : (j + 1) * L, j * M : j * M + W].set(
                 bank
             )
-        y = None
-        for i in range(k_shifts):
-            w0 = i * Mg
-            w1 = min(Wg, w0 + Mg)
-            part = jnp.einsum(
-                "cgm,lm->cgl",
-                segs[:, i : i + Gg, : w1 - w0],
-                bank_g[:, w0:w1],
-                preferred_element_type=jnp.float32,
-            )
-            y = part if y is None else y + part
-        return y.reshape(C, Gg * R * L)[:, : G * L]
-    k_shifts = -(-W // M)
-    segs_needed = G + k_shifts
-    need = segs_needed * M
-    if x.shape[1] < need:
-        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
-    segs = x[:, :need].reshape(C, segs_needed, M)
-    if k_shifts <= 4:
-        # Decomposed GEMM: patch[g][i*M + m] = segs[g+i][m], so the bank
-        # contraction splits into one GEMM per M-aligned shift, each
-        # reading the contiguous segs view directly — the [C, G, W] patch
-        # matrix is never materialized (peak HBM -128 MB per 300 s track).
-        # Wall time is relayout-bound either way (M=147 rows can't be
-        # 128-lane aligned): ~5.5 ms per 300 s stereo track on v5e, both
-        # formulations, 52,000x realtime standalone.
-        y = None
-        for i in range(k_shifts):
-            w0 = i * M
-            w1 = min(W, w0 + M)
-            part = jnp.einsum(
-                "cgm,lm->cgl",
-                segs[:, i : i + G, : w1 - w0],
-                bank[:, w0:w1],
-                preferred_element_type=jnp.float32,
-            )
-            y = part if y is None else y + part
-        return y.reshape(C, G * L)
-    # Many small shifts (tiny M, e.g. integer upsampling): the patch
-    # matrix is cheap relative to per-shift GEMM overheads — keep it.
-    patches = jnp.concatenate(
-        [segs[:, i : i + G, :] for i in range(k_shifts)], axis=-1
-    )[:, :, :W]                 # [C, G, W]
-    y = jnp.einsum(
-        "cgw,lw->cgl", patches, bank, preferred_element_type=jnp.float32
-    )                           # [C, G, L]
-    return y.reshape(C, G * L)
+    y = None
+    for i in range(k_shifts):
+        w0 = i * Mg
+        w1 = min(Wg, w0 + Mg)
+        part = jnp.einsum(
+            "cgm,lm->cgl",
+            segs[:, i : i + Gg, : w1 - w0],
+            bank_g[:, w0:w1],
+            preferred_element_type=jnp.float32,
+        )
+        y = part if y is None else y + part
+    return y.reshape(C, Gg * R * L)[:, : G * L]
 
 
 def resample_data_reference(data: np.ndarray, in_rate: int, out_rate: int,
