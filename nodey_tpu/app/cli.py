@@ -367,27 +367,10 @@ def cmd_new(args) -> int:
     return 0
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compile cache: graph programs recompile only when the
-    graph/shapes change, across CLI invocations (first TPU compile of a new
-    program costs seconds to minutes; cached reloads are ~instant)."""
-    import pathlib
-
-    import jax
-
-    cache = pathlib.Path.home() / ".cache" / "nodey_tpu" / "jax"
-    try:
-        cache.mkdir(parents=True, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache))
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 1.0
-        )
-    except Exception:  # cache flags vary across jax versions; best-effort
-        pass
-
-
 def main(argv=None) -> int:
-    _enable_compile_cache()
+    from nodey_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(prog="nodey_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

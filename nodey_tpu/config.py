@@ -50,3 +50,34 @@ class ExecConfig:
 
 
 DEFAULT_EXEC = ExecConfig()
+
+_cache_enabled = False
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache: graph programs recompile only when
+    the graph/shapes change, across processes (first TPU compile of a new
+    program costs seconds to minutes through the remote compiler; cached
+    reloads are ~instant). Called lazily by the CLI, Runner, and
+    StreamExecutor so library embedders get it too; opt out with
+    NODEY_NO_COMPILE_CACHE=1. Idempotent and best-effort."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    import os
+    import pathlib
+
+    if os.environ.get("NODEY_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache = pathlib.Path.home() / ".cache" / "nodey_tpu" / "jax"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:  # cache flags vary across jax versions; best-effort
+        pass

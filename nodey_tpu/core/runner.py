@@ -84,6 +84,7 @@ class Runner:
     """Executes a validated graph in export or preview mode."""
 
     def __init__(self, graph: Graph, exec_config: cfg.ExecConfig = cfg.DEFAULT_EXEC):
+        cfg.enable_compile_cache()  # library embedders get the persistent cache too
         self.graph = graph
         self.exec_config = exec_config
         self.state = RunnerState.READY

@@ -163,6 +163,7 @@ class StreamExecutor:
         master_wire: str = "f32",
         collect_frames: bool = True,
     ):
+        cfg.enable_compile_cache()  # library embedders get the persistent cache too
         self.graph = graph
         self.mode = mode
         self.chunk_seconds = chunk_seconds
