@@ -560,6 +560,15 @@ class _AudioListener:
                     pass
 
 
+# Liveness bounds for /api/preview.wav: a not-yet-started stream stays
+# attached for the grace period (the UI races the media fetch against the
+# preview POST); a stream that never receives audio (e.g. opened while an
+# export runs) closes at the hard cap. Module-level so tests can shrink
+# them.
+AUDIO_STREAM_IDLE_GRACE_S = 10.0
+AUDIO_STREAM_MAX_IDLE_S = 600.0
+
+
 def _wav_stream_header(rate: int = 48_000, channels: int = 2) -> bytes:
     """RIFF/WAVE header for an unbounded live stream (sizes pinned at
     0xFFFFFFFF, the conventional marker players accept for live WAV)."""
@@ -1182,9 +1191,11 @@ def make_handler(viewer: ViewerState):
                         # Keep a not-yet-started stream alive briefly (the
                         # UI attaches the <audio> element before POSTing
                         # /api/preview), but never hang a dead one.
-                        if not running and (streamed or idle > 10.0):
+                        if not running and (
+                            streamed or idle > AUDIO_STREAM_IDLE_GRACE_S
+                        ):
                             break
-                        if idle > 600.0:
+                        if idle > AUDIO_STREAM_MAX_IDLE_S:
                             break
                         continue
                     if item is None:

@@ -155,6 +155,53 @@ def test_preview_wav_live_stream(running_server):
     assert json.loads(raw)["state"] == "finished"
 
 
+def test_preview_wav_multiple_listeners(running_server):
+    """The audio fan-out serves several concurrent clients (each gets the
+    full live stream)."""
+    import threading
+
+    srv, port = running_server
+    results = {}
+
+    def listen(name, url):
+        with urllib.request.urlopen(url, timeout=90) as r:
+            results[name] = r.read()
+
+    t1 = threading.Thread(
+        target=listen, args=("a", f"http://127.0.0.1:{port}/api/preview.wav"),
+        daemon=True,
+    )
+    t1.start()
+    time.sleep(0.3)  # listener a attaches before the preview starts
+    t2 = threading.Thread(
+        target=listen,
+        args=("b", f"http://127.0.0.1:{port}/api/preview.wav?start=1"),
+        daemon=True,
+    )
+    t2.start()
+    t1.join(timeout=90)
+    t2.join(timeout=90)
+    assert "a" in results and "b" in results
+    for raw in results.values():
+        pcm = np.frombuffer(raw[44:], dtype=np.int16)
+        assert pcm.size >= 2 * 48_000 * 0.9  # ~the full 1 s clip
+        assert np.abs(pcm).max() > 1000
+
+
+def test_preview_wav_idle_stream_closes(running_server, monkeypatch):
+    """An audio stream that never receives audio (no preview started)
+    closes after the grace period instead of hanging."""
+    srv, port = running_server
+    monkeypatch.setattr(web_server, "AUDIO_STREAM_IDLE_GRACE_S", 1.0)
+    t0 = time.time()
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/api/preview.wav", timeout=30
+    ) as r:
+        raw = r.read()
+    assert time.time() - t0 < 10.0
+    assert len(raw) == 44  # header only, no PCM
+
+
 def _post_json(port, path, obj):
     data = json.dumps(obj).encode()
     req = urllib.request.Request(
