@@ -120,8 +120,9 @@ _PAGE = """<!DOCTYPE html>
   <input id="exppath" value="export.mp3" style="width:140px;background:#23262d;
    color:#d6d8de;border:1px solid #3a3f4a;border-radius:6px">
   <select id="expkbps" style="width:70px">
-   <option>128</option><option>192</option><option selected>256</option>
-   <option>320</option></select>
+   <option>64</option><option>96</option><option>128</option>
+   <option>160</option><option>192</option><option>256</option>
+   <option selected>320</option></select>
   <button id="export">⬇ export</button>
  </div>
  <audio id="aud" style="width:100%;margin-top:4px" controls></audio>
