@@ -111,15 +111,18 @@ class AudioAmix(Processor):
                 "missing or invalid fields.",
                 "Wrong field: input_num",
             )
-        self.input_num = int(value["input_num"])
+        # Tolerant load clamps to the UI-reachable ranges (the reference
+        # editor can only write input_num in [1,16] and slider volumes in
+        # [0.001, 0.999], audio-amix.cpp:340-347, 352-357 — a hand-edited
+        # file must not create thousands of pins or out-of-range weights).
+        self.input_num = min(max(int(value["input_num"]), 1), 16)
         self.volumes = []
         self.locks = []
         for i in range(self.input_num):
             vol = value.get(f"volumes{i}", 0.0)
             lock = value.get(f"locks{i}", False)
-            self.volumes.append(
-                float(vol) if isinstance(vol, (int, float)) else 0.0
-            )
+            vol = float(vol) if isinstance(vol, (int, float)) else 0.0
+            self.volumes.append(min(max(vol, 0.0), 1.0))
             self.locks.append(bool(lock))
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:

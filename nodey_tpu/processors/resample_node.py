@@ -55,7 +55,10 @@ class AudioResample(Processor):
         if isinstance(value, dict):
             rate = value.get("target_rate")
             if isinstance(rate, (int, float)) and not isinstance(rate, bool):
-                self.target_rate = int(rate)
+                # Tolerant load clamps to the setter's supported range — a
+                # hand-edited target_rate of 0 must not reach the rational
+                # reduction (ZeroDivisionError) or explode the phase bank.
+                self.target_rate = min(max(int(rate), 4_000), 192_000)
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         stream = inputs.get("input")

@@ -253,3 +253,29 @@ def test_velocity_tolerant_deserialize():
     v.deserialize({"keep_pitch": True})
     assert v.velocity == 2.0 and v.keep_pitch is True
     v.deserialize({})  # silently ignores missing fields like the reference
+
+
+def test_amix_tolerant_deserialize_clamps():
+    """A hand-edited project must not create out-of-range arity/weights
+    (the reference UI can only write input_num in [1,16] and slider
+    volumes in [0.001, 0.999], audio-amix.cpp:340-347, 352-357)."""
+    from nodey_tpu.processors.amix import AudioAmix
+
+    mix = AudioAmix()
+    mix.deserialize({"input_num": 10_000, "volumes0": 7.5, "locks0": True})
+    assert mix.input_num == 16
+    assert mix.volumes[0] == 1.0
+    mix.deserialize({"input_num": -3})
+    assert mix.input_num == 1
+
+
+def test_resample_tolerant_deserialize_clamps():
+    """target_rate=0 in a hand-edited file must not reach the rational
+    reduction (ZeroDivisionError) or explode the phase bank."""
+    from nodey_tpu.processors.resample_node import AudioResample
+
+    rs = AudioResample()
+    rs.deserialize({"target_rate": 0})
+    assert rs.target_rate == 4_000
+    rs.deserialize({"target_rate": 10_000_000})
+    assert rs.target_rate == 192_000
