@@ -1,0 +1,7 @@
+"""``python -m nodey_tpu`` — the headless CLI entry point."""
+
+import sys
+
+from nodey_tpu.app.cli import main
+
+sys.exit(main())

@@ -1,0 +1,39 @@
+"""The examples/ scripts are executable documentation — run them end to
+end (tiny inputs, CPU) so they cannot rot."""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
+
+
+def _run(script, *args, cwd):
+    return subprocess.run(
+        [sys.executable, str(EXAMPLES / script), *args],
+        cwd=cwd, capture_output=True, text=True, timeout=600,
+    )
+
+
+def test_build_and_export_example(tmp_path):
+    out = tmp_path / "ex.mp3"
+    r = _run("build_and_export.py", "-o", str(out), cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 10_000
+    assert "exported" in r.stdout
+
+
+def test_batch_serving_example(tmp_path):
+    r = _run(
+        "batch_serving.py", "--batch", "2", "--seconds", "1", cwd=tmp_path
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "aggregate RTF" in r.stdout
+
+
+def test_streaming_preview_example(tmp_path):
+    r = _run("streaming_preview.py", "--no-realtime", cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "done:" in r.stdout
