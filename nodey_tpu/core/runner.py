@@ -338,7 +338,9 @@ class Runner:
         path: str,
         kbps: int = 320,
         progress: Optional[Callable[[float], None]] = None,
-        chunk_seconds: float = 2.0,
+        chunk_seconds: float = 6.0,  # export is latency-insensitive; fewer
+                                     # chunks amortize the per-dispatch d2h
+                                     # round trip (~30 ms on relay rigs)
     ) -> RunMetrics:
         """Fully pipelined export: decode ∥ device chunk-step ∥ d2h ∥ LAME.
 
