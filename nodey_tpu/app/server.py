@@ -205,7 +205,7 @@ async function loadGraph() {
     const h = 34 + 18 * n.pins.length;
     const g = el('g', {transform:`translate(${n.x},${n.y})`});
     const r = el('rect', {class:'node' + (selected.has(n.id) ? ' sel' : ''),
-                          width:190, height:h, rx:8});
+                          'data-node': n.id, width:190, height:h, rx:8});
     r.addEventListener('mousedown', (ev) => startDrag(ev, n, g));
     r.addEventListener('click', (ev) => selectNode(n, ev));
     r.addEventListener('contextmenu', (ev) => nodeMenu(ev, n));
@@ -386,6 +386,16 @@ async function poll() {
             Math.round(100 * s.stages[k]) + '%"></i></div></div>';
       st.innerHTML = html;
     } else st.innerHTML = '';
+    // Per-source run state: sources that reached EOF tint green during a
+    // streamed export (reference per-processor state tallies,
+    // app.cpp:1556-1568).
+    const doneNodes = new Set();
+    if (s.stages && s.stages.sources)
+      for (const k in s.stages.sources)
+        if (s.stages.sources[k].done) doneNodes.add(parseInt(k.slice(1)));
+    for (const r of svg.querySelectorAll('rect[data-node]'))
+      r.style.stroke = doneNodes.has(
+        parseInt(r.getAttribute('data-node'))) ? '#7fd962' : '';
     if (s.spectrum) drawSpec(s.spectrum);
   } catch (e) {}
   setTimeout(poll, 500);

@@ -461,6 +461,16 @@ class StreamExecutor:
             stats["decode_fill"] = min(
                 f.queue.stats.fill_ratio for f in self._feeds.values()
             )
+            # Per-source run state (the reference overlay's per-processor
+            # Running/Finished tallies, app.cpp:1556-1568): key is the
+            # external input key "n<node>:<pin>".
+            stats["sources"] = {
+                key: {
+                    "fill": feed.queue.stats.fill_ratio,
+                    "done": feed.queue.eof,
+                }
+                for key, feed in self._feeds.items()
+            }
         for name, q in self._stage_queues.items():
             stats[f"{name}_fill"] = q.stats.fill_ratio
         return stats

@@ -83,6 +83,11 @@ def test_streamed_export_matches_offline_master(tmp_path):
     assert stats["steps"] == metrics.steps
     for key in ("decode_fill", "egress_fill", "host_fill"):
         assert 0.0 <= stats[key] <= 1.0
+    # Per-source run states: after the run drains, every source is done.
+    assert len(stats["sources"]) == 2
+    for key, src_stats in stats["sources"].items():
+        assert key.startswith("n") and ":output_" in key
+        assert src_stats["done"] is True
 
 
 def test_streamed_export_mp3_roundtrip(tmp_path):
