@@ -17,7 +17,6 @@ import sys
 # Running from the source tree (not pip-installed): make the repo root
 # importable no matter the working directory.
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-import tempfile
 
 import numpy as np
 
@@ -60,10 +59,10 @@ def main(argv=None):
             0.4 * np.sin(2 * np.pi * 440.0 * t),
             0.4 * np.sin(2 * np.pi * 660.0 * t),
         ]).astype(np.float32)
-        wav = tempfile.mktemp(suffix=".wav")
+        wav = "example_tone.wav"  # cwd: visible, race-free, no /tmp litter
         host_decode.write_wav_s16(wav, tone, rate)
         paths = [wav]
-        print(f"(no inputs given — synthesized {wav})")
+        print(f"(no inputs given — synthesized ./{wav})")
 
     from nodey_tpu.core.runner import Runner
 

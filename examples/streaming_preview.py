@@ -15,7 +15,6 @@ import sys
 # Running from the source tree (not pip-installed): make the repo root
 # importable no matter the working directory.
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-import tempfile
 
 import numpy as np
 
@@ -38,9 +37,9 @@ def main(argv=None):
         sweep = 0.4 * np.sin(
             2 * np.pi * (200.0 + 1800.0 * t / seconds) * t
         ).astype(np.float32)
-        path = tempfile.mktemp(suffix=".wav")
+        path = "example_sweep.wav"  # cwd: visible, race-free, no /tmp litter
         host_decode.write_wav_s16(path, np.stack([sweep, sweep]), rate)
-        print(f"(no input given — synthesized {path})")
+        print(f"(no input given — synthesized ./{path})")
 
     from nodey_tpu import Graph, processor_map, register_all_processors
     from nodey_tpu.core.streaming import StreamingSession

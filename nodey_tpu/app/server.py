@@ -393,9 +393,13 @@ async function poll() {
     if (s.stages && s.stages.sources)
       for (const k in s.stages.sources)
         if (s.stages.sources[k].done) doneNodes.add(parseInt(k.slice(1)));
-    for (const r of svg.querySelectorAll('rect[data-node]'))
-      r.style.stroke = doneNodes.has(
-        parseInt(r.getAttribute('data-node'))) ? '#7fd962' : '';
+    for (const r of svg.querySelectorAll('rect[data-node]')) {
+      const id = parseInt(r.getAttribute('data-node'));
+      // Inline stroke would override the .sel class — keep the selection
+      // highlight for selected nodes.
+      r.style.stroke =
+        doneNodes.has(id) && !selected.has(id) ? '#7fd962' : '';
+    }
     if (s.spectrum) drawSpec(s.spectrum);
   } catch (e) {}
   setTimeout(poll, 500);

@@ -73,6 +73,11 @@ def enable_compile_cache() -> None:
     try:
         import jax
 
+        # Respect a cache the embedding application already configured —
+        # this must never silently redirect someone else's cache dir.
+        current = getattr(jax.config, "jax_compilation_cache_dir", None)
+        if current:
+            return
         cache = pathlib.Path.home() / ".cache" / "nodey_tpu" / "jax"
         cache.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache))

@@ -111,10 +111,14 @@ class AudioAmix(Processor):
                 "missing or invalid fields.",
                 "Wrong field: input_num",
             )
-        # Tolerant load clamps to the UI-reachable ranges (the reference
-        # editor can only write input_num in [1,16] and slider volumes in
-        # [0.001, 0.999], audio-amix.cpp:340-347, 352-357 — a hand-edited
-        # file must not create thousands of pins or out-of-range weights).
+        # Tolerant load: input_num clamps to the UI-reachable [1,16]
+        # (audio-amix.cpp:340-347 — a hand-edited file must not create
+        # thousands of pins). Volumes clamp only against absurd
+        # hand-edits (|v| <= 16): the ENGINE can legitimately write
+        # values outside the slider range — set_volume's renormalization
+        # goes negative when locked volumes sum past 1 (same math as the
+        # reference, audio-amix.cpp:358-371) — and save/reload must be
+        # an identity for engine-produced files.
         self.input_num = min(max(int(value["input_num"]), 1), 16)
         self.volumes = []
         self.locks = []
@@ -122,7 +126,7 @@ class AudioAmix(Processor):
             vol = value.get(f"volumes{i}", 0.0)
             lock = value.get(f"locks{i}", False)
             vol = float(vol) if isinstance(vol, (int, float)) else 0.0
-            self.volumes.append(min(max(vol, 0.0), 1.0))
+            self.volumes.append(min(max(vol, -16.0), 16.0))
             self.locks.append(bool(lock))
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:

@@ -262,11 +262,24 @@ def test_amix_tolerant_deserialize_clamps():
     from nodey_tpu.processors.amix import AudioAmix
 
     mix = AudioAmix()
-    mix.deserialize({"input_num": 10_000, "volumes0": 7.5, "locks0": True})
+    mix.deserialize({"input_num": 10_000, "volumes0": 1e30, "locks0": True})
     assert mix.input_num == 16
-    assert mix.volumes[0] == 1.0
+    assert mix.volumes[0] == 16.0
     mix.deserialize({"input_num": -3})
     assert mix.input_num == 1
+    # Engine-produced values outside the slider range survive a round
+    # trip (renormalization can go negative when locked volumes sum past
+    # 1 — same math as the reference, audio-amix.cpp:358-371).
+    mix2 = AudioAmix()
+    mix2.set_input_num(3)
+    mix2.volumes = [0.999, 0.999, 0.5]
+    mix2.locks = [True, True, False]
+    mix2.set_volume(2, 0.5)  # scale = (1 - 1.998) / 0.5 < 0
+    assert mix2.volumes[2] < 0.0
+    blob = mix2.serialize()
+    mix3 = AudioAmix()
+    mix3.deserialize(blob)
+    assert mix3.volumes == mix2.volumes[: mix2.input_num]
 
 
 def test_resample_tolerant_deserialize_clamps():
