@@ -476,3 +476,63 @@ def test_new_and_open_project(running_server, tmp_path):
     # Missing file is a structured 400, not a hung handler.
     status, r = _post_json(port, "/api/open", {"path": "/nope/x.json"})
     assert status == 400 and not r["ok"]
+
+
+def test_concurrent_edit_hammering(running_server):
+    """Four threads hammer mutations/undo/poll concurrently: every
+    response must be a structured 200/400 (never a 500/crash) and the
+    graph must end valid — the editor's thread-safety net."""
+    import threading
+    import urllib.error
+
+    srv, port = running_server
+    errors = []
+    barrier = threading.Barrier(4)
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        barrier.wait()
+        for i in range(40):
+            op = rng.integers(0, 5)
+            try:
+                if op == 0:
+                    _post_json(port, "/api/edit/add-node", {
+                        "identifier": "audio_volume_adjust",
+                        "x": int(rng.integers(0, 900)),
+                        "y": int(rng.integers(0, 600))})
+                elif op == 1:
+                    gj = json.loads(_get(port, "/api/graph")[1])
+                    if gj["nodes"]:
+                        n = gj["nodes"][int(rng.integers(0, len(gj["nodes"])))]
+                        _post_json(port, "/api/edit/move", {
+                            "node_id": n["id"],
+                            "x": float(rng.integers(0, 900)),
+                            "y": float(rng.integers(0, 600))})
+                elif op == 2:
+                    _post_json(port, "/api/undo", {})
+                elif op == 3:
+                    _post_json(port, "/api/redo", {})
+                else:
+                    _get(port, "/api/state")
+                    _get(port, "/api/registry")
+            except urllib.error.HTTPError as exc:
+                if exc.code >= 500:
+                    errors.append(f"HTTP {exc.code} on op {op}")
+            except Exception as exc:  # connection-level failure
+                errors.append(f"{type(exc).__name__}: {exc}")
+
+    threads = [
+        threading.Thread(target=worker, args=(s,), daemon=True)
+        for s in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors[:5]
+    # The surviving graph stays structurally consistent after the
+    # interleaved undo/redo/add/move storm.
+    gj = json.loads(_get(port, "/api/graph")[1])
+    pin_ids = {p["id"] for n in gj["nodes"] for p in n["pins"]}
+    for link in gj["links"]:
+        assert link["from"] in pin_ids and link["to"] in pin_ids

@@ -166,6 +166,45 @@ def test_streamed_export_time_variant_graph(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
 
 
+def test_streamed_export_chained_time_variant(tmp_path):
+    """TWO chained WSOLA stages (velocity -> pitch, config-4 shape) plus
+    a trailing resample stream end to end and match the offline render —
+    the adversarial case for cascaded device-FIFO carries."""
+    from nodey_tpu.processors.resample_node import AudioResample
+    from nodey_tpu.processors.velocity import VelocityModifier
+
+    registry.register_all_processors()
+    paths = _write_fixtures(tmp_path, seconds=2.0)[:1]
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = paths
+    g.update_node_pin(src)
+    vel = g.add_node(VelocityModifier())
+    g.nodes[vel].processor.set_velocity(0.8)
+    g.nodes[vel].processor.keep_pitch = True
+    pit = g.add_node(PitchModifier())
+    g.nodes[pit].processor.pitch = 3.0
+    rs = g.add_node(AudioResample())
+    g.nodes[rs].processor.set_target_rate(48_000)
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, vel, "input"))
+    g.add_link(_pin(g, vel, "output"), _pin(g, pit, "input"))
+    g.add_link(_pin(g, pit, "output"), _pin(g, rs, "input"))
+    g.add_link(_pin(g, rs, "output"), _pin(g, out, "input"))
+
+    offline = Runner(g).render(mode="export")
+    ref = offline.master
+
+    blocks = []
+    ex = StreamExecutor(g, mode="export", chunk_seconds=0.4)
+    metrics = ex.run(sink=lambda b: blocks.append(b.copy()))
+    got = np.concatenate(blocks, axis=1)
+
+    assert metrics.steps >= 4
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+
+
 def test_streamed_preview_session_bounded(tmp_path):
     """StreamingSession default (streamed) mode: chunk-by-chunk preview
     equals the whole-clip preview master."""
