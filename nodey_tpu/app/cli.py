@@ -86,12 +86,21 @@ def cmd_serve(args) -> int:
     imnodes canvas + mutations + diagnostics overlay, app.cpp:1493-1901)."""
     from nodey_tpu.app import server as web_server
 
-    graph = _load_graph(args.project)
+    if args.project:
+        graph = _load_graph(args.project)
+        title = args.project
+    else:
+        # No project: start on an empty canvas (the reference opens with
+        # a new project too; save prompts for a path via /api/save after
+        # the client sets one with /api/open or the session default).
+        registry.register_all_processors()
+        graph = Graph()
+        title = "(new project)"
     srv = web_server.serve(
-        graph, args.project, args.host, args.port,
-        project_path=args.project,
+        graph, title, args.host, args.port,
+        project_path=args.project or None,
     )
-    print(f"serving {args.project} at http://{args.host}:{args.port}/")
+    print(f"serving {title} at http://{args.host}:{args.port}/")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -372,6 +381,11 @@ def main(argv=None) -> int:
 
     enable_compile_cache()
     parser = argparse.ArgumentParser(prog="nodey_tpu")
+    from nodey_tpu import __version__
+
+    parser.add_argument(
+        "--version", action="version", version=f"nodey_tpu {__version__}"
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_run = sub.add_parser("run", help="execute a project graph")
@@ -401,7 +415,10 @@ def main(argv=None) -> int:
     p_srv = sub.add_parser(
         "serve", help="web viewer: graph canvas + live run state + spectrum"
     )
-    p_srv.add_argument("project")
+    p_srv.add_argument(
+        "project", nargs="?", default=None,
+        help="project file; omit to start on an empty canvas",
+    )
     p_srv.add_argument("--host", default="127.0.0.1")
     p_srv.add_argument("--port", type=int, default=8787)
     p_srv.set_defaults(fn=cmd_serve)
