@@ -11,8 +11,18 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
 
 
 def _run(script, *args, cwd):
+    # The JAX_PLATFORMS env var alone does NOT keep a subprocess off the
+    # TPU on this rig (sitecustomize re-pins jax_platforms="axon,cpu" at
+    # interpreter start, see conftest.py) — force CPU with an in-process
+    # config update before the example runs.
+    code = (
+        "import sys, runpy, jax;"
+        "jax.config.update('jax_platforms', 'cpu');"
+        "script = sys.argv.pop(1); sys.argv[0] = script;"
+        "runpy.run_path(script, run_name='__main__')"
+    )
     return subprocess.run(
-        [sys.executable, str(EXAMPLES / script), *args],
+        [sys.executable, "-c", code, str(EXAMPLES / script), *args],
         cwd=cwd, capture_output=True, text=True, timeout=600,
     )
 
