@@ -273,14 +273,27 @@ def measure_device_rtf(graph, mode, iters):
         _timed(lambda: probe(out)) for _ in range(3)
     )
 
+    # Pilot loop to size the measurement: for sub-millisecond programs the
+    # loop total must DWARF the probe RTT, or relay jitter in the RTT
+    # estimate swamps (or even exceeds) the measured time — a run of this
+    # harness once reported a NEGATIVE per-exec time for a 0.5 ms config.
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled.fn(device_args)
+    probe(out)
+    pilot = max((time.perf_counter() - t0 - probe_rtt) / iters, 1e-6)
+    iters_adj = max(iters, min(2000, int(10.0 * probe_rtt / pilot) + 1))
+
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(iters_adj):
             out = compiled.fn(device_args)
         probe(out)
-        times.append((time.perf_counter() - t0 - probe_rtt) / iters)
-    pipeline_s = min(times)
+        times.append((time.perf_counter() - t0 - probe_rtt) / iters_adj)
+    # The RTT correction is bounded by 10% of the loop by construction;
+    # clamp defensively anyway so a relay hiccup can never yield <= 0.
+    pipeline_s = max(min(times), 1e-7)
 
     master, length = out[master_key]
     rate = compiled.output_meta[master_key]["rate"]
@@ -325,15 +338,27 @@ def pallas_resample_ab(seconds: float, iters: int = 8) -> None:
         probe(out)
         warm = time.perf_counter() - t0
         probe_rtt = min(_timed(lambda: probe(out)) for _ in range(3))
+        # Adaptive iteration count (same rationale as measure_device_rtf):
+        # the loop total must dwarf the probe RTT or relay jitter in the
+        # RTT estimate dominates sub-millisecond kernels.
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(x)
+        probe(out)
+        pilot = max((time.perf_counter() - t0 - probe_rtt) / iters, 1e-6)
+        iters_adj = max(iters, min(2000, int(10.0 * probe_rtt / pilot) + 1))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(iters):
+            for _ in range(iters_adj):
                 out = f(x)
             probe(out)
-            times.append((time.perf_counter() - t0 - probe_rtt) / iters)
-        log(f"pallas-ab {name}: warm {warm:.1f}s run {min(times) * 1e3:.2f} ms")
-        return out, min(times)
+            times.append(
+                (time.perf_counter() - t0 - probe_rtt) / iters_adj
+            )
+        best = max(min(times), 1e-7)
+        log(f"pallas-ab {name}: warm {warm:.1f}s run {best * 1e3:.2f} ms")
+        return out, best
 
     try:
         xla_out, xla_t = timed(
