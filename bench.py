@@ -39,6 +39,16 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _adaptive_iters(pilot_s: float, probe_rtt_s: float, floor: int) -> int:
+    """Iteration count whose loop total dwarfs the probe RTT (>=10x), so
+    relay jitter in the RTT estimate cannot dominate — or go negative —
+    for sub-millisecond programs. Bounded by wall time (~2 s/loop), not
+    by an iteration cap that could silently void the guarantee."""
+    want_rtt = int(10.0 * probe_rtt_s / pilot_s) + 1
+    want_wall = int(2.0 / pilot_s) + 1
+    return max(floor, min(want_rtt, want_wall))
+
+
 def _tone(n, rate, f0, channels, seed):
     rng = np.random.default_rng(seed)
     t = np.arange(n) / rate
@@ -282,7 +292,7 @@ def measure_device_rtf(graph, mode, iters):
         out = compiled.fn(device_args)
     probe(out)
     pilot = max((time.perf_counter() - t0 - probe_rtt) / iters, 1e-6)
-    iters_adj = max(iters, min(2000, int(10.0 * probe_rtt / pilot) + 1))
+    iters_adj = _adaptive_iters(pilot, probe_rtt, iters)
 
     times = []
     for _ in range(3):
@@ -291,8 +301,9 @@ def measure_device_rtf(graph, mode, iters):
             out = compiled.fn(device_args)
         probe(out)
         times.append((time.perf_counter() - t0 - probe_rtt) / iters_adj)
-    # The RTT correction is bounded by 10% of the loop by construction;
-    # clamp defensively anyway so a relay hiccup can never yield <= 0.
+    # The RTT correction is bounded by ~10% of the loop by construction
+    # (the wall-time bound only binds below ~0.3 us/exec, far under any
+    # real program here); clamp defensively anyway.
     pipeline_s = max(min(times), 1e-7)
 
     master, length = out[master_key]
@@ -346,7 +357,7 @@ def pallas_resample_ab(seconds: float, iters: int = 8) -> None:
             out = f(x)
         probe(out)
         pilot = max((time.perf_counter() - t0 - probe_rtt) / iters, 1e-6)
-        iters_adj = max(iters, min(2000, int(10.0 * probe_rtt / pilot) + 1))
+        iters_adj = _adaptive_iters(pilot, probe_rtt, iters)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()

@@ -331,8 +331,19 @@ document.getElementById('undo').onclick =
   async () => { await api('/api/undo', {}); loadGraph(); loadRegistry(); };
 document.getElementById('redo').onclick =
   async () => { await api('/api/redo', {}); loadGraph(); loadRegistry(); };
-document.getElementById('save').onclick =
-  async () => { await api('/api/save', {}); loadGraph(); };
+async function saveProject() {
+  // First save of an empty-canvas session needs a path (save-as); the
+  // prompt stands in for the native save dialog (dialog-utility.cpp).
+  try { await api('/api/save', {}); }
+  catch (e) {
+    if (!String(e.message).includes('No project path')) return;
+    const path = prompt('Save project as (path):');
+    if (!path) return;
+    await api('/api/save', {path});
+  }
+  loadGraph();
+}
+document.getElementById('save').onclick = saveProject;
 document.getElementById('open').onclick = async () => {
   // The open-project flow (reference: open_project + confirm dialog,
   // app.cpp:706-772); path prompt stands in for the native file dialog.
@@ -470,7 +481,7 @@ window.addEventListener('keydown', async (e) => {
   else if (mod && e.key === 'y') { e.preventDefault();
     await api('/api/redo', {}); loadGraph(); loadRegistry(); }
   else if (mod && e.key === 's') { e.preventDefault();
-    await api('/api/save', {}); loadGraph(); }
+    await saveProject(); }
   else if (mod && e.key === 'c' && selected.size) { e.preventDefault();
     await api('/api/copy', {node_ids: [...selected]}); }
   else if (mod && e.key === 'v') { e.preventDefault();
@@ -772,7 +783,9 @@ class ViewerState:
             # Batch delete = ONE undo snapshot (one user gesture, one
             # Ctrl+Z — the reference's delete-selected semantics); validate
             # every id up front so the mutation is all-or-nothing.
-            nids = [int(n) for n in body.get("node_ids", [])]
+            # Dedupe (order-preserving): duplicate ids would pass the
+            # existence check, then fail mid-loop after mutating.
+            nids = list(dict.fromkeys(int(n) for n in body.get("node_ids", [])))
             missing = [n for n in nids if n not in g.nodes]
             if missing:
                 raise NodeyError(f"No node {missing[0]}")
@@ -861,8 +874,17 @@ class ViewerState:
         self._guard_editable()
         return {"ok": self.session.redo()}
 
-    def save(self) -> Dict[str, Any]:
-        path = self.session.save_project()
+    def save(self, body: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Save the project; an explicit ``path`` in the body becomes the
+        project path (save-as — required the first time when the server
+        was started on an empty canvas)."""
+        path = (body or {}).get("path") or None
+        if not path and not self.session.project_path:
+            raise NodeyError(
+                "No project path yet — save with {\"path\": \"...\"} first"
+            )
+        path = self.session.save_project(path)
+        self.title = path
         return {"ok": True, "path": path}
 
     def new_project(self) -> Dict[str, Any]:
@@ -1254,7 +1276,7 @@ def make_handler(viewer: ViewerState):
                         self._json(viewer.redo())
                 elif self.path == "/api/save":
                     with viewer.edit_lock:
-                        self._json(viewer.save())
+                        self._json(viewer.save(self._body()))
                 elif self.path == "/api/new":
                     with viewer.edit_lock:
                         self._json(viewer.new_project())

@@ -536,3 +536,38 @@ def test_concurrent_edit_hammering(running_server):
     pin_ids = {p["id"] for n in gj["nodes"] for p in n["pins"]}
     for link in gj["links"]:
         assert link["from"] in pin_ids and link["to"] in pin_ids
+
+
+def test_save_as_flow(running_server, tmp_path):
+    """Save accepts an explicit path (save-as — the only way to persist a
+    session started on an empty canvas); a session with no path fails
+    with a structured error instead of a bare 400."""
+    srv, port = running_server
+    srv.viewer.session.project_path = None
+    status, r = _post_json(port, "/api/save", {})
+    assert status == 400 and "No project path" in r["error"]
+    target = str(tmp_path / "saved_as.json")
+    status, r = _post_json(port, "/api/save", {"path": target})
+    assert status == 200 and r["path"] == target
+    import os
+    assert os.path.exists(target)
+    # The path sticks: subsequent bare saves succeed.
+    status, r = _post_json(port, "/api/save", {})
+    assert status == 200 and r["path"] == target
+
+
+def test_remove_nodes_duplicate_ids(running_server):
+    """Duplicate ids in a batch remove must not cause a partial mutation
+    reported as failure."""
+    srv, port = running_server
+    status, r = _post_json(
+        port, "/api/edit/add-node",
+        {"identifier": "audio_volume_adjust", "x": 5, "y": 5},
+    )
+    nid = r["node_id"]
+    n_before = len(srv.viewer.graph.nodes)
+    status, r = _post_json(
+        port, "/api/edit/remove-nodes", {"node_ids": [nid, nid, nid]}
+    )
+    assert status == 200 and r["removed"] == 1
+    assert len(srv.viewer.graph.nodes) == n_before - 1
