@@ -85,6 +85,26 @@ def test_streaming_resample_441_to_48_ulp_exact():
     np.testing.assert_allclose(out, ref[:, :n_out], rtol=0, atol=3e-7)
 
 
+def test_streaming_resample_2205_to_48_grouped_r2():
+    """22.05 kHz -> 48 kHz exercises the R=2 grouped superblock path
+    (B = 64 uniform-shift slices) through the streaming FIFO."""
+    rate_in, rate_out = 22_050, 48_000
+    assert resample_ops.group_factor(320, 147) == 2
+    data = make_tone(rate=rate_in, seconds=0.7, channels=2)
+    N = data.shape[1]
+    ref = np.asarray(resample_ops.resample_data(data, rate_in, rate_out))
+    n_out = -(-N * 320 // 147)
+
+    chunk = 2048
+    plan = chunkops.resample_plan(rate_in, rate_out, chunk)
+    step = jax.jit(
+        lambda s, d, n, done: chunkops.resample_stream_step(plan, s, d, n, done)
+    )
+    out = _stream_all(step, chunkops.resample_stream_init(plan, 2), data, chunk)
+    assert out.shape[1] == n_out
+    np.testing.assert_allclose(out, ref[:, :n_out], rtol=0, atol=3e-7)
+
+
 def test_streaming_resample_downsample_ulp_exact():
     rate_in, rate_out = 48_000, 32_000
     data = make_tone(rate=rate_in, seconds=0.5, channels=1)
