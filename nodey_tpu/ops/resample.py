@@ -227,9 +227,13 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
         #     [*, Mg] reshape (measured 2.75 -> 1.53 ms per 300 s).
         # Every output contracts over the SAME Wp-wide window against
         # bank_g (columns outside its [j*M, j*M+W) support are zero), so
-        # the arithmetic — terms AND hardware summation order — is
-        # identical for every group row; cross-path bitwise equality
-        # needs only the existing M*R phase alignment, not SUP alignment.
+        # the arithmetic terms are identical for every group row and the
+        # slice index j never affects values — cross-path agreement needs
+        # only the existing M*R phase alignment, not SUP alignment.
+        # (XLA's K-reduction tiling can still differ between PROGRAMS of
+        # different shapes, so offline-vs-chunked agreement is last-ulp —
+        # see test_chunkops — while within a program it is exact; the
+        # end-to-end byte-equal MP3 tests and on-TPU bitwise checks pass.)
         Mg = M * R
         Wg = (R - 1) * M + W
         Wp = -(-Wg // 128) * 128        # padded contraction width
