@@ -191,6 +191,7 @@ async function api(path, body) {
   err('');
   return j;
 }
+function refresh() { loadGraph(); loadRegistry(); }
 // Multi-node selection (the reference editor's selected-set semantics:
 // shift-click extends, Ctrl+A selects all — app.cpp:1841-1901).
 let graph = null, selected = new Set(), primary = null, armedPin = null;
@@ -270,7 +271,7 @@ async function removeSelected() {
   finally {
     selected = new Set(); primary = null;
     document.getElementById('editbox').style.display = 'none';
-    loadGraph(); loadRegistry();
+    refresh();
   }
 }
 function startDrag(ev, n, g) {
@@ -317,7 +318,7 @@ async function loadRegistry() {
 document.getElementById('addbtn').onclick = async () => {
   const identifier = document.getElementById('addsel').value;
   await api('/api/edit/add-node', {identifier, x: 80, y: 80});
-  loadGraph(); loadRegistry();
+  refresh();
 };
 document.getElementById('apply').onclick = async () => {
   let params;
@@ -328,9 +329,9 @@ document.getElementById('apply').onclick = async () => {
 };
 document.getElementById('del').onclick = removeSelected;
 document.getElementById('undo').onclick =
-  async () => { await api('/api/undo', {}); loadGraph(); loadRegistry(); };
+  async () => { await api('/api/undo', {}); refresh(); };
 document.getElementById('redo').onclick =
-  async () => { await api('/api/redo', {}); loadGraph(); loadRegistry(); };
+  async () => { await api('/api/redo', {}); refresh(); };
 async function saveProject() {
   // First save of an empty-canvas session needs a path (save-as); the
   // prompt stands in for the native save dialog (dialog-utility.cpp).
@@ -344,7 +345,7 @@ async function saveProject() {
   loadGraph();
 }
 document.getElementById('save').onclick = saveProject;
-document.getElementById('open').onclick = async () => {
+async function openProject() {
   // The open-project flow (reference: open_project + confirm dialog,
   // app.cpp:706-772); path prompt stands in for the native file dialog.
   if (graph && graph.modified &&
@@ -353,15 +354,17 @@ document.getElementById('open').onclick = async () => {
   if (!path) return;
   await api('/api/open', {path});
   selected = new Set(); primary = null;
-  loadGraph(); loadRegistry();
-};
-document.getElementById('new').onclick = async () => {
+  refresh();
+}
+async function newProject() {
   if (!graph || !graph.nodes.length ||
       confirm('Discard the current graph?')) {
     await api('/api/new', {});
-    selected = new Set(); primary = null; loadGraph(); loadRegistry();
+    selected = new Set(); primary = null; refresh();
   }
-};
+}
+document.getElementById('open').onclick = openProject;
+document.getElementById('new').onclick = newProject;
 let notifSince = 0;
 async function pollNotifications() {
   // The popup-manager analog: structured events stream into the panel.
@@ -477,21 +480,19 @@ window.addEventListener('keydown', async (e) => {
   if (e.target.tagName === 'TEXTAREA' || e.target.tagName === 'INPUT') return;
   const mod = e.ctrlKey || e.metaKey;
   if (mod && e.key === 'z') { e.preventDefault();
-    await api('/api/undo', {}); loadGraph(); loadRegistry(); }
+    await api('/api/undo', {}); refresh(); }
   else if (mod && e.key === 'y') { e.preventDefault();
-    await api('/api/redo', {}); loadGraph(); loadRegistry(); }
+    await api('/api/redo', {}); refresh(); }
   else if (mod && e.key === 's') { e.preventDefault();
     await saveProject(); }
   else if (mod && e.key === 'c' && selected.size) { e.preventDefault();
     await api('/api/copy', {node_ids: [...selected]}); }
   else if (mod && e.key === 'v') { e.preventDefault();
-    await api('/api/paste', {}); loadGraph(); loadRegistry(); }
+    await api('/api/paste', {}); refresh(); }
   else if (mod && e.key === 'a') { e.preventDefault();
     selected = new Set(graph.nodes.map(n => n.id)); loadGraph(); }
-  else if (mod && e.key === 'o') { e.preventDefault();
-    document.getElementById('open').onclick(); }
-  else if (mod && e.key === 'n') { e.preventDefault();
-    document.getElementById('new').onclick(); }
+  else if (mod && e.key === 'o') { e.preventDefault(); await openProject(); }
+  else if (mod && e.key === 'n') { e.preventDefault(); await newProject(); }
   else if (e.key === 'Delete' && selected.size) { e.preventDefault();
     await removeSelected(); }
   else if (e.key === 'Escape') { armedPin = null; selected = new Set();
@@ -522,7 +523,7 @@ function nodeMenu(ev, n) {
       // Dedicated endpoint: duplicating must not clobber the clipboard.
       await api('/api/duplicate',
                 {node_ids: [...selected], x: n.x + 40, y: n.y + 40});
-      loadGraph(); loadRegistry(); }},
+      refresh(); }},
     {label: 'copy', run: () => api('/api/copy', {node_ids: [...selected]})},
     {label: 'remove', run: removeSelected},
   ]);
@@ -536,7 +537,7 @@ svg.addEventListener('contextmenu', async (ev) => {
     label: '+ ' + r.display_name, disabled: r.disabled,
     run: async () => {
       await api('/api/edit/add-node', {identifier: r.identifier, x, y});
-      loadGraph(); loadRegistry(); }})));
+      refresh(); }})));
 });
 window.addEventListener('click', hideMenu);
 // Settings dialog with staged apply (reference: settings.cpp:118-206).

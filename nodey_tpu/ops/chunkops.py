@@ -102,9 +102,10 @@ class ResamplePlan(NamedTuple):
     left_ctx: int      # taps//2 - 1 (the offline left zero-pad)
     right_ctx: int     # taps - 1 lookahead past the consumed segment
     push_cap: int      # max input samples pushed per step
-    take_cap: int      # max input samples consumed per step (multiple of M)
+    take_cap: int      # max input samples consumed per step (multiple of quant)
     cap: int           # FIFO capacity
     out_cap: int       # take_cap * L // M
+    quant: int         # consumption quantum M * group_factor (phase unit)
 
     @property
     def rates(self) -> Tuple[int, int]:
@@ -125,7 +126,7 @@ def resample_plan(in_rate: int, out_rate: int, push_cap: int) -> ResamplePlan:
     return ResamplePlan(
         L=L, M=M, taps=taps, left_ctx=left_ctx, right_ctx=right_ctx,
         push_cap=push_cap, take_cap=take_cap, cap=cap,
-        out_cap=take_cap * L // M,
+        out_cap=take_cap * L // M, quant=quant,
     )
 
 
@@ -151,9 +152,9 @@ def resample_stream_step(plan: ResamplePlan, state, data, n, done):
     # Live: consume only segments whose full tap windows are materialized.
     # Done: consume everything, rounding the final partial group up into the
     # zero tail (the offline right pad). Consumption is quantized to
-    # M * group_factor so the grouped GEMM's cycle-group phase matches the
-    # offline render exactly (see resample_plan).
-    quant = M * resample_ops.group_factor(plan.L, M)
+    # plan.quant = M * group_factor so the grouped GEMM's cycle-group phase
+    # matches the offline render (see resample_plan).
+    quant = plan.quant
     take_live = jnp.clip(
         (avail - plan.right_ctx) // quant * quant, 0, plan.take_cap
     )
