@@ -182,6 +182,47 @@ class StreamCompiled:
     chunk_in: Dict[str, int]        # input key -> chunk width
 
 
+def _reject_scan_bound_on_tpu(graph: Graph) -> None:
+    """Time-variant (WSOLA) streaming is a per-frame lax.scan whose body
+    holds two small convolutions — exact and fast on CPU (where the
+    bounded-memory property is proven), but on TPU that shape compiles
+    slowly on the remote compiler and executes at ~1x realtime, far below
+    the offline path's thousands-x. Until the chunk step is routed through
+    the Pallas serial-chain kernel, TPU execution falls back to the
+    (tested, byte-equal) offline pipeline via UnstreamableGraphError.
+    Force streaming anyway with NODEY_STREAM_WSOLA=1."""
+    import os
+
+    if os.environ.get("NODEY_STREAM_WSOLA"):
+        return
+    tv_nodes = [
+        node.processor.info().identifier
+        for node in graph.nodes.values()
+        if node.processor.info().identifier
+        in ("velocity_modifier", "pitch_modifier")
+    ]
+    if not tv_nodes:
+        return
+    try:
+        import jax
+
+        backend = jax.default_backend()
+    except Exception:
+        return
+    if backend != "tpu":
+        return
+    from nodey_tpu.core.errors import UnstreamableGraphError
+
+    raise UnstreamableGraphError(
+        "Time-variant streaming not enabled on TPU",
+        "WSOLA chunk streaming is scan-bound on TPU (slow remote compile, "
+        "~1x realtime); the export/preview will fall back to the offline "
+        "pipeline, which is orders of magnitude faster on this backend. "
+        "Set NODEY_STREAM_WSOLA=1 to force bounded-memory streaming.",
+        f"time-variant nodes: {tv_nodes}",
+    )
+
+
 def compile_stream_graph(
     graph: Graph,
     sources: Dict[Tuple[int, str], SourceSpec],
@@ -195,6 +236,7 @@ def compile_stream_graph(
     whose ``capacity`` is the per-chunk input width for that stream.
     """
     graph.check_graph()
+    _reject_scan_bound_on_tpu(graph)
     order = topo_order(graph)
     input_keys = sorted(external_key(nid, pin) for (nid, pin) in sources)
 
