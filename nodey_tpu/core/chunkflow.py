@@ -183,17 +183,22 @@ class StreamCompiled:
 
 
 def _reject_scan_bound_on_tpu(graph: Graph) -> None:
-    """Time-variant (WSOLA) streaming is a per-frame lax.scan whose body
-    holds two small convolutions — exact and fast on CPU (where the
-    bounded-memory property is proven), but on TPU that shape compiles
-    slowly on the remote compiler and executes at ~1x realtime, far below
-    the offline path's thousands-x. Until the chunk step is routed through
-    the Pallas serial-chain kernel, TPU execution falls back to the
-    (tested, byte-equal) offline pipeline via UnstreamableGraphError.
-    Force streaming anyway with NODEY_STREAM_WSOLA=1."""
+    """On TPU, time-variant graphs default to the (tested, byte-equal)
+    offline fallback via UnstreamableGraphError; NODEY_STREAM_WSOLA=1
+    opts into bounded-memory streaming.
+
+    The streaming chunk step DOES have a TPU-fast implementation — the
+    Pallas serial-chain kernel with chunk offsets (ops/chunkops.
+    _wsola_chunk_use_pallas), verified bitwise against the offline
+    render on the chip with second-scale compiles — but a long-clip run
+    showed one intermittent pipeline stall through the relay that is not
+    yet root-caused, so the default stays on the fallback until it is.
+    The per-frame conv scan remains the CPU path (exact, what the
+    bitwise tests pin) and the fallback for exotic rates whose geometry
+    the kernel rejects (overlap % 8 != 0)."""
     import os
 
-    if os.environ.get("NODEY_STREAM_WSOLA"):
+    if os.environ.get("NODEY_STREAM_WSOLA") == "1":
         return
     tv_nodes = [
         node.processor.info().identifier
@@ -214,11 +219,8 @@ def _reject_scan_bound_on_tpu(graph: Graph) -> None:
     from nodey_tpu.core.errors import UnstreamableGraphError
 
     raise UnstreamableGraphError(
-        "Time-variant streaming not enabled on TPU",
-        "WSOLA chunk streaming is scan-bound on TPU (slow remote compile, "
-        "~1x realtime); the export/preview will fall back to the offline "
-        "pipeline, which is orders of magnitude faster on this backend. "
-        "Set NODEY_STREAM_WSOLA=1 to force bounded-memory streaming.",
+        "Time-variant streaming disabled by NODEY_STREAM_WSOLA=0",
+        "Falling back to the offline pipeline for this graph.",
         f"time-variant nodes: {tv_nodes}",
     )
 

@@ -271,6 +271,12 @@ def wsola_plan(tempo: float, rate: int, push_cap: int) -> WsolaPlan:
     # drained FIFO catches up after EOF.
     k_cap = max(1, int(math.ceil(push_cap * den / num)) + 2)
     window = (k_cap - 1) * num // den + seek + seq + 2
+    # +chunk_window_extra: the Pallas chunk-chain kernel reads lane-aligned
+    # DMA superset windows past pos + seek + seq (harmless slack for the
+    # scan path — it reads a narrower snapshot).
+    from nodey_tpu.ops import pallas_wsola
+
+    window += pallas_wsola.chunk_window_extra(seq, seek, overlap)
     cap = window + push_cap + num // den + 2
     return WsolaPlan(
         seq=seq, seek=seek, overlap=overlap, stride_out=stride_out,
@@ -343,12 +349,63 @@ def wsola_stream_step(plan: WsolaPlan, state, data, n, done):
 
     base = consumed  # absolute input position of FIFO front
     x = fifo_window(fifo, plan.window + plan.push_cap)
+    C = x.shape[0]
+
+    if _wsola_chunk_use_pallas(plan):
+        # Pallas serial-chain kernel per chunk (the production offline
+        # kernel with chunk offsets): frames k0..k0+k_cap-1 scored and
+        # EMITTED in-kernel, seeded from the carried tail. Invalid
+        # trailing frames (window not yet buffered / beyond the output
+        # bound) produce garbage the masks below discard; they re-run
+        # next step from the properly carried tail — exactly the scan
+        # path's validity semantics, at ~2.8 us/frame instead of the
+        # scan's ~17 ms/frame on TPU.
+        from nodey_tpu.ops import pallas_wsola
+
+        head_k = jnp.pad(
+            tail, ((0, 0), (0, plan.stride_out - plan.overlap))
+        )
+        bs, body = pallas_wsola.wsola_chunk_chain_pallas(
+            x, head_k, k0, base, plan.k_cap,
+            plan.num, plan.den, plan.seq, plan.seek, plan.overlap,
+            interpret=_wsola_chunk_interpret(),
+        )
+        body = body.reshape(C, plan.k_cap * plan.stride_out)
+        ks = k0 + jnp.arange(plan.k_cap, dtype=jnp.int32)
+        ends = (
+            stretch_ops.frame_pos(ks, plan.num, plan.den)
+            + plan.seek + plan.seq
+        )
+        ready = jnp.where(done, True, ends <= consumed + level)
+        valid = ready & (ks < k_bound) & started
+        k_done = valid.sum().astype(jnp.int32)
+        samp = jnp.arange(
+            plan.k_cap * plan.stride_out, dtype=jnp.int32
+        )[None, :]
+        body = jnp.where(samp // plan.stride_out < k_done, body, 0.0)
+        # Carry tail from the LAST VALID frame's realized window (the
+        # scan's per-frame tail update, collapsed to one slice).
+        k_last = jnp.maximum(k_done - 1, 0)
+        pos_last = (
+            stretch_ops.frame_pos(k0 + k_last, plan.num, plan.den) - base
+        )
+        b_last = jnp.take(bs, k_last)
+        start = jnp.clip(
+            pos_last + b_last + plan.stride_out,
+            0, x.shape[1] - plan.overlap,
+        )
+        new_tail = lax.dynamic_slice(x, (0, start), (C, plan.overlap))
+        tail = jnp.where(k_done > 0, new_tail, tail)
+        return _wsola_emit(
+            plan, fifo, tail, k0, consumed, in_len, first,
+            emit_head, head, body, k_done, out_total, k_fin, done,
+            can_start,
+        )
 
     fade_in = (
         jnp.arange(plan.overlap, dtype=jnp.float32) + 0.5
     ) / plan.overlap
     fade_out = 1.0 - fade_in
-    C = x.shape[0]
 
     def step(carry, k):
         tail_c, count = carry
@@ -397,7 +454,19 @@ def wsola_stream_step(plan: WsolaPlan, state, data, n, done):
     body = jnp.transpose(chunks, (1, 0, 2)).reshape(
         C, plan.k_cap * plan.stride_out
     )
+    return _wsola_emit(
+        plan, fifo, tail, k0, consumed, in_len, first,
+        emit_head, head, body, k_done, out_total, k_fin, done, can_start,
+    )
 
+
+def _wsola_emit(
+    plan, fifo, tail, k0, consumed, in_len, first,
+    emit_head, head, body, k_done, out_total, k_fin, done, can_start,
+):
+    """Shared emission/advance epilogue of wsola_stream_step (scan and
+    Pallas-chunk paths): lead with the raw head on the first emission,
+    clamp to the exact stretched length, advance the FIFO to pos(k_next)."""
     out = jnp.concatenate([jnp.where(emit_head, head, 0.0), body], axis=1)
     body_n = k_done * plan.stride_out
     out_n = jnp.where(emit_head, plan.overlap + body_n, body_n)
@@ -422,3 +491,39 @@ def wsola_stream_step(plan: WsolaPlan, state, data, n, done):
     out_done = done & (k_next >= k_fin)
     state = (fifo, tail, k_next, consumed, in_len, first & ~can_start)
     return state, out, out_n, out_done
+
+
+def _wsola_chunk_use_pallas(plan: "WsolaPlan") -> bool:
+    """Kernel-capable AND worth it: the Pallas chunk chain engages on TPU
+    (where the scan path is ~17 ms/frame); CPU keeps the scan (exact,
+    fast there, and what the bitwise tests pin). NODEY_WSOLA_CHUNK_FORCE
+    = 'pallas' | 'scan' overrides (tests force 'pallas' to run the
+    kernel in interpret mode on CPU)."""
+    import os
+
+    from nodey_tpu.ops import pallas_wsola
+
+    force = os.environ.get("NODEY_WSOLA_CHUNK_FORCE")
+    capable = (
+        plan.overlap % 8 == 0
+        and pallas_wsola.can_fuse_assembly(plan.seq, plan.overlap)
+    )
+    if force == "scan" or not capable:
+        return False
+    if force == "pallas":
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _wsola_chunk_interpret() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True

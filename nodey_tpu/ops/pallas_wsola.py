@@ -350,6 +350,49 @@ def wsola_chain_assemble_pallas(
     return wrapped(x)
 
 
+def chunk_window_extra(seq: int, seek: int, overlap: int) -> int:
+    """Extra input-window width the CHUNKED chain kernel needs beyond the
+    scan path's pos + seek + seq bound: the lane-aligned DMA superset
+    window reads up to pos + span_dma."""
+    stride = seq - overlap
+    n_cand = seek + 1
+    rows = -(-n_cand // LANE) * LANE
+    span = max(rows - 1 + overlap, seek + stride + overlap)
+    span_dma = (-(-span // LANE) + 1) * LANE
+    return max(0, span_dma - (seek + seq)) + LANE
+
+
+def wsola_chunk_chain_pallas(
+    x,
+    head,
+    k0,
+    base,
+    K: int,
+    num: int,
+    den: int,
+    seq: int,
+    seek: int,
+    overlap: int,
+    interpret: bool = False,
+):
+    """Chunked fused chain+emit: process frames k0..k0+K-1 whose windows
+    live in ``x`` (the FIFO snapshot starting at absolute input position
+    ``base``), seeding the chain from the carried ``head`` tail
+    ([C, stride], lanes past the overlap ignored). Returns
+    (bs [K] int32, body [C, K*stride]). Trailing frames whose windows
+    exceed the buffered region clamp and produce garbage the caller
+    masks; the caller re-runs them next chunk with the properly carried
+    tail — identical semantics to the scan path's validity gating."""
+    k0_base = jnp.stack(
+        [jnp.asarray(k0, jnp.int32), jnp.asarray(base, jnp.int32)]
+    )
+    return _wsola_chain_pallas_impl(
+        x, K=K, num=num, den=den, seq=seq, seek=seek, overlap=overlap,
+        interpret=interpret, emit_audio=True, k0_base=k0_base,
+        head_override=head,
+    )
+
+
 def can_fuse_assembly(seq: int, overlap: int) -> bool:
     # The kernel's rolls all run on 128-multiple scratch widths; the
     # stride appears only in slices and the output block's lane dim
@@ -373,7 +416,16 @@ def _wsola_chain_pallas_impl(
     overlap: int,
     interpret: bool = False,
     emit_audio: bool = False,
+    k0_base=None,
+    head_override=None,
 ):
+    """``k0_base``: optional int32 [2] = (k0, base) for CHUNKED execution —
+    frame i scores at window position frame_pos(k0 + i) - base instead of
+    frame_pos(i), and ``head_override`` (the carried tail, [C, head_w])
+    seeds the chain instead of x's raw prefix. The caller must provide x
+    wide enough that every VALID frame's lane-aligned DMA superset window
+    fits (see chunk_window_extra); invalid trailing frames clamp to
+    max_start and their outputs are discarded by the caller's masking."""
     """The greedy WSOLA chain run INSIDE one kernel: exact f32 splice
     offsets bs [K] int32.
 
@@ -403,10 +455,15 @@ def _wsola_chain_pallas_impl(
     # only to last_pos + seek + seq, which is less than the 128-aligned
     # span_dma superset — without this, cand_start(K-1) would clip to
     # max_start and the final frames would score a left-shifted window.
-    last_pos = ((K - 1) * num + den // 2) // den
-    need = max(last_pos + span_dma, span_dma + LANE)
-    if N < need:
-        x = jnp.pad(x, ((0, 0), (0, need - N)))
+    # (Chunk mode: positions are traced, so the caller sizes x instead.)
+    if k0_base is None:
+        last_pos = ((K - 1) * num + den // 2) // den
+        need = max(last_pos + span_dma, span_dma + LANE)
+        if N < need:
+            x = jnp.pad(x, ((0, 0), (0, need - N)))
+            N = x.shape[1]
+    elif N < span_dma + LANE:
+        x = jnp.pad(x, ((0, 0), (0, span_dma + LANE - N)))
         N = x.shape[1]
     if emit_audio and not can_fuse_assembly(seq, overlap):
         raise ValueError(
@@ -414,7 +471,15 @@ def _wsola_chain_pallas_impl(
             f"(seq={seq}, overlap={overlap})"
         )
     head_w = stride if emit_audio else ov_pad
-    head = x[:, :head_w]
+    if head_override is not None:
+        if head_override.shape != (C, head_w):
+            raise ValueError(
+                f"head_override must be [C, {head_w}], got "
+                f"{head_override.shape}"
+            )
+        head = head_override
+    else:
+        head = x[:, :head_w]
     max_start = N - span_dma
     if emit_audio:
         # fades[0] = fade_in extended with 1s past the overlap, fades[1] =
@@ -440,6 +505,10 @@ def _wsola_chain_pallas_impl(
     nj = overlap // S
 
     def kernel(x_hbm, head_ref, *rest):
+        if k0_base is not None:
+            k0b_ref, rest = rest[0], rest[1:]
+        else:
+            k0b_ref = None
         if emit_audio:
             fades_ref, bs_ref, body_ref, win, bprev, sems = rest
         else:
@@ -459,7 +528,11 @@ def _wsola_chain_pallas_impl(
             return kk * q + a1 * 256 + rem // den
 
         def cand_start(step):
-            return jnp.clip(frame_pos(step), 0, max_start)
+            if k0b_ref is not None:
+                pos = frame_pos(k0b_ref[0] + step) - k0b_ref[1]
+            else:
+                pos = frame_pos(step)
+            return jnp.clip(pos, 0, max_start)
 
         def dma(slot, step):
             start = cand_start(step)
@@ -598,6 +671,10 @@ def _wsola_chain_pallas_impl(
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
+    args = [x, head]
+    if k0_base is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(k0_base.astype(jnp.int32))
     bs_spec = pl.BlockSpec(
         (1, 8, LANE), lambda k: (k, 0, 0), memory_space=pltpu.VMEM
     )
@@ -614,11 +691,11 @@ def _wsola_chain_pallas_impl(
         out_shape = [
             bs_shape, jax.ShapeDtypeStruct((K, C, stride), jnp.float32)
         ]
-        args = (x, head, fades)
+        args.append(fades)
     else:
         out_specs = bs_spec
         out_shape = bs_shape
-        args = (x, head)
+    args = tuple(args)
     out = pl.pallas_call(
         kernel,
         grid=(K,),

@@ -6,6 +6,7 @@ bitwise: identical windows through identical kernels (SURVEY.md §7 hard part
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -179,11 +180,15 @@ def test_streaming_stft_matches_offline_frames():
     np.testing.assert_allclose(got, ref[:, :frames_valid, :], atol=2e-3)
 
 
-def test_streaming_wsola_vs_offline_ulp_exact():
+@pytest.mark.parametrize("path", ["scan", "pallas"])
+def test_streaming_wsola_vs_offline_ulp_exact(path, monkeypatch):
     """Streaming WSOLA equals the offline whole-clip stretch: same splice
     decisions, same exact output length, samples to 1 ulp (the overlap
     blend may or may not fuse into an FMA depending on compilation
-    context)."""
+    context). Runs BOTH chunk-step implementations: the conv scan (the
+    CPU default) and the Pallas chunk-chain kernel in interpret mode
+    (the TPU path, opt-in via NODEY_STREAM_WSOLA=1)."""
+    monkeypatch.setenv("NODEY_WSOLA_CHUNK_FORCE", path)
     rate = 48_000
     for tempo in (1.25, 0.8, 2.0):
         data = make_tone(rate=rate, seconds=1.1, channels=2)
