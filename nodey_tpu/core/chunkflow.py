@@ -190,12 +190,17 @@ def _reject_scan_bound_on_tpu(graph: Graph) -> None:
     The streaming chunk step DOES have a TPU-fast implementation — the
     Pallas serial-chain kernel with chunk offsets (ops/chunkops.
     _wsola_chunk_use_pallas), verified bitwise against the offline
-    render on the chip with second-scale compiles — but a long-clip run
-    showed one intermittent pipeline stall through the relay that is not
-    yet root-caused, so the default stays on the fallback until it is.
-    The per-frame conv scan remains the CPU path (exact, what the
-    bitwise tests pin) and the fallback for exotic rates whose geometry
-    the kernel rejects (overlap % 8 != 0)."""
+    render on the chip, with FAST steady state (a 300 s clip's 50
+    chunks execute in <20 s once warm). The catch, root-caused with
+    live stage instrumentation: the program's deferred remote Mosaic
+    compile takes 100-500 s on this rig's relay AND is not persisted by
+    the XLA compilation cache, so every fresh process pays it on the
+    first chunk (the pipeline sits with egress full / decode full while
+    the first device_get waits out the compile). Long-lived services
+    amortize it; one-shot CLI exports should not, hence the opt-in
+    default. The per-frame conv scan remains the CPU path (exact, what
+    the bitwise tests pin) and the fallback for exotic rates whose
+    geometry the kernel rejects (overlap % 8 != 0)."""
     import os
 
     if os.environ.get("NODEY_STREAM_WSOLA") == "1":
