@@ -1062,8 +1062,15 @@ class ViewerState:
         # gauges, app.cpp:1574-1595): during a streamed export the executor
         # publishes decode-ahead / egress / host-queue fills.
         stages = None
-        runner = self._export_runner
-        if runner is not None and self._job_kind == "export":
+        with self.lock:
+            # Pair the runner with its job kind atomically — the export
+            # thread clears _export_runner in its finally block, and a poll
+            # racing that clear must not attach a stale stages snapshot to
+            # the new state. live_stats() itself runs outside the lock.
+            runner = (
+                self._export_runner if self._job_kind == "export" else None
+            )
+        if runner is not None:
             executor = getattr(runner, "_active_executor", None)
             if executor is not None:
                 try:
@@ -1246,7 +1253,39 @@ def make_handler(viewer: ViewerState):
             finally:
                 viewer.remove_audio_listener(listener)
 
+        def _same_origin(self) -> bool:
+            """Reject cross-site POSTs (CSRF): every mutating endpoint —
+            /api/open and /api/save most critically, which accept
+            filesystem paths — must come from the served page itself. A
+            malicious web page can fire simple POSTs at 127.0.0.1, but
+            the browser stamps them with the attacker's Origin and cannot
+            forge Host, so checking both against the bound address closes
+            the hole (including DNS-rebinding, which spoofs neither)."""
+            bind_host, bind_port = self.server.server_address[:2]
+            allowed = {f"{bind_host}:{bind_port}"}
+            if bind_host in ("127.0.0.1", "localhost", "::1"):
+                allowed |= {
+                    f"127.0.0.1:{bind_port}",
+                    f"localhost:{bind_port}",
+                    f"[::1]:{bind_port}",
+                }
+            host = self.headers.get("Host", "")
+            if host not in allowed:
+                return False
+            origin = self.headers.get("Origin")
+            if origin and origin != "null":
+                scheme, _, rest = origin.partition("://")
+                if scheme != "http" or rest not in allowed:
+                    return False
+            return True
+
         def do_POST(self) -> None:
+            if not self._same_origin():
+                self._json(
+                    {"ok": False, "error": "cross-origin request rejected"},
+                    403,
+                )
+                return
             try:
                 if self.path == "/api/preview":
                     started = viewer.start_preview()

@@ -224,8 +224,9 @@ def _reject_scan_bound_on_tpu(graph: Graph) -> None:
     from nodey_tpu.core.errors import UnstreamableGraphError
 
     raise UnstreamableGraphError(
-        "Time-variant streaming disabled by NODEY_STREAM_WSOLA=0",
-        "Falling back to the offline pipeline for this graph.",
+        "Time-variant streaming on TPU is opt-in",
+        "Falling back to the offline pipeline for this graph; set "
+        "NODEY_STREAM_WSOLA=1 to stream velocity/pitch graphs.",
         f"time-variant nodes: {tv_nodes}",
     )
 

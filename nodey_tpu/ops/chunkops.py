@@ -140,9 +140,12 @@ def resample_stream_step(plan: ResamplePlan, state, data, n, done):
     """Push ``data[:, :n]`` then consume as much M-aligned input as the
     lookahead allows (everything, zero-padded, once ``done``).
 
-    Returns (state, out [C, out_cap], out_n, out_done). Output samples are
-    bitwise-identical to the offline ``resample_data`` of the concatenated
-    input: group windows and the filter bank are the same.
+    Returns (state, out [C, out_cap], out_n, out_done). Output samples
+    match the offline ``resample_data`` of the concatenated input exactly
+    within one program (group windows and the filter bank are the same)
+    and to the last ulp across program shapes — the grouped GEMM in
+    ``resample.apply_filter_bank`` may reassociate the tap sum differently
+    at different batch geometries (tests pin atol=3e-7).
     """
     L, M, taps = plan.L, plan.M, plan.taps
     state = fifo_push(state, data, n)

@@ -571,3 +571,44 @@ def test_remove_nodes_duplicate_ids(running_server):
     )
     assert status == 200 and r["removed"] == 1
     assert len(srv.viewer.graph.nodes) == n_before - 1
+
+
+def test_cross_origin_post_rejected(running_server, tmp_path):
+    """CSRF guard (ADVICE round 1): a POST stamped with a foreign Origin —
+    what a malicious web page's fetch() to 127.0.0.1 looks like — must be
+    refused before any path-bearing endpoint (open/save) runs; same-origin
+    and header-less (curl/tests) POSTs keep working."""
+    srv, port = running_server
+
+    def post(path, obj, headers):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json", **headers},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as exc:
+            return exc.code, json.loads(exc.read())
+
+    target = str(tmp_path / "evil.json")
+    # Cross-site: attacker page origin.
+    status, r = post("/api/save", {"path": target},
+                     {"Origin": "http://evil.example"})
+    assert status == 403 and not r["ok"]
+    assert not (tmp_path / "evil.json").exists()
+    # DNS rebinding: Host doesn't match the bound address.
+    status, r = post("/api/save", {"path": target},
+                     {"Host": "evil.example:80"})
+    assert status == 403 and not r["ok"]
+    # Same-origin fetch from the served page.
+    status, r = post("/api/save", {"path": target},
+                     {"Origin": f"http://127.0.0.1:{port}"})
+    assert status == 200 and r["ok"]
+    # localhost alias of the loopback bind is same-origin too.
+    status, r = post("/api/save", {"path": target},
+                     {"Origin": f"http://localhost:{port}",
+                      "Host": f"localhost:{port}"})
+    assert status == 200 and r["ok"]
