@@ -182,55 +182,6 @@ class StreamCompiled:
     chunk_in: Dict[str, int]        # input key -> chunk width
 
 
-def _reject_scan_bound_on_tpu(graph: Graph) -> None:
-    """On TPU, time-variant graphs default to the (tested, byte-equal)
-    offline fallback via UnstreamableGraphError; NODEY_STREAM_WSOLA=1
-    opts into bounded-memory streaming.
-
-    The streaming chunk step DOES have a TPU-fast implementation — the
-    Pallas serial-chain kernel with chunk offsets (ops/chunkops.
-    _wsola_chunk_use_pallas), verified bitwise against the offline
-    render on the chip, with FAST steady state (a 300 s clip's 50
-    chunks execute in <20 s once warm). The catch, root-caused with
-    live stage instrumentation: the program's deferred remote Mosaic
-    compile takes 100-500 s on this rig's relay AND is not persisted by
-    the XLA compilation cache, so every fresh process pays it on the
-    first chunk (the pipeline sits with egress full / decode full while
-    the first device_get waits out the compile). Long-lived services
-    amortize it; one-shot CLI exports should not, hence the opt-in
-    default. The per-frame conv scan remains the CPU path (exact, what
-    the bitwise tests pin) and the fallback for exotic rates whose
-    geometry the kernel rejects (overlap % 8 != 0)."""
-    import os
-
-    if os.environ.get("NODEY_STREAM_WSOLA") == "1":
-        return
-    tv_nodes = [
-        node.processor.info().identifier
-        for node in graph.nodes.values()
-        if node.processor.info().identifier
-        in ("velocity_modifier", "pitch_modifier")
-    ]
-    if not tv_nodes:
-        return
-    try:
-        import jax
-
-        backend = jax.default_backend()
-    except Exception:
-        return
-    if backend != "tpu":
-        return
-    from nodey_tpu.core.errors import UnstreamableGraphError
-
-    raise UnstreamableGraphError(
-        "Time-variant streaming on TPU is opt-in",
-        "Falling back to the offline pipeline for this graph; set "
-        "NODEY_STREAM_WSOLA=1 to stream velocity/pitch graphs.",
-        f"time-variant nodes: {tv_nodes}",
-    )
-
-
 def compile_stream_graph(
     graph: Graph,
     sources: Dict[Tuple[int, str], SourceSpec],
@@ -244,7 +195,6 @@ def compile_stream_graph(
     whose ``capacity`` is the per-chunk input width for that stream.
     """
     graph.check_graph()
-    _reject_scan_bound_on_tpu(graph)
     order = topo_order(graph)
     input_keys = sorted(external_key(nid, pin) for (nid, pin) in sources)
 

@@ -106,17 +106,22 @@ class ResamplePlan(NamedTuple):
     cap: int           # FIFO capacity
     out_cap: int       # take_cap * L // M
     quant: int         # consumption quantum M * group_factor (phase unit)
+    compat: Optional[str] = None   # resolved bank mode (None | 'swr')
 
     @property
     def rates(self) -> Tuple[int, int]:
         return self.M, self.L
 
 
-def resample_plan(in_rate: int, out_rate: int, push_cap: int) -> ResamplePlan:
+def resample_plan(in_rate: int, out_rate: int, push_cap: int,
+                  compat=None) -> ResamplePlan:
     L, M = resample_ops._rational(in_rate, out_rate)
-    taps = resample_ops._effective_taps(L, M, resample_ops.DEFAULT_TAPS)
-    left_ctx = taps // 2 - 1
-    right_ctx = taps - 1
+    # Resolve compat HERE (plan time) so the traced step can't flip modes
+    # mid-stream if the environment changes between plan and trace.
+    compat = resample_ops.resolve_compat(compat)
+    _bank, left_ctx, W = resample_ops.bank_spec(in_rate, out_rate, compat)
+    taps = W - M + 1
+    right_ctx = W - M   # conservative lookahead (== taps - 1 analytic)
     # Consume in multiples of M * group_factor so every step's local cycle
     # 0 sits at a global cycle phase of 0 (mod R) — required for bitwise
     # equality with the offline grouped GEMM (resample.apply_filter_bank).
@@ -126,7 +131,7 @@ def resample_plan(in_rate: int, out_rate: int, push_cap: int) -> ResamplePlan:
     return ResamplePlan(
         L=L, M=M, taps=taps, left_ctx=left_ctx, right_ctx=right_ctx,
         push_cap=push_cap, take_cap=take_cap, cap=cap,
-        out_cap=take_cap * L // M, quant=quant,
+        out_cap=take_cap * L // M, quant=quant, compat=compat,
     )
 
 
@@ -169,12 +174,10 @@ def resample_stream_step(plan: ResamplePlan, state, data, n, done):
     )
 
     G = plan.take_cap // M
-    W = M + taps - 1
-    bank = jnp.asarray(
-        resample_ops._design_filter_bank(
-            L, M, taps, resample_ops.DEFAULT_BETA, resample_ops.DEFAULT_CUTOFF
-        )
-    )
+    # Same bank the offline path uses under this plan's compat mode —
+    # stream/offline byte-equality depends on identical tap values.
+    bank_np, _left, W = resample_ops.bank_spec(plan.M, plan.L, plan.compat)
+    bank = jnp.asarray(bank_np)
     window = fifo_window(state, plan.left_ctx + plan.take_cap + W)
     y = resample_ops.apply_filter_bank(window, G, M, W, bank)  # [C, G*L]
     idx = jnp.arange(y.shape[1], dtype=jnp.int32)[None, :]
@@ -354,26 +357,39 @@ def wsola_stream_step(plan: WsolaPlan, state, data, n, done):
     x = fifo_window(fifo, plan.window + plan.push_cap)
     C = x.shape[0]
 
-    if _wsola_chunk_use_pallas(plan):
-        # Pallas serial-chain kernel per chunk (the production offline
-        # kernel with chunk offsets): frames k0..k0+k_cap-1 scored and
-        # EMITTED in-kernel, seeded from the carried tail. Invalid
-        # trailing frames (window not yet buffered / beyond the output
-        # bound) produce garbage the masks below discard; they re-run
-        # next step from the properly carried tail — exactly the scan
-        # path's validity semantics, at ~2.8 us/frame instead of the
-        # scan's ~17 ms/frame on TPU.
-        from nodey_tpu.ops import pallas_wsola
+    kernel = _wsola_chunk_kernel(plan)
+    if kernel != "scan":
+        # Batched chunk kernels (Pallas serial chain / all-XLA blocked
+        # score table): frames k0..k0+k_cap-1 scored and assembled in one
+        # shot, seeded from the carried tail. Invalid trailing frames
+        # (window not yet buffered / beyond the output bound) produce
+        # garbage the masks below discard; they re-run next step from the
+        # properly carried tail — exactly the scan path's validity
+        # semantics, at ~2.8 us/frame (Pallas) or MXU-GEMM speed
+        # (blocked) instead of the scan's ~17 ms/frame on TPU. The
+        # blocked kernel is pure XLA, so — unlike Mosaic custom calls on
+        # remote backends — its executable persists in the compilation
+        # cache across processes; it is therefore the TPU streaming
+        # default (cold start = cache load, not a deferred kernel
+        # compile).
+        if kernel == "pallas":
+            from nodey_tpu.ops import pallas_wsola
 
-        head_k = jnp.pad(
-            tail, ((0, 0), (0, plan.stride_out - plan.overlap))
-        )
-        bs, body = pallas_wsola.wsola_chunk_chain_pallas(
-            x, head_k, k0, base, plan.k_cap,
-            plan.num, plan.den, plan.seq, plan.seek, plan.overlap,
-            interpret=_wsola_chunk_interpret(),
-        )
-        body = body.reshape(C, plan.k_cap * plan.stride_out)
+            head_k = jnp.pad(
+                tail, ((0, 0), (0, plan.stride_out - plan.overlap))
+            )
+            bs, body = pallas_wsola.wsola_chunk_chain_pallas(
+                x, head_k, k0, base, plan.k_cap,
+                plan.num, plan.den, plan.seq, plan.seek, plan.overlap,
+                interpret=_wsola_chunk_interpret(),
+            )
+            body = body.reshape(C, plan.k_cap * plan.stride_out)
+        else:  # blocked
+            bs, body = stretch_ops.wsola_chain_blocked(
+                x, tail, k0, plan.k_cap,
+                plan.num, plan.den, plan.seq, plan.seek, plan.overlap,
+                win_start=base,
+            )
         ks = k0 + jnp.arange(plan.k_cap, dtype=jnp.int32)
         ends = (
             stretch_ops.frame_pos(ks, plan.num, plan.den)
@@ -496,31 +512,44 @@ def _wsola_emit(
     return state, out, out_n, out_done
 
 
-def _wsola_chunk_use_pallas(plan: "WsolaPlan") -> bool:
-    """Kernel-capable AND worth it: the Pallas chunk chain engages on TPU
-    (where the scan path is ~17 ms/frame); CPU keeps the scan (exact,
-    fast there, and what the bitwise tests pin). NODEY_WSOLA_CHUNK_FORCE
-    = 'pallas' | 'scan' overrides (tests force 'pallas' to run the
-    kernel in interpret mode on CPU)."""
+def _wsola_chunk_kernel(plan: "WsolaPlan") -> str:
+    """Chunk-step kernel choice: 'scan' | 'blocked' | 'pallas'.
+
+    CPU default: the per-frame conv scan (exact f32, fast there, and what
+    the bitwise tests pin). TPU default: the all-XLA blocked score-table
+    chain (stretch.wsola_chain_blocked) — 193x realtime steady state on
+    v5e (far above the pipeline's encode bound), it streams EVERY WSOLA
+    geometry (the Pallas kernel rejects overlap % 8 != 0), and its
+    executable persists in the XLA compile cache across processes
+    (measured: Mosaic custom calls get a fresh cache key per process —
+    cache pollution with no reuse — while this program's key is
+    deterministic). NODEY_WSOLA_CHUNK_FORCE = 'pallas' | 'blocked' |
+    'scan' overrides — 'pallas' is the maximum-throughput choice
+    (22 us/frame vs blocked's 204, bitwise-equal to the offline Pallas
+    render; tests run it in interpret mode on CPU) and falls back to
+    'blocked' when the kernel rejects the geometry."""
     import os
 
     from nodey_tpu.ops import pallas_wsola
 
-    force = os.environ.get("NODEY_WSOLA_CHUNK_FORCE")
-    capable = (
+    pallas_capable = (
         plan.overlap % 8 == 0
         and pallas_wsola.can_fuse_assembly(plan.seq, plan.overlap)
     )
-    if force == "scan" or not capable:
-        return False
+    force = os.environ.get("NODEY_WSOLA_CHUNK_FORCE")
+    if force == "scan":
+        return "scan"
+    if force == "blocked":
+        return "blocked"
     if force == "pallas":
-        return True
+        return "pallas" if pallas_capable else "blocked"
     try:
         import jax
 
-        return jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:
-        return False
+        on_tpu = False
+    return "blocked" if on_tpu else "scan"
 
 
 def _wsola_chunk_interpret() -> bool:

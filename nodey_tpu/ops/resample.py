@@ -117,9 +117,53 @@ def _out_length(length, L: int, M: int):
     return (length // M) * L + ((length % M) * L + M - 1) // M
 
 
+def resolve_compat(compat=None):
+    """Resolve the resampler compatibility mode: an explicit argument wins;
+    otherwise NODEY_RESAMPLE_COMPAT ('swr' = measured libswresample banks,
+    see host/resample_ref.measure_swr_bank); default None = the analytic
+    exact-rational design (the numerically cleaner side, PARITY.md)."""
+    if compat is not None:
+        return compat or None
+    import os
+
+    return os.environ.get("NODEY_RESAMPLE_COMPAT") or None
+
+
+def bank_spec(in_rate: int, out_rate: int, compat=None,
+              taps: int = DEFAULT_TAPS, beta: float = DEFAULT_BETA,
+              cutoff: float = DEFAULT_CUTOFF):
+    """(bank ndarray [L, W], left, W) for the rate pair under ``compat``:
+    patch for output group g reads input [g*M - left, g*M - left + W)."""
+    L, M = _rational(in_rate, out_rate)
+    compat = resolve_compat(compat)
+    if compat == "swr":
+        from nodey_tpu.host.resample_ref import measure_swr_bank
+
+        bank, left, W = measure_swr_bank(in_rate, out_rate)
+        if left < 0:
+            # Keep the group-window convention non-anticipating: re-add
+            # leading zero columns instead of a negative left pad.
+            bank = np.pad(bank, ((0, 0), (-left, 0)))
+            W += -left
+            left = 0
+        if W < M + 1:
+            bank = np.pad(bank, ((0, 0), (0, M + 1 - W)))
+            W = M + 1
+        return bank, left, W
+    if compat is not None:
+        raise ProcessorRuntimeError(
+            "Unknown resampler compatibility mode",
+            "Supported: 'swr' (measured libswresample-equivalent banks).",
+            f"compat={compat!r}",
+        )
+    taps = _effective_taps(L, M, taps)
+    W = M + taps - 1
+    return _design_filter_bank(L, M, taps, beta, cutoff), taps // 2 - 1, W
+
+
 def resample_data(data, in_rate: int, out_rate: int,
                   taps: int = DEFAULT_TAPS, beta: float = DEFAULT_BETA,
-                  cutoff: float = DEFAULT_CUTOFF):
+                  cutoff: float = DEFAULT_CUTOFF, compat=None):
     """Resample [C, N] float32 to ceil(N*L/M) output samples (traced)."""
     if in_rate == out_rate:
         return data
@@ -131,16 +175,16 @@ def resample_data(data, in_rate: int, out_rate: int,
             f"(max {MAX_PHASES}).",
             "resample_data",
         )
-    taps = _effective_taps(L, M, taps)
     C, N = data.shape
     n_out = -(-N * L // M)
     G = -(-n_out // L)  # groups of L outputs
-    W = M + taps - 1
-    bank = jnp.asarray(_design_filter_bank(L, M, taps, beta, cutoff))
+    bank_np, left, W = bank_spec(
+        in_rate, out_rate, compat, taps=taps, beta=beta, cutoff=cutoff
+    )
+    bank = jnp.asarray(bank_np)
 
     # Input index 0 of the patch window corresponds to original sample
-    # -taps/2 + 1; pad accordingly, and right-pad to cover the last group.
-    left = taps // 2 - 1
+    # -left; pad accordingly, and right-pad to cover the last group.
     k_shifts = -(-W // M)  # shifted M-aligned segments per patch
     segs_needed = G + k_shifts
     right = max(0, segs_needed * M - left - N)

@@ -283,6 +283,19 @@ def _assemble_from_offsets(x, bs, K, num, den, seq, seek, overlap, block=64):
 
 
 def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
+    """Offline whole-clip wrapper over ``wsola_chain_blocked`` (head tail,
+    frame 0, window at origin)."""
+    _bs, body = wsola_chain_blocked(
+        x, x[:, :overlap], jnp.int32(0), K, num, den, seq, seek, overlap,
+        block=block,
+    )
+    return body
+
+
+def wsola_chain_blocked(
+    x, tail0, k0, K, num, den, seq, seek, overlap,
+    win_start=0, block=32,
+):
     """WSOLA restructured for the MXU: precompute ALL candidate scores, then
     chain splice choices with a trivial scan.
 
@@ -302,6 +315,14 @@ def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
     ties can therefore flip between formulations — acceptable under the
     WSOLA tolerance bar (the reference's SoundTouch output is not
     bit-stable across builds either; see module docstring).
+
+    Generalized chain form (the streaming chunk step's TPU default uses it
+    too, which keeps time-variant streaming pure-XLA: geometry-universal,
+    and persistently cacheable across processes where Mosaic custom calls
+    get per-process cache keys): frames k in [k0, k0+K) read ``x`` at
+    ``frame_pos(k) - win_start``; frame k0's previous tail is the carried
+    ``tail0``. Returns (bs [K] int32 chosen offsets, body
+    [C, K*stride_out]).
     """
     C = x.shape[0]
     stride = stride_out = seq - overlap
@@ -312,63 +333,61 @@ def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
 
     fade_in = (jnp.arange(overlap, dtype=jnp.float32) + 0.5) / overlap
     fade_out = 1.0 - fade_in
-    head = x[:, :overlap]
+    head = tail0
 
     # Per-block contiguous span + within-span window extraction: ONE
     # dynamic_slice from the big input, then small slices from the span —
     # measurably faster than gathering every window from the full clip.
-    span_w = (block + 1) * (num // den + 1) + win_w + 64
+    # Chunk windows can be narrower than the nominal span; cap at x.
+    span_w = min((block + 1) * (num // den + 1) + win_w + 64, x.shape[1])
 
-    def frame_windows(k0, count):
-        """[count, C, win_w] input windows for frames k0..k0+count-1."""
+    def frame_windows(kf, count):
+        """[count, C, win_w] input windows for frames kf..kf+count-1."""
         span_start = jnp.clip(
-            frame_pos(k0, num, den), 0, x.shape[1] - span_w
+            frame_pos(kf, num, den) - win_start, 0, x.shape[1] - span_w
         )
         span = lax.dynamic_slice(x, (0, span_start), (C, span_w))
 
         def one(k):
             pos = jnp.clip(
-                frame_pos(k, num, den) - span_start, 0, span_w - win_w
+                frame_pos(k, num, den) - win_start - span_start,
+                0, span_w - win_w,
             )
             return lax.dynamic_slice(span, (0, pos), (C, win_w))
 
-        return jax.vmap(one)(k0 + jnp.arange(count, dtype=jnp.int32))
+        return jax.vmap(one)(kf + jnp.arange(count, dtype=jnp.int32))
 
     def im2col(w, start):
         """[F, C, nq*s, overlap] patch rows of w at offsets start..start+seek
-        (rows a = q*s + r, a few rows of overrun padding at the tail).
+        (rows a = q*s + r to match the historical two-level layout, a few
+        rows of overrun padding at the tail).
 
-        Built from pure layout ops (slice/reshape/stack) in two levels
-        instead of conv_general_dilated_patches, whose one-hot-filter conv
-        costs as many MXU FLOPs as the scoring GEMM itself and compiles
-        pathologically at these shapes. The channel axis stays OUTSIDE the
-        row axis — the scoring contraction sums per-channel GEMMs rather
-        than interleaving channels into one row, avoiding a large
-        transpose."""
+        ONE gather (advanced indexing with a static [A, overlap] index
+        matrix) instead of the earlier ~400 slice/reshape/stack layout ops:
+        identical element values feeding identical einsum shapes (so CPU
+        splice decisions are unchanged bitwise), at less than half the
+        XLA compile time (measured: the chunkops test file dropped from
+        202 s to 91 s on CPU, compile-dominated). Runtime cost of the
+        gather is memory-bound and far below the scoring GEMM it feeds."""
         s = 32
         nq = -(-n_cand // s)                  # row groups of stride s
-        k_shifts = -(-overlap // s) + 1       # s-aligned segments per row
-        width = (nq + k_shifts) * s
+        A = nq * s
         F = w.shape[0]
-        z = w[:, :, start:]
-        z = jnp.pad(z, ((0, 0), (0, 0), (0, max(0, width + s - z.shape[2]))))
-        rows = []
-        for r in range(s):
-            segs = z[:, :, r : r + width].reshape(F, C, nq + k_shifts, s)
-            row = jnp.concatenate(
-                [segs[:, :, i : i + nq, :] for i in range(k_shifts)],
-                axis=-1,
-            )[:, :, :, :overlap]              # [F, C, nq, overlap]
-            rows.append(row)
-        # [F, C, nq, s, overlap] -> rows a = q*s + r (native layout).
-        return jnp.stack(rows, axis=3).reshape(F, C, nq * s, overlap)
+        # Row a covers w[start + a, start + a + overlap); pad so the
+        # overrun rows past n_cand index in-bounds (their scores are
+        # sliced off before the argmax).
+        need = start + A + overlap
+        z = jnp.pad(w, ((0, 0), (0, 0), (0, max(0, need - w.shape[2]))))
+        a_idx = jnp.arange(A, dtype=jnp.int32)
+        idx = start + a_idx[:, None] + jnp.arange(overlap, dtype=jnp.int32)
+        return jnp.take(z, idx, axis=2)       # [F, C, A, overlap]
 
     def block_step(b_prev, blk):
-        k0 = blk * block
-        # Windows for frames k0-1 .. k0+block-1 (k0-1 supplies the tails of
+        kf = k0 + blk * block
+        # Windows for frames kf-1 .. kf+block-1 (kf-1 supplies the tails of
         # the first frame; its position clips to 0 for blk == 0, where the
-        # head override makes it unused).
-        w_all = frame_windows(k0 - 1, block + 1)
+        # tail0 override makes it unused).
+        w_all = frame_windows(kf - 1, block + 1)
         w_prev, w_cur = w_all[:-1], w_all[1:]
 
         cand = im2col(w_cur, 0)                      # [B, C, A, ov]
@@ -432,13 +451,13 @@ def _wsola_blocked(x, K, num, den, seq, seek, overlap, block=32):
             w_prev, w_cur, bs_prev, bs,
             jnp.arange(block, dtype=jnp.int32),
         )  # [B, C, stride]
-        return b_last, chunks
+        return b_last, (chunks, bs)
 
-    _, all_chunks = lax.scan(
+    _, (all_chunks, all_bs) = lax.scan(
         block_step, jnp.int32(0), jnp.arange(nblocks, dtype=jnp.int32)
-    )  # [nblocks, B, C, stride]
+    )  # [nblocks, B, C, stride], [nblocks, B]
     body = jnp.transpose(all_chunks, (2, 0, 1, 3)).reshape(C, Kp * stride)
-    return body[:, : K * stride]
+    return all_bs.reshape(Kp)[:K], body[:, : K * stride]
 
 
 def _scale_length_exact(length, tempo: float):

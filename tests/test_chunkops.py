@@ -180,14 +180,16 @@ def test_streaming_stft_matches_offline_frames():
     np.testing.assert_allclose(got, ref[:, :frames_valid, :], atol=2e-3)
 
 
-@pytest.mark.parametrize("path", ["scan", "pallas"])
+@pytest.mark.parametrize("path", ["scan", "pallas", "blocked"])
 def test_streaming_wsola_vs_offline_ulp_exact(path, monkeypatch):
     """Streaming WSOLA equals the offline whole-clip stretch: same splice
     decisions, same exact output length, samples to 1 ulp (the overlap
     blend may or may not fuse into an FMA depending on compilation
-    context). Runs BOTH chunk-step implementations: the conv scan (the
-    CPU default) and the Pallas chunk-chain kernel in interpret mode
-    (the TPU path, opt-in via NODEY_STREAM_WSOLA=1)."""
+    context). Runs ALL THREE chunk-step implementations: the conv scan
+    (the CPU default), the Pallas chunk-chain kernel in interpret mode
+    (opt-in for long-lived TPU services), and the all-XLA blocked
+    score-table chain (the TPU streaming default — pure XLA, so its
+    executable persists in the compile cache across processes)."""
     monkeypatch.setenv("NODEY_WSOLA_CHUNK_FORCE", path)
     rate = 48_000
     for tempo in (1.25, 0.8, 2.0):
