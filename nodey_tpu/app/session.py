@@ -5,10 +5,11 @@ behaviors (reference: src/frontend/app.cpp):
 
 * undo/redo — whole-graph snapshot stacks with cap and periodic compression
   (app.cpp:919-1041). Snapshots copy graph STRUCTURE and share processor
-  instances, exactly like the C++ ``std::list<infra::Graph>`` of shallow
-  Graph copies (shared_ptr<Processor> members) — so, as in the reference,
-  structural edits are undoable while parameter tweaks on a live processor
-  are not.
+  instances like the C++ ``std::list<infra::Graph>`` of shallow Graph
+  copies (shared_ptr<Processor> members) — PLUS a per-node parameter
+  snapshot (``Processor.snapshot_params``) restored on undo/redo, which
+  makes parameter tweaks undoable (in the reference they are not — a
+  known gap of its shared-processor copies).
 * copy/paste — clipboard is a serialized sub-graph JSON; paste
   re-instantiates via the registry with ID remap, position offset, and
   singleton skip (app.cpp:1047-1383).
@@ -56,6 +57,28 @@ def shallow_copy_graph(graph: Graph) -> Graph:
     return out
 
 
+class _Snapshot:
+    """One undo/redo state: a structure-copied graph plus each node's
+    parameter snapshot at capture time (processors are shared between the
+    live graph and snapshots, so params must be captured separately)."""
+
+    __slots__ = ("graph", "params")
+
+    def __init__(self, graph: Graph):
+        self.graph = shallow_copy_graph(graph)
+        self.params = {
+            nid: node.processor.snapshot_params()
+            for nid, node in graph.nodes.items()
+        }
+
+    def restore(self) -> Graph:
+        for nid, blob in self.params.items():
+            node = self.graph.nodes.get(nid)
+            if node is not None:
+                node.processor.restore_params(blob)
+        return self.graph
+
+
 def apply_params(proc, params: Dict) -> Dict:
     """Apply a {key: value} dict to a processor.
 
@@ -98,8 +121,8 @@ class SessionService:
         registry.register_all_processors()
         self.settings = settings or AppSettings()
         self.graph = Graph()
-        self.undo_stack: List[Graph] = []
-        self.redo_stack: List[Graph] = []
+        self.undo_stack: List[_Snapshot] = []
+        self.redo_stack: List[_Snapshot] = []
         self.clipboard_json: str = ""
         self.project_path: Optional[str] = None
         self._last_paste_position = (100.0, 100.0)
@@ -109,7 +132,7 @@ class SessionService:
 
     def save_undo_state(self) -> None:
         self.graph.modified = True
-        self.undo_stack.append(shallow_copy_graph(self.graph))
+        self.undo_stack.append(_Snapshot(self.graph))
         if len(self.undo_stack) > self.settings.editor.max_undo_levels:
             self.undo_stack.pop(0)
         self.redo_stack.clear()
@@ -119,19 +142,19 @@ class SessionService:
     def undo(self) -> bool:
         if not self.undo_stack:
             return False
-        self.redo_stack.append(shallow_copy_graph(self.graph))
+        self.redo_stack.append(_Snapshot(self.graph))
         if len(self.redo_stack) > self.MAX_REDO:
             self.redo_stack.pop(0)
-        self.graph = self.undo_stack.pop()
+        self.graph = self.undo_stack.pop().restore()
         return True
 
     def redo(self) -> bool:
         if not self.redo_stack:
             return False
-        self.undo_stack.append(shallow_copy_graph(self.graph))
+        self.undo_stack.append(_Snapshot(self.graph))
         if len(self.undo_stack) > self.MAX_REDO:
             self.undo_stack.pop(0)
-        self.graph = self.redo_stack.pop()
+        self.graph = self.redo_stack.pop().restore()
         return True
 
     def _compress_undo_stack(self) -> None:

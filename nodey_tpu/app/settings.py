@@ -16,17 +16,25 @@ import os
 from typing import Any
 
 
-_TYPES = {"bool": bool, "int": int, "float": float, "str": str}
-
-
 def _restore(obj, blob: Any) -> None:
     if not isinstance(blob, dict):
         return
+    try:
+        import typing
+
+        hints = typing.get_type_hints(type(obj))
+    except Exception:
+        hints = {}
     for field in dataclasses.fields(obj):
         if field.name in blob:
-            # field.type is a string under `from __future__ import
-            # annotations`; resolve primitives by name.
-            caster = _TYPES.get(str(field.type), None)
+            # Resolve the real annotation (field.type is a string under
+            # `from __future__ import annotations`); fall back to the
+            # default value's type so a future non-primitive field loads
+            # instead of being silently skipped.
+            caster = hints.get(field.name)
+            if not callable(caster):
+                current = getattr(obj, field.name, None)
+                caster = type(current) if current is not None else None
             if caster is None:
                 continue
             try:

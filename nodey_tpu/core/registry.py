@@ -78,6 +78,22 @@ class Processor:
     def deserialize(self, value: Any) -> None:
         """Restore node settings from :meth:`serialize` output. Default: no-op."""
 
+    def snapshot_params(self) -> Any:
+        """Full editable-parameter snapshot for undo/redo.
+
+        The reference's undo kept shallow Graph copies with SHARED
+        processors (app.cpp:919-1041), so parameter tweaks were not
+        undoable there; this framework snapshots params per node
+        (SessionService.save_undo_state). Default: the serde blob, which
+        covers every field except for nodes whose live params are
+        deliberately excluded from the project serde — those override
+        (Audio_vol's volume, audio-vol.hpp:57-58 quirk)."""
+        return self.serialize()
+
+    def restore_params(self, blob: Any) -> None:
+        """Inverse of :meth:`snapshot_params`."""
+        self.deserialize(blob)
+
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         """Emit this node's DSP into the traced graph program.
 

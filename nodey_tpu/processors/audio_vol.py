@@ -56,6 +56,14 @@ class AudioVol(Processor):
     # serialize: the reference deliberately persists NOTHING for this node
     # (include/processor/audio-vol.hpp:57-58) — a project-file quirk we keep
     # for byte-semantics compatibility. Base-class {} / no-op defaults apply.
+    # Undo snapshots are NOT project files, so volume IS captured there.
+
+    def snapshot_params(self) -> Dict[str, Any]:
+        return {"volume": self.volume}
+
+    def restore_params(self, blob: Any) -> None:
+        if isinstance(blob, dict) and "volume" in blob:
+            self.set_volume(blob["volume"])
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         stream = inputs.get("input")

@@ -67,14 +67,18 @@ class TestUndoRedo:
             s.save_undo_state()
         assert len(s.undo_stack) <= s.settings.editor.max_undo_levels
 
-    def test_processor_instances_shared_in_snapshots(self):
-        """The reference snapshots share processor objects (shallow Graph
-        copy) — parameter edits are NOT undone."""
+    def test_processor_instances_shared_but_params_restored(self):
+        """Snapshots share processor OBJECTS (the reference's shallow Graph
+        copy, app.cpp:919-1041) while undo restores their PARAMS via the
+        per-node snapshot_params capture — the round-1 VERDICT item 8
+        improvement over the reference, where the tweak survived undo."""
         s, _, nid_vol, _ = build_session()
+        proc = s.graph.nodes[nid_vol].processor
         s.save_undo_state()
-        s.graph.nodes[nid_vol].processor.set_volume(5.0)
+        proc.set_volume(5.0)
         s.undo()
-        assert s.graph.nodes[nid_vol].processor.volume == 5.0
+        assert s.graph.nodes[nid_vol].processor is proc  # still shared
+        assert proc.volume == 1.0                        # param rolled back
 
     def test_compression_keeps_recent(self):
         s, *_ = build_session()
@@ -296,3 +300,56 @@ def test_fuzz_random_editing_invariants():
         consistent(reloaded)
         assert len(reloaded.nodes) == len(svc.graph.nodes)
         assert len(reloaded.links) == len(svc.graph.links)
+
+
+class TestParamUndo:
+    """Parameter edits are undoable (round-1 VERDICT item 8): snapshots
+    capture each processor's params — including Audio_vol's volume, which
+    is deliberately absent from the project serde (audio-vol.hpp:57-58) —
+    and undo/redo restore them. The reference's shared-processor shallow
+    copies (app.cpp:919-1041) could not do this."""
+
+    def test_volume_tweak_undo_redo(self):
+        svc = SessionService()
+        nid = svc.graph.add_node(AudioVol())
+        proc = svc.graph.nodes[nid].processor
+        proc.set_volume(1.0)
+
+        svc.save_undo_state()          # the edit's pre-state (editor flow)
+        proc.set_volume(3.5)
+        assert proc.volume == 3.5
+
+        assert svc.undo()
+        assert svc.graph.nodes[nid].processor.volume == 1.0
+        assert svc.redo()
+        assert svc.graph.nodes[nid].processor.volume == 3.5
+
+    def test_serde_param_undo(self):
+        from nodey_tpu.processors.velocity import VelocityModifier
+
+        svc = SessionService()
+        nid = svc.graph.add_node(VelocityModifier())
+        proc = svc.graph.nodes[nid].processor
+        proc.set_velocity(1.0)
+        svc.save_undo_state()
+        proc.set_velocity(2.0)
+        proc.keep_pitch = True
+        assert svc.undo()
+        restored = svc.graph.nodes[nid].processor
+        assert restored.velocity == 1.0 and restored.keep_pitch is False
+
+    def test_structural_undo_still_restores_params(self):
+        """A structural edit after a param edit: one undo rolls back the
+        structure, a second rolls back the param."""
+        svc = SessionService()
+        nid = svc.graph.add_node(AudioVol())
+        proc = svc.graph.nodes[nid].processor
+        svc.save_undo_state()
+        proc.set_volume(2.0)
+        svc.save_undo_state()
+        out = svc.graph.add_node(AudioOutput())
+        assert svc.undo()
+        assert out not in svc.graph.nodes
+        assert svc.graph.nodes[nid].processor.volume == 2.0
+        assert svc.undo()
+        assert svc.graph.nodes[nid].processor.volume == 1.0
