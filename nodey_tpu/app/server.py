@@ -83,6 +83,16 @@ _PAGE = """<!DOCTYPE html>
  #ctxmenu div:hover { background:#2d6cdf; }
  #ctxmenu div.dis { color:#555; cursor:default; }
  #ctxmenu div.dis:hover { background:none; }
+ #fswin { display:none; position:fixed; inset:12% 24%; background:#1e2128;
+   border:1px solid #3a3f4b; border-radius:8px; padding:14px; z-index:60;
+   display:none; flex-direction:column; }
+ #fspath { color:#9ecbff; font-size:12px; margin:4px 0; word-break:break-all; }
+ #fslist { flex:1; overflow:auto; border:1px solid #2c2f36; border-radius:4px;
+   margin:6px 0; min-height:180px; max-height:50vh; }
+ #fslist div { padding:3px 8px; cursor:pointer; font-size:13px; }
+ #fslist div:hover { background:#2c3340; }
+ #fslist .dir { color:#9ecbff; }
+ #fsbar input { width:55%; }
  #setwin { display:none; position:fixed; inset:20% 30%; background:#1e2128;
    border:1px solid #3a3f4a; border-radius:10px; padding:18px; z-index:10;
    box-shadow:0 8px 40px #000a; }
@@ -138,6 +148,17 @@ _PAGE = """<!DOCTYPE html>
   <textarea id="params"></textarea>
   <button id="apply">apply params</button>
   <button id="del">remove node</button>
+  <button id="addfile" style="display:none">add input file…</button>
+ </div>
+</div>
+<div id="fswin">
+ <h3 id="fstitle">Select file</h3>
+ <div id="fspath"></div>
+ <div id="fslist"></div>
+ <div id="fsbar">
+  <input id="fsname" type="text" placeholder="file name">
+  <button id="fsok">select</button>
+  <button id="fscancel">cancel</button>
  </div>
 </div>
 <script>
@@ -258,6 +279,8 @@ function selectNode(n, ev) {
     box.style.display = 'block';
     document.getElementById('params').value =
       JSON.stringify(n.params === undefined ? {} : n.params, null, 1);
+    document.getElementById('addfile').style.display =
+      n.identifier === 'audio_input' ? '' : 'none';
   } else {
     box.style.display = 'none';
     document.getElementById('info').textContent = 'click a node…';
@@ -332,13 +355,70 @@ document.getElementById('undo').onclick =
   async () => { await api('/api/undo', {}); refresh(); };
 document.getElementById('redo').onclick =
   async () => { await api('/api/redo', {}); refresh(); };
+// In-editor file browser: the web redesign of the reference's native
+// pfd open/save dialogs (dialog-utility.cpp:15-92). Server-backed
+// directory listing via GET /api/fs; save mode types a file name.
+let fsResolve = null, fsDir = '';
+async function fsLoad(path) {
+  const r = await fetch('/api/fs?path=' + encodeURIComponent(path || ''));
+  const d = await r.json();
+  if (!r.ok) { err(d.error || 'fs error'); return; }
+  fsDir = d.path;
+  document.getElementById('fspath').textContent = d.path;
+  const list = document.getElementById('fslist');
+  list.textContent = '';
+  if (d.parent) {
+    const up = document.createElement('div');
+    up.textContent = '⮍ ..'; up.className = 'dir';
+    up.onclick = () => fsLoad(d.parent);
+    list.appendChild(up);
+  }
+  for (const e of d.entries) {
+    const row = document.createElement('div');
+    row.textContent = (e.dir ? '▸ ' : '') + e.name;
+    if (e.dir) { row.className = 'dir'; row.onclick = () => fsLoad(d.path + d.sep + e.name); }
+    else row.onclick = () => {
+      document.getElementById('fsname').value = e.name;
+    };
+    list.appendChild(row);
+  }
+}
+function pickPath(title, start, saveName) {
+  return new Promise((resolve) => {
+    fsResolve = resolve;
+    document.getElementById('fstitle').textContent = title;
+    document.getElementById('fsname').value = saveName || '';
+    document.getElementById('fswin').style.display = 'flex';
+    fsLoad(start || '');
+  });
+}
+function fsClose(value) {
+  document.getElementById('fswin').style.display = 'none';
+  if (fsResolve) { fsResolve(value); fsResolve = null; }
+}
+document.getElementById('fsok').onclick = () => {
+  const name = document.getElementById('fsname').value.trim();
+  if (!name) { fsClose(null); return; }
+  fsClose(fsDir.replace(/[\\/]+$/, '') + '/' + name);
+};
+document.getElementById('fscancel').onclick = () => fsClose(null);
+document.getElementById('addfile').onclick = async () => {
+  const n = graph.nodes.find(x => x.id === primary);
+  if (!n) return;
+  const path = await pickPath('Add input file', '', '');
+  if (!path) return;
+  const files = (n.params && n.params.file_paths || []).concat([path]);
+  await api('/api/edit/set', {node_id: primary, params: {file_paths: files}});
+  refresh();
+};
 async function saveProject() {
   // First save of an empty-canvas session needs a path (save-as); the
-  // prompt stands in for the native save dialog (dialog-utility.cpp).
+  // browser dialog stands in for the native save dialog
+  // (dialog-utility.cpp:15-92).
   try { await api('/api/save', {}); }
   catch (e) {
     if (!String(e.message).includes('No project path')) return;
-    const path = prompt('Save project as (path):');
+    const path = await pickPath('Save project as', '', 'project.json');
     if (!path) return;
     await api('/api/save', {path});
   }
@@ -347,10 +427,10 @@ async function saveProject() {
 document.getElementById('save').onclick = saveProject;
 async function openProject() {
   // The open-project flow (reference: open_project + confirm dialog,
-  // app.cpp:706-772); path prompt stands in for the native file dialog.
+  // app.cpp:706-772) through the in-editor file browser.
   if (graph && graph.modified &&
       !confirm('Discard unsaved changes?')) return;
-  const path = prompt('Project file path:');
+  const path = await pickPath('Open project', '', '');
   if (!path) return;
   await api('/api/open', {path});
   selected = new Set(); primary = null;
@@ -721,6 +801,47 @@ class ViewerState:
             "nodes": nodes,
             "links": links,
             "modified": self.graph.modified,
+        }
+
+    def fs_list(self, path: str) -> Dict[str, Any]:
+        """Directory listing for the in-editor file browser — the web
+        redesign of the reference's native open/save/folder pickers
+        (dialog-utility.cpp:15-92; pfd replaced by a server-backed
+        dialog, like imgui -> browser for the rest of the frontend).
+        Serves the loopback-bound editor only; responses are unreadable
+        cross-origin (no CORS headers)."""
+        import os
+
+        if not path:
+            if self.session.project_path:
+                path = os.path.dirname(
+                    os.path.abspath(self.session.project_path)
+                )
+            else:
+                path = os.path.expanduser("~")
+        base = os.path.abspath(path)
+        if not os.path.isdir(base):
+            from nodey_tpu.core.errors import InvalidFileError
+
+            raise InvalidFileError(f"not a directory: {base}")
+        entries = []
+        with os.scandir(base) as it:
+            for e in it:
+                if e.name.startswith("."):
+                    continue
+                try:
+                    is_dir = e.is_dir()
+                    size = 0 if is_dir else e.stat().st_size
+                except OSError:
+                    continue
+                entries.append({"name": e.name, "dir": is_dir, "size": size})
+        entries.sort(key=lambda x: (not x["dir"], x["name"].lower()))
+        parent = os.path.dirname(base)
+        return {
+            "path": base,
+            "parent": parent if parent != base else None,
+            "sep": os.sep,
+            "entries": entries[:1000],
         }
 
     def registry_json(self) -> list:
@@ -1180,6 +1301,11 @@ def make_handler(viewer: ViewerState):
                 self._json(viewer.settings_json())
             elif self.path == "/api/help":
                 self._json(viewer.help_json())
+            elif self.path.startswith("/api/fs"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                self._json(viewer.fs_list(q.get("path", [""])[0]))
             elif self.path.startswith("/api/preview.wav"):
                 self._stream_preview_wav()
             elif self.path.startswith("/api/notifications"):
