@@ -395,6 +395,123 @@ def pallas_resample_ab(seconds: float, iters: int = 8) -> None:
         log(f"pallas-ab skipped: {type(exc).__name__}: {exc}")
 
 
+V5E_MXU_BF16_PEAK = 197e12  # TPU v5e public peak (bf16 MXU FLOP/s)
+V5E_VPU_F32_PEAK = 4e12     # approximate v5e vector-unit f32 FLOP/s
+
+
+def kernel_mfu(seconds: float, iters: int = 8):
+    """Roofline attribution for the two hot kernels (VERDICT r1 item 9):
+    achieved FLOP/s vs the unit's peak, so future perf deltas separate
+    'kernel got slower' from 'pipeline got slower'. The resample patch-GEMM
+    rides the MXU (f32 operands, bf16-pass emulation — peak is the bf16
+    number); the Pallas WSOLA chain scores on the VPU in exact f32 (its
+    serial frame chain bounds utilization by design; the value is the
+    attribution baseline, not a target)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nodey_tpu.ops import resample as resample_ops
+    from nodey_tpu.ops import stretch as stretch_ops
+
+    out = []
+    rate_in, rate_out = 44_100, 48_000
+    n = int(rate_in * seconds)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray((0.3 * rng.standard_normal((2, n))).astype(np.float32))
+
+    def probe(o):
+        return jax.device_get(o.ravel()[:4])
+
+    def timed(fn):
+        f = jax.jit(fn)
+        o = f(x)
+        probe(o)
+        probe_rtt = min(_timed(lambda: probe(o)) for _ in range(3))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                o = f(x)
+            probe(o)
+            times.append((time.perf_counter() - t0 - probe_rtt) / iters)
+        return max(min(times), 1e-7)
+
+    try:
+        # -- resample GEMM flops (superblock grouped path geometry) ----------
+        L, M = resample_ops._rational(rate_in, rate_out)
+        taps = resample_ops._effective_taps(L, M, resample_ops.DEFAULT_TAPS)
+        W = M + taps - 1
+        R = resample_ops.group_factor(L, M)
+        C = 2
+        n_out = -(-n * L // M)
+        G = -(-n_out // L)
+        if R > 1:
+            import math as _math
+
+            Mg = M * R
+            Wp = -(-((R - 1) * M + W) // 128) * 128
+            B = 128 // _math.gcd(Mg, 128)
+            nblk = max(1, -(-(-(-G // R)) // B))
+            macs = C * nblk * B * (R * L) * Wp
+        else:
+            macs = C * G * L * W
+        t = timed(lambda d: resample_ops.resample_data(d, rate_in, rate_out))
+        flops = 2.0 * macs / t
+        mfu = flops / V5E_MXU_BF16_PEAK
+        log(
+            f"mfu_resample_gemm: {flops / 1e12:.2f} TFLOP/s "
+            f"({mfu * 100:.1f}% of v5e MXU bf16 peak; {t * 1e3:.2f} ms, "
+            f"R={R})"
+        )
+        out.append(("mfu_resample_gemm", mfu))
+    except Exception as exc:
+        log(f"mfu_resample_gemm skipped: {type(exc).__name__}: {exc}")
+
+    try:
+        # -- WSOLA chain scoring flops --------------------------------------
+        tempo = 1.25
+        rate = 48_000
+        seq, seek, overlap = stretch_ops._params(rate)
+        x48 = jnp.asarray(
+            (0.3 * rng.standard_normal((2, int(rate * seconds))))
+            .astype(np.float32)
+        )
+        K = stretch_ops._out_chunks(x48.shape[1], tempo, seq, overlap)
+        # Per frame: correlation + energy dot over (seek+1) offsets x
+        # overlap taps x C channels, 2 FLOPs per MAC.
+        flops_total = K * 2 * 2 * 2 * (seek + 1) * overlap
+
+        def wsola_fn(d):
+            o, _n = stretch_ops.wsola_stretch_at_rate(
+                d, jnp.int32(d.shape[1]), tempo, rate
+            )
+            return o
+
+        f = jax.jit(wsola_fn)
+        o = f(x48)
+        probe(o)
+        probe_rtt = min(_timed(lambda: probe(o)) for _ in range(3))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                o = f(x48)
+            probe(o)
+            times.append((time.perf_counter() - t0 - probe_rtt) / iters)
+        t = max(min(times), 1e-7)
+        flops = flops_total / t
+        mfu = flops / V5E_VPU_F32_PEAK
+        log(
+            f"mfu_wsola_scoring: {flops / 1e12:.3f} TFLOP/s "
+            f"({mfu * 100:.1f}% of ~v5e VPU f32 peak; {t * 1e3:.2f} ms, "
+            f"K={K}, {t / K * 1e6:.2f} us/frame)"
+        )
+        out.append(("mfu_wsola_scoring", mfu))
+    except Exception as exc:
+        log(f"mfu_wsola_scoring skipped: {type(exc).__name__}: {exc}")
+    return out
+
+
 def main() -> int:
     import jax
 
@@ -549,22 +666,55 @@ def main() -> int:
                 f"relay bound, not the device)"
             )
 
+        if run_headline:
+            # Streamed TIME-VARIANT export (VERDICT r1 item 1 'done'
+            # criterion): the config-4 pitch/tempo graph through the
+            # chunk-flow executor — default-on since round 2 (blocked
+            # WSOLA chunk chain; no env gate).
+            tv_secs = min(seconds, 120.0)
+            graph, _mode = config4_resample_pitch_tempo(tmp, tv_secs)
+            from nodey_tpu.core.runner import Runner as _Runner2
+
+            runner = _Runner2(graph)
+            em = runner.export_streamed(
+                f"{tmp}/tv.mp3", kbps=256, chunk_seconds=6.0
+            )
+            log(
+                f"e2e_streamed_timevariant: {em.audio_seconds:.1f} audio-s "
+                f"in {em.wall_seconds:.2f} s wall (RTF {em.rtf:.0f}x, "
+                f"compile {em.compile_seconds:.1f}s)"
+            )
+            results.append(("e2e_streamed_timevariant", em.rtf))
+
         if run_pallas_ab:
             pallas_resample_ab(min(seconds, 60.0), iters)
+            results.extend(kernel_mfu(min(seconds, 30.0), iters))
 
     # The driver reads the LAST line as the headline metric.
     results.sort(key=lambda kv: kv[0] == "rtf_5node_stereo")
-    for name, rtf in results:
-        print(
-            json.dumps(
-                {
-                    "metric": name,
-                    "value": round(rtf, 1),
-                    "unit": "audio_seconds_per_second_per_chip",
-                    "vs_baseline": round(rtf / 1000.0, 3),
-                }
+    for name, value in results:
+        if name.startswith("mfu_"):
+            print(
+                json.dumps(
+                    {
+                        "metric": name,
+                        "value": round(value, 4),
+                        "unit": "fraction_of_unit_peak_flops",
+                        "vs_baseline": round(value, 4),
+                    }
+                )
             )
-        )
+        else:
+            print(
+                json.dumps(
+                    {
+                        "metric": name,
+                        "value": round(value, 1),
+                        "unit": "audio_seconds_per_second_per_chip",
+                        "vs_baseline": round(value / 1000.0, 3),
+                    }
+                )
+            )
     return 0
 
 
