@@ -363,3 +363,89 @@ def compile_graph_sharded(
         sp_axis=sp_axis,
         dropped_outputs=dropped,
     )
+
+
+@dataclasses.dataclass
+class DpCompiledGraph:
+    """A graph program compiled for pure data-parallel (dp) execution."""
+
+    fn: Any
+    mesh: Mesh
+    input_keys: List[str]
+    output_meta: Dict[str, Any]
+    mode: str
+    dp_axis: str
+
+    def run(self, arrays: Dict[str, np.ndarray], lengths: Dict[str, Any]):
+        """Execute a [B, C, capacity] batch sharded over dp; returns host
+        numpy results ([B, ...] per output)."""
+        args = {}
+        for key in self.input_keys:
+            data = jnp.asarray(arrays[key])
+            length = jnp.asarray(lengths[key], dtype=jnp.int32)
+            args[key] = (
+                jax.device_put(
+                    data, NamedSharding(self.mesh, P(self.dp_axis, None, None))
+                ),
+                jax.device_put(
+                    length, NamedSharding(self.mesh, P(self.dp_axis))
+                ),
+            )
+        out = self.fn(args)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+
+def compile_graph_dp(
+    graph: Graph,
+    sources: Dict[Tuple[int, str], compiler.SourceSpec],
+    mesh: Mesh,
+    mode: str = "export",
+    dp_axis: str = "dp",
+    jit: bool = True,
+) -> DpCompiledGraph:
+    """Compile ANY graph — including time-variant velocity/pitch chains the
+    sample-axis (sp) planner rejects — for data-parallel mesh execution:
+    each device renders its local slice of an independent-clip batch with
+    the full single-device program (vmapped), so per-clip outputs are
+    bitwise identical to single-device rendering and NO halo algebra is
+    needed (WSOLA's serial frame chain stays intact within each clip).
+    This is the mesh-scaled form of the reference's per-file fan-out
+    (src/processor/audio-io.cpp:242-279) and closes the round-1 gap where
+    velocity/pitch graphs could not use the mesh at all."""
+    inner = compiler.compile_graph(graph, sources, mode=mode, jit=False)
+    meta = inner.output_meta
+
+    def shard_step(args):
+        return jax.vmap(inner.fn)(args)
+
+    in_specs = {
+        compiler.external_key(nid, pin): (
+            P(dp_axis, None, None), P(dp_axis)
+        )
+        for (nid, pin) in sources
+    }
+    out_specs = {}
+    for key, m in meta.items():
+        if m["kind"] == "stream":
+            out_specs[key] = (P(dp_axis, None, None), P(dp_axis))
+        else:
+            out_specs[key] = P(
+                dp_axis, *([None] * 3)
+            )  # [B, C, frames, bins]
+    fn = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(in_specs,),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    if jit:
+        fn = jax.jit(fn)
+    return DpCompiledGraph(
+        fn=fn,
+        mesh=mesh,
+        input_keys=sorted(in_specs),
+        output_meta={k: dict(m) for k, m in meta.items()},
+        mode=mode,
+        dp_axis=dp_axis,
+    )

@@ -176,3 +176,62 @@ def test_plan_capacity_alignment():
 
     q = _chunk_quantum(g, 44_100)
     assert cap % (q * 8) == 0
+
+
+def test_dp_timevariant_graph_bitwise():
+    """A config-4-shaped graph (resample -> pitch -> velocity) — which the
+    sp planner rejects (time-variant) — runs on the mesh via pure dp
+    (sharded.compile_graph_dp): each device renders whole clips, bitwise
+    equal to the single-device program (round-1 VERDICT item 4a)."""
+    from nodey_tpu.processors.resample_node import AudioResample
+    from nodey_tpu.processors.velocity import PitchModifier
+
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = ["0.wav"]
+    g.update_node_pin(src)
+    rs = g.add_node(AudioResample())
+    g.nodes[rs].processor.target_rate = 48_000
+    pitch = g.add_node(PitchModifier())
+    g.nodes[pitch].processor.pitch = 3.0
+    vel = g.add_node(VelocityModifier())
+    g.nodes[vel].processor.set_velocity(1.25)
+    g.nodes[vel].processor.keep_pitch = True
+    out = g.add_node(AudioOutput())
+
+    def pin(n, p):
+        return g.nodes[n].pin_name_map[p]
+
+    g.add_link(pin(src, "output_0"), pin(rs, "input"))
+    g.add_link(pin(rs, "output"), pin(pitch, "input"))
+    g.add_link(pin(pitch, "output"), pin(vel, "input"))
+    g.add_link(pin(vel, "output"), pin(out, "input"))
+
+    rate, cap = 44_100, 44_100  # 1 s clips
+    B = 8
+    mesh = make_mesh({"dp": 8})
+    rng = np.random.default_rng(7)
+    batch = (0.3 * rng.standard_normal((B, 2, cap))).astype(np.float32)
+    lens = np.array([cap - 17 * i for i in range(B)], dtype=np.int32)
+    for i, n in enumerate(lens):
+        batch[i, :, n:] = 0.0
+
+    key = compiler.external_key(src, "output_0")
+    sources = {
+        (src, "output_0"): compiler.SourceSpec(
+            rate=rate, channels=2, fmt="flt", capacity=cap
+        )
+    }
+    dp = sharded.compile_graph_dp(g, sources, mesh, mode="export")
+    out_b = dp.run({key: batch}, {key: lens})
+    data_b, len_b = out_b["master"]
+
+    single = compiler.compile_graph(g, sources, mode="export")
+    for i in range(B):
+        ref = single.run({key: batch[i]}, {key: int(lens[i])})
+        ref_data, ref_len = ref["master"]
+        assert int(len_b[i]) == int(ref_len)
+        np.testing.assert_array_equal(
+            data_b[i], np.asarray(ref_data), err_msg=f"clip {i}"
+        )
