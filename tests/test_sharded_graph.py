@@ -235,3 +235,42 @@ def test_dp_timevariant_graph_bitwise():
         np.testing.assert_array_equal(
             data_b[i], np.asarray(ref_data), err_msg=f"clip {i}"
         )
+
+
+def test_sharded_mixed_input_rates_bitwise():
+    """Mixed source rates (44.1 kHz + 48 kHz into one mixer) shard over sp
+    with per-source time-aligned chunks/halos (round-1 VERDICT item 4b):
+    every source's shard boundary sits at the same instant, so trimmed
+    outputs still concatenate to EXACTLY the single-device program."""
+    mesh = make_mesh({"sp": 8})
+    g, src = _flagship(with_spectrum=False)
+    rates = [44_100, 48_000]
+    seconds = 1.3
+    caps = sharded.plan_capacities_for(
+        g, {i: (r, int(r * seconds)) for i, r in enumerate(rates)}, mesh
+    )
+    rng = np.random.default_rng(3)
+    arrays, lengths, sources = {}, {}, {}
+    for i, r in enumerate(rates):
+        n = int(r * seconds) - 997 * i
+        tone = make_tone(rate=r, seconds=seconds, freq=180.0 * (i + 1),
+                         channels=2)
+        tone = tone + 0.01 * rng.standard_normal(tone.shape).astype(np.float32)
+        padded = np.zeros((2, caps[i]), dtype=np.float32)
+        padded[:, :n] = tone[:, :n]
+        key = compiler.external_key(src, f"output_{i}")
+        arrays[key] = padded
+        lengths[key] = n
+        sources[(src, f"output_{i}")] = compiler.SourceSpec(
+            rate=r, channels=2, fmt="s16", capacity=caps[i]
+        )
+
+    single = compiler.compile_graph(g, sources, mode="export")
+    ref = single.run(arrays, lengths)
+    ref_master, ref_len = ref["master"]
+
+    sc = sharded.compile_graph_sharded(g, sources, mesh, mode="export")
+    out = sc.run(arrays, lengths)
+    master, glen = out["master"]
+    assert int(glen) == int(ref_len)
+    np.testing.assert_array_equal(master, ref_master)
