@@ -19,6 +19,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# In-process pin: this rig's sitecustomize re-pins jax_platforms at
+# interpreter start, so the env var alone is ignored (goldens must come
+# from the CPU backend, never a remote device).
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from nodey_tpu.config import enable_compile_cache
