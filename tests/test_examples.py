@@ -47,3 +47,12 @@ def test_streaming_preview_example(tmp_path):
     r = _run("streaming_preview.py", "--no-realtime", cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "done:" in r.stdout
+
+
+def test_pitch_shift_streamed_example(tmp_path):
+    """Time-variant streamed export (default-on since round 2)."""
+    out = tmp_path / "pitch.mp3"
+    r = _run("pitch_shift_streamed.py", "-o", str(out), cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 10_000
+    assert "pitch +3" in r.stdout
