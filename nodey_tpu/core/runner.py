@@ -338,9 +338,13 @@ class Runner:
         path: str,
         kbps: int = 320,
         progress: Optional[Callable[[float], None]] = None,
-        chunk_seconds: float = 6.0,  # export is latency-insensitive; fewer
-                                     # chunks amortize the per-dispatch d2h
-                                     # round trip (~30 ms on relay rigs)
+        chunk_seconds: float = 12.0,  # export is latency-insensitive; fewer
+                                      # chunks amortize the per-dispatch d2h
+                                      # round trip (~30 ms on relay rigs) AND
+                                      # halve the relay proxy client's
+                                      # per-RPC native-memory bookkeeping
+                                      # (~1.1 MB/dispatch, ROUND4.md §7 —
+                                      # growth is per-RPC, not per-byte)
     ) -> RunMetrics:
         """Fully pipelined export: decode ∥ device chunk-step ∥ d2h ∥ LAME.
 
