@@ -115,6 +115,13 @@ def cmd_run(args) -> int:
 
     from nodey_tpu.app import diagnostics
 
+    if getattr(args, "swr_compat", False):
+        # Resolved once per plan/trace (ops/resample.resolve_compat), so
+        # setting it before any compile covers every resample site.
+        import os
+
+        os.environ["NODEY_RESAMPLE_COMPAT"] = "swr"
+
     graph = _load_graph(args.project)
     runner = Runner(graph)
 
@@ -404,6 +411,11 @@ def main(argv=None) -> int:
     p_run.add_argument("--profile-nodes", action="store_true",
                        help="report approximate per-node device time "
                             "(cumulative prefix compilation)")
+    p_run.add_argument("--swr-compat", action="store_true",
+                       help="resample with measured libswresample-"
+                            "equivalent filter banks (~140 dB vs swr at "
+                            "every ratio; needs the native oracle). "
+                            "Equivalent to NODEY_RESAMPLE_COMPAT=swr.")
     p_run.set_defaults(fn=cmd_run)
 
     p_help = sub.add_parser(
