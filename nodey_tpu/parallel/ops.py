@@ -55,30 +55,45 @@ def _halo_exchange(x, left_halo: int, right_halo: int, axis_name: str):
 def halo_exchange_nd(x, left_halo: int, right_halo: int, axis_name: str):
     """``_halo_exchange`` generalized to ``[..., N]`` (time axis last).
 
-    Device i receives the previous shard's tail as its left halo and the
-    next shard's head as its right halo; edge shards receive zeros (matching
-    the zero padding of the unsharded computation)."""
+    Device i receives the previous shards' tails as its left halo and the
+    next shards' heads as its right halo; edge shards receive zeros
+    (matching the zero padding of the unsharded computation). Halos WIDER
+    than one shard fetch from multiple neighbors — ceil(halo/N) ppermute
+    hops each way (short clips sharded wide, or small-quantum graphs
+    whose receptive-field halo exceeds the per-shard chunk; a one-hop
+    exchange would silently clamp the slice and corrupt the window)."""
     size = lax.axis_size(axis_name)
+    N = x.shape[-1]
+
+    def from_offset(hop: int):
+        """This shard's view of shard (i - hop)'s data (zeros off-edge)."""
+        if size <= hop:
+            return jnp.zeros_like(x)
+        return lax.ppermute(
+            x, axis_name, [(i, i + hop) for i in range(size - hop)]
+        )
+
+    def from_offset_r(hop: int):
+        if size <= hop:
+            return jnp.zeros_like(x)
+        return lax.ppermute(
+            x, axis_name, [(i + hop, i) for i in range(size - hop)]
+        )
+
     parts = []
     if left_halo:
-        left = jnp.zeros(x.shape[:-1] + (left_halo,), x.dtype)
-        if size > 1:
-            left = lax.ppermute(
-                x[..., -left_halo:],
-                axis_name,
-                [(i, i + 1) for i in range(size - 1)],
-            )
-        parts.append(left)
+        hops = -(-left_halo // N)
+        left = jnp.concatenate(
+            [from_offset(h) for h in range(hops, 0, -1)], axis=-1
+        )
+        parts.append(left[..., left.shape[-1] - left_halo :])
     parts.append(x)
     if right_halo:
-        right = jnp.zeros(x.shape[:-1] + (right_halo,), x.dtype)
-        if size > 1:
-            right = lax.ppermute(
-                x[..., :right_halo],
-                axis_name,
-                [(i + 1, i) for i in range(size - 1)],
-            )
-        parts.append(right)
+        hops = -(-right_halo // N)
+        right = jnp.concatenate(
+            [from_offset_r(h) for h in range(1, hops + 1)], axis=-1
+        )
+        parts.append(right[..., :right_halo])
     return jnp.concatenate(parts, axis=-1)
 
 

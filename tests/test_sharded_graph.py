@@ -336,3 +336,73 @@ def test_sharded_nonzero_t0_bitwise():
     np.testing.assert_array_equal(
         master[..., :int(glen)], np.asarray(ref_master)[..., :int(glen)]
     )
+
+
+def _two_source_mix_graph():
+    from nodey_tpu.processors.amix import AudioAmix
+
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = ["0.wav", "1.wav"]
+    g.update_node_pin(src)
+    amix = g.add_node(AudioAmix())
+    g.nodes[amix].processor.set_input_num(2)
+    g.update_node_pin(amix)
+    out = g.add_node(AudioOutput())
+
+    def pin(n, p):
+        return g.nodes[n].pin_name_map[p]
+
+    g.add_link(pin(src, "output_0"), pin(amix, "input_1"))
+    g.add_link(pin(src, "output_1"), pin(amix, "input_2"))
+    g.add_link(pin(amix, "output"), pin(out, "input"))
+    return g, src
+
+
+def _run_mixed(rates, seconds=1.0):
+    g, src = _two_source_mix_graph()
+    mesh = make_mesh({"sp": 8})
+    caps = sharded.plan_capacities_for(
+        g, {i: (r, int(r * seconds)) for i, r in enumerate(rates)}, mesh
+    )
+    rng = np.random.default_rng(0)
+    arrays, lengths, sources = {}, {}, {}
+    for i, r in enumerate(rates):
+        key = compiler.external_key(src, f"output_{i}")
+        x = np.zeros((2, caps[i]), np.float32)
+        n = int(r * seconds) - 31 * i
+        x[:, :n] = 0.2 * rng.standard_normal((2, n)).astype(np.float32)
+        arrays[key], lengths[key] = x, n
+        sources[(src, f"output_{i}")] = compiler.SourceSpec(
+            rate=r, channels=2, fmt="flt", capacity=caps[i]
+        )
+    ref = compiler.compile_graph(g, sources, mode="export").run(
+        arrays, lengths
+    )
+    out = sharded.compile_graph_sharded(g, sources, mesh, mode="export").run(
+        arrays, lengths
+    )
+    return ref["master"], out["master"]
+
+
+def test_sharded_multihop_halo_exact():
+    """Small-quantum graphs make the receptive-field halo WIDER than one
+    shard's chunk; the multi-hop ppermute exchange must assemble it from
+    several neighbors (a one-hop exchange silently clamps the slice and
+    corrupts every window — regression for a bug that predates round 2)."""
+    (rm, rl), (m, l) = _run_mixed((8_000, 48_000))
+    assert int(l) == int(rl)
+    np.testing.assert_array_equal(m[..., : int(l)], np.asarray(rm)[..., : int(l)])
+
+
+def test_sharded_mixed_rate_ulp():
+    """A rate pair whose resampler geometry (L=320, M=147, R=2) tiles its
+    GEMM reduction differently at window vs whole-clip shapes: sharded
+    output agrees to the last ulp (the documented cross-program-shape
+    caveat, ops/resample.apply_filter_bank)."""
+    (rm, rl), (m, l) = _run_mixed((22_050, 48_000))
+    assert int(l) == int(rl)
+    np.testing.assert_allclose(
+        m[..., : int(l)], np.asarray(rm)[..., : int(l)], rtol=0, atol=3e-7
+    )
