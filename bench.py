@@ -422,18 +422,30 @@ def kernel_mfu(seconds: float, iters: int = 8):
     def probe(o):
         return jax.device_get(o.ravel()[:4])
 
-    def timed(fn):
+    def timed(fn, arg):
+        """Probe-corrected timing with ADAPTIVE iteration count: the loop
+        total must dwarf the ~30 ms relay probe RTT or the correction
+        swallows sub-millisecond kernels (a first cut of this helper
+        printed 189x 'MFU')."""
         f = jax.jit(fn)
-        o = f(x)
+        o = f(arg)
         probe(o)
         probe_rtt = min(_timed(lambda: probe(o)) for _ in range(3))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = f(arg)
+        probe(o)
+        pilot = max((time.perf_counter() - t0 - probe_rtt) / iters, 1e-6)
+        iters_adj = _adaptive_iters(pilot, probe_rtt, iters)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(iters):
-                o = f(x)
+            for _ in range(iters_adj):
+                o = f(arg)
             probe(o)
-            times.append((time.perf_counter() - t0 - probe_rtt) / iters)
+            times.append(
+                (time.perf_counter() - t0 - probe_rtt) / iters_adj
+            )
         return max(min(times), 1e-7)
 
     try:
@@ -455,7 +467,9 @@ def kernel_mfu(seconds: float, iters: int = 8):
             macs = C * nblk * B * (R * L) * Wp
         else:
             macs = C * G * L * W
-        t = timed(lambda d: resample_ops.resample_data(d, rate_in, rate_out))
+        t = timed(
+            lambda d: resample_ops.resample_data(d, rate_in, rate_out), x
+        )
         flops = 2.0 * macs / t
         mfu = flops / V5E_MXU_BF16_PEAK
         log(
@@ -487,18 +501,7 @@ def kernel_mfu(seconds: float, iters: int = 8):
             )
             return o
 
-        f = jax.jit(wsola_fn)
-        o = f(x48)
-        probe(o)
-        probe_rtt = min(_timed(lambda: probe(o)) for _ in range(3))
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                o = f(x48)
-            probe(o)
-            times.append((time.perf_counter() - t0 - probe_rtt) / iters)
-        t = max(min(times), 1e-7)
+        t = timed(wsola_fn, x48)
         flops = flops_total / t
         mfu = flops / V5E_VPU_F32_PEAK
         log(

@@ -1269,6 +1269,11 @@ def make_handler(viewer: ViewerState):
                 return {}
 
         def do_GET(self) -> None:
+            if not self._host_ok():
+                self._json(
+                    {"ok": False, "error": "host header rejected"}, 403
+                )
+                return
             try:
                 self._do_get()
             except NodeyError as exc:
@@ -1379,15 +1384,13 @@ def make_handler(viewer: ViewerState):
             finally:
                 viewer.remove_audio_listener(listener)
 
-        def _same_origin(self) -> bool:
-            """Reject cross-site POSTs (CSRF): every mutating endpoint —
-            /api/open and /api/save most critically, which accept
-            filesystem paths — must come from the served page itself. A
-            malicious web page can fire simple POSTs at 127.0.0.1, but
-            the browser stamps them with the attacker's Origin and cannot
-            forge Host, so checking both against the bound address closes
-            the hole (including DNS-rebinding, which spoofs neither)."""
+        def _allowed_hosts(self):
             bind_host, bind_port = self.server.server_address[:2]
+            if bind_host in ("0.0.0.0", "::", ""):
+                # Explicit wide bind: the user chose LAN exposure; accept
+                # any Host naming this port (rebinding protection then
+                # rests on the Origin check for mutations).
+                return None, bind_port
             allowed = {f"{bind_host}:{bind_port}"}
             if bind_host in ("127.0.0.1", "localhost", "::1"):
                 allowed |= {
@@ -1395,13 +1398,39 @@ def make_handler(viewer: ViewerState):
                     f"localhost:{bind_port}",
                     f"[::1]:{bind_port}",
                 }
+            return allowed, bind_port
+
+        def _host_ok(self) -> bool:
+            """DNS-rebinding guard, applied to EVERY request (GETs leak
+            directory listings, graph state, audio): a rebound hostname
+            resolves here but carries the attacker's Host header, which
+            cannot name the bound address."""
+            allowed, bind_port = self._allowed_hosts()
             host = self.headers.get("Host", "")
-            if host not in allowed:
+            if allowed is None:
+                return host.endswith(f":{bind_port}") or ":" not in host
+            return host in allowed
+
+        def _same_origin(self) -> bool:
+            """Reject cross-site POSTs (CSRF): every mutating endpoint —
+            /api/open and /api/save most critically, which accept
+            filesystem paths — must come from the served page itself. A
+            malicious web page can fire simple POSTs at 127.0.0.1, but
+            the browser stamps them with its Origin — including the
+            literal "null" from sandboxed iframes / data: URLs, which is
+            therefore REJECTED, not exempted — and cannot forge Host.
+            Header-less clients (curl, tests, non-browser tools) carry no
+            Origin and pass; every browser sends Origin on cross-site
+            POSTs."""
+            if not self._host_ok():
                 return False
             origin = self.headers.get("Origin")
-            if origin and origin != "null":
+            if origin:
                 scheme, _, rest = origin.partition("://")
-                if scheme != "http" or rest not in allowed:
+                host = self.headers.get("Host", "")
+                allowed, _port = self._allowed_hosts()
+                ok_hosts = allowed if allowed is not None else {host}
+                if scheme != "http" or rest not in ok_hosts:
                     return False
             return True
 

@@ -25,7 +25,7 @@ tested in tests/test_chunkops.py.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -107,6 +107,13 @@ class ResamplePlan(NamedTuple):
     out_cap: int       # take_cap * L // M
     quant: int         # consumption quantum M * group_factor (phase unit)
     compat: Optional[str] = None   # resolved bank mode (None | 'swr')
+    # Original (unreduced) rate pair: the compat bank is MEASURED per
+    # rate pair through a real SwrContext, so the step must request the
+    # bank at the same rates the plan derived its geometry from — the
+    # reduced pair would be a different lru_cache key and a second
+    # native measurement (at absurd Hz values).
+    in_rate: int = 0
+    out_rate: int = 0
 
     @property
     def rates(self) -> Tuple[int, int]:
@@ -132,6 +139,7 @@ def resample_plan(in_rate: int, out_rate: int, push_cap: int,
         L=L, M=M, taps=taps, left_ctx=left_ctx, right_ctx=right_ctx,
         push_cap=push_cap, take_cap=take_cap, cap=cap,
         out_cap=take_cap * L // M, quant=quant, compat=compat,
+        in_rate=in_rate, out_rate=out_rate,
     )
 
 
@@ -175,8 +183,12 @@ def resample_stream_step(plan: ResamplePlan, state, data, n, done):
 
     G = plan.take_cap // M
     # Same bank the offline path uses under this plan's compat mode —
-    # stream/offline byte-equality depends on identical tap values.
-    bank_np, _left, W = resample_ops.bank_spec(plan.M, plan.L, plan.compat)
+    # stream/offline byte-equality depends on identical tap values, so
+    # request it at the plan's ORIGINAL rate pair (the compat bank is
+    # measured per pair; the analytic bank only depends on (L, M)).
+    bank_np, _left, W = resample_ops.bank_spec(
+        plan.in_rate or plan.M, plan.out_rate or plan.L, plan.compat
+    )
     bank = jnp.asarray(bank_np)
     window = fifo_window(state, plan.left_ctx + plan.take_cap + W)
     y = resample_ops.apply_filter_bank(window, G, M, W, bank)  # [C, G*L]

@@ -65,35 +65,43 @@ def halo_exchange_nd(x, left_halo: int, right_halo: int, axis_name: str):
     size = lax.axis_size(axis_name)
     N = x.shape[-1]
 
-    def from_offset(hop: int):
-        """This shard's view of shard (i - hop)'s data (zeros off-edge)."""
+    def from_left(hop: int, width: int):
+        """The LAST ``width`` samples of shard (i - hop), zeros off-edge.
+        Only the needed slice rides the interconnect."""
+        seg = x[..., N - width :]
         if size <= hop:
-            return jnp.zeros_like(x)
+            return jnp.zeros_like(seg)
         return lax.ppermute(
-            x, axis_name, [(i, i + hop) for i in range(size - hop)]
+            seg, axis_name, [(i, i + hop) for i in range(size - hop)]
         )
 
-    def from_offset_r(hop: int):
+    def from_right(hop: int, width: int):
+        """The FIRST ``width`` samples of shard (i + hop), zeros off-edge."""
+        seg = x[..., :width]
         if size <= hop:
-            return jnp.zeros_like(x)
+            return jnp.zeros_like(seg)
         return lax.ppermute(
-            x, axis_name, [(i + hop, i) for i in range(size - hop)]
+            seg, axis_name, [(i + hop, i) for i in range(size - hop)]
         )
 
     parts = []
     if left_halo:
         hops = -(-left_halo // N)
-        left = jnp.concatenate(
-            [from_offset(h) for h in range(hops, 0, -1)], axis=-1
+        # Farthest hop contributes only the remainder; nearer hops are
+        # full shards (their every sample lands inside the halo).
+        widths = [left_halo - (hops - 1) * N] + [N] * (hops - 1)
+        parts.extend(
+            from_left(h, w)
+            for h, w in zip(range(hops, 0, -1), widths)
         )
-        parts.append(left[..., left.shape[-1] - left_halo :])
     parts.append(x)
     if right_halo:
         hops = -(-right_halo // N)
-        right = jnp.concatenate(
-            [from_offset_r(h) for h in range(1, hops + 1)], axis=-1
+        widths = [N] * (hops - 1) + [right_halo - (hops - 1) * N]
+        parts.extend(
+            from_right(h, w)
+            for h, w in zip(range(1, hops + 1), widths)
         )
-        parts.append(right[..., :right_halo])
     return jnp.concatenate(parts, axis=-1)
 
 

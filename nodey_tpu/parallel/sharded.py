@@ -172,12 +172,16 @@ def plan_sharded(
     # `offset`-length tail never exceeds the trimmed halo.
     t0s = [spec.t0_us for spec in sources.values()]
     t0_spread_s = (max(t0s) - min(t0s)) * 1e-6 if t0s else 0.0
-    halo_time_min = max(
+    # Receptive field and t0 shift COMPOUND (a shifted stream's window
+    # needs spread + receptive context), so the spread ADDS to the
+    # receptive term rather than competing with it under max().
+    receptive = max(
         Fraction(halo_seconds).limit_denominator(10**6),
         Fraction(2 * max_n_fft, min_rate),
         Fraction(1024, min_rate),
-        Fraction(t0_spread_s).limit_denominator(10**6)
-        + Fraction(4096, min_rate),
+    )
+    halo_time_min = receptive + Fraction(t0_spread_s).limit_denominator(
+        10**6
     )
     halo_time = t_q * (-(-halo_time_min // t_q))  # ceil to the time quantum
 

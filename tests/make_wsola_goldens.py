@@ -19,18 +19,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
-# In-process pin: this rig's sitecustomize re-pins jax_platforms at
-# interpreter start, so the env var alone is ignored (goldens must come
-# from the CPU backend, never a remote device).
-jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp
-
-from nodey_tpu.config import enable_compile_cache
-
-enable_compile_cache()
 
 from nodey_tpu.ops import stretch as stretch_ops
 
@@ -90,4 +79,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    # In-process pin: this rig's sitecustomize re-pins jax_platforms at
+    # interpreter start, so the env var alone is ignored (goldens must
+    # come from the CPU backend, never a remote device). Kept OUT of
+    # module scope: the regression test imports case_signal, and a
+    # module-level config update would silently repin the whole pytest
+    # process to CPU.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from nodey_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
     main()

@@ -599,10 +599,25 @@ def test_cross_origin_post_rejected(running_server, tmp_path):
                      {"Origin": "http://evil.example"})
     assert status == 403 and not r["ok"]
     assert not (tmp_path / "evil.json").exists()
+    # Sandboxed-iframe / data:-URL POSTs carry the literal Origin "null" —
+    # rejected, not exempted.
+    status, r = post("/api/save", {"path": target}, {"Origin": "null"})
+    assert status == 403 and not r["ok"]
     # DNS rebinding: Host doesn't match the bound address.
     status, r = post("/api/save", {"path": target},
                      {"Host": "evil.example:80"})
     assert status == 403 and not r["ok"]
+    # Rebinding also blocks READS (fs listings, graph state) on GETs.
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/graph",
+        headers={"Host": "evil.example:80"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            status = resp.status
+    except urllib.error.HTTPError as exc:
+        status = exc.code
+    assert status == 403
     # Same-origin fetch from the served page.
     status, r = post("/api/save", {"path": target},
                      {"Origin": f"http://127.0.0.1:{port}"})
