@@ -31,6 +31,50 @@ def _load_graph(path: str) -> Graph:
     return Graph.deserialize(blob)
 
 
+def cmd_browse(args) -> int:
+    """Interactive terminal file picker (the CLI face of the reference's
+    native dialogs, dialog-utility.cpp:15-92; the web editor has the
+    richer server-backed one). Navigates with numbered choices and prints
+    the selected path on stdout (pipe into other commands or shells)."""
+    import os
+    import sys as _sys
+
+    path = os.path.abspath(args.path or os.getcwd())
+    while True:
+        entries = [
+            e for e in sorted(os.listdir(path)) if not e.startswith(".")
+        ]
+        print(f"\n{path}", file=_sys.stderr)
+        print("  0) ..", file=_sys.stderr)
+        for i, name in enumerate(entries, start=1):
+            full = os.path.join(path, name)
+            tag = "/" if os.path.isdir(full) else ""
+            print(f"  {i}) {name}{tag}", file=_sys.stderr)
+        try:
+            print("select (number, or q): ", end="", file=_sys.stderr,
+                  flush=True)
+            choice = input().strip()
+        except EOFError:
+            return 1
+        if choice in ("q", "Q", ""):
+            return 1
+        try:
+            idx = int(choice)
+        except ValueError:
+            continue
+        if idx == 0:
+            path = os.path.dirname(path) or path
+            continue
+        if not 1 <= idx <= len(entries):
+            continue
+        full = os.path.join(path, entries[idx - 1])
+        if os.path.isdir(full):
+            path = full
+        else:
+            print(full)
+            return 0
+
+
 def cmd_validate(args) -> int:
     graph = _load_graph(args.project)
     graph.check_graph()
@@ -434,6 +478,12 @@ def main(argv=None) -> int:
     p_srv.add_argument("--host", default="127.0.0.1")
     p_srv.add_argument("--port", type=int, default=8787)
     p_srv.set_defaults(fn=cmd_serve)
+
+    p_browse = sub.add_parser(
+        "browse", help="interactive file picker; prints the chosen path"
+    )
+    p_browse.add_argument("path", nargs="?", default=None)
+    p_browse.set_defaults(fn=cmd_browse)
 
     p_val = sub.add_parser("validate", help="validate a project file")
     p_val.add_argument("project")
