@@ -672,16 +672,14 @@ def main() -> int:
         if run_headline:
             # Streamed TIME-VARIANT export (VERDICT r1 item 1 'done'
             # criterion): the config-4 pitch/tempo graph through the
-            # chunk-flow executor — default-on since round 2 (blocked
-            # WSOLA chunk chain; no env gate).
+            # chunk-flow executor — default-on since round 2 (Pallas
+            # serial-chain chunk kernel; no env gate).
             tv_secs = min(seconds, 120.0)
             graph, _mode = config4_resample_pitch_tempo(tmp, tv_secs)
             from nodey_tpu.core.runner import Runner as _Runner2
 
             runner = _Runner2(graph)
-            em = runner.export_streamed(
-                f"{tmp}/tv.mp3", kbps=256, chunk_seconds=6.0
-            )
+            em = runner.export_streamed(f"{tmp}/tv.mp3", kbps=256)
             log(
                 f"e2e_streamed_timevariant: {em.audio_seconds:.1f} audio-s "
                 f"in {em.wall_seconds:.2f} s wall (RTF {em.rtf:.0f}x, "
