@@ -379,11 +379,9 @@ def wsola_stream_step(plan: WsolaPlan, state, data, n, done):
         # properly carried tail — exactly the scan path's validity
         # semantics, at ~2.8 us/frame (Pallas) or MXU-GEMM speed
         # (blocked) instead of the scan's ~17 ms/frame on TPU. The
-        # blocked kernel is pure XLA, so — unlike Mosaic custom calls on
-        # remote backends — its executable persists in the compilation
-        # cache across processes; it is therefore the TPU streaming
-        # default (cold start = cache load, not a deferred kernel
-        # compile).
+        # Pallas serial chain is the TPU streaming default (see
+        # _wsola_chunk_kernel); blocked is the geometry-universal
+        # fallback for overlaps the kernel rejects.
         if kernel == "pallas":
             from nodey_tpu.ops import pallas_wsola
 
@@ -528,18 +526,20 @@ def _wsola_chunk_kernel(plan: "WsolaPlan") -> str:
     """Chunk-step kernel choice: 'scan' | 'blocked' | 'pallas'.
 
     CPU default: the per-frame conv scan (exact f32, fast there, and what
-    the bitwise tests pin). TPU default: the all-XLA blocked score-table
-    chain (stretch.wsola_chain_blocked) — 193x realtime steady state on
-    v5e (far above the pipeline's encode bound), it streams EVERY WSOLA
-    geometry (the Pallas kernel rejects overlap % 8 != 0), and its
-    executable persists in the XLA compile cache across processes
-    (measured: Mosaic custom calls get a fresh cache key per process —
-    cache pollution with no reuse — while this program's key is
-    deterministic). NODEY_WSOLA_CHUNK_FORCE = 'pallas' | 'blocked' |
-    'scan' overrides — 'pallas' is the maximum-throughput choice
-    (22 us/frame vs blocked's 204, bitwise-equal to the offline Pallas
-    render; tests run it in interpret mode on CPU) and falls back to
-    'blocked' when the kernel rejects the geometry."""
+    the bitwise tests pin). TPU default: the Pallas serial-chain kernel
+    (22 us/frame vs the blocked score table's 204 — 3.4 vs 31 ms per 6-s
+    chunk on v5e — bitwise-equal to the offline Pallas render), falling
+    back to the all-XLA blocked chain (stretch.wsola_chain_blocked) for
+    geometries the kernel rejects (overlap % 8 != 0 or unfusable
+    assembly; every standard rate's geometry is accepted). The earlier
+    "Mosaic custom calls get a fresh cache key per process" measurement
+    that made blocked the round-2 default was re-tested and falsified on
+    current code: two fresh processes running the production streamed
+    export produce byte-identical canonical IR, identical cache keys,
+    and a persistent-cache HIT on the Mosaic-bearing step executable
+    (second process: 0.2 s compile, 10 s total vs 62 s cold — ROUND4.md
+    §9). NODEY_WSOLA_CHUNK_FORCE = 'pallas' | 'blocked' | 'scan'
+    overrides (tests run pallas in interpret mode on CPU)."""
     import os
 
     from nodey_tpu.ops import pallas_wsola
@@ -561,7 +561,9 @@ def _wsola_chunk_kernel(plan: "WsolaPlan") -> str:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    return "blocked" if on_tpu else "scan"
+    if on_tpu:
+        return "pallas" if pallas_capable else "blocked"
+    return "scan"
 
 
 def _wsola_chunk_interpret() -> bool:

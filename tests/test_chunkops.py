@@ -187,9 +187,10 @@ def test_streaming_wsola_vs_offline_ulp_exact(path, monkeypatch):
     blend may or may not fuse into an FMA depending on compilation
     context). Runs ALL THREE chunk-step implementations: the conv scan
     (the CPU default), the Pallas chunk-chain kernel in interpret mode
-    (opt-in for long-lived TPU services), and the all-XLA blocked
-    score-table chain (the TPU streaming default — pure XLA, so its
-    executable persists in the compile cache across processes)."""
+    (the TPU streaming default — its executable persists in the compile
+    cache across processes, re-measured in ROUND4.md §9), and the
+    all-XLA blocked score-table chain (the fallback for geometries the
+    Pallas kernel rejects)."""
     monkeypatch.setenv("NODEY_WSOLA_CHUNK_FORCE", path)
     rate = 48_000
     for tempo in (1.25, 0.8, 2.0):
@@ -217,3 +218,25 @@ def test_streaming_wsola_vs_offline_ulp_exact(path, monkeypatch):
         )
         assert out.shape[1] == ref_len, (tempo, out.shape, ref_len)
         np.testing.assert_allclose(out, ref, rtol=0, atol=1.2e-7)
+
+
+def test_chunk_kernel_default_choice(monkeypatch):
+    """TPU default is the Pallas serial chain (cross-process cache reuse
+    re-verified on the production path, ROUND4.md §9); geometries the
+    kernel rejects fall back to the blocked chain; CPU defaults to the
+    conv scan. NODEY_WSOLA_CHUNK_FORCE overrides all of it."""
+    monkeypatch.delenv("NODEY_WSOLA_CHUNK_FORCE", raising=False)
+    plan = chunkops.wsola_plan(1.25, 48_000, 8192)
+    assert plan.overlap % 8 == 0
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert chunkops._wsola_chunk_kernel(plan) == "pallas"
+    # An off-lane overlap is outside the Pallas kernel's contract.
+    bad = plan._replace(overlap=plan.overlap + 1)
+    assert chunkops._wsola_chunk_kernel(bad) == "blocked"
+    monkeypatch.setenv("NODEY_WSOLA_CHUNK_FORCE", "blocked")
+    assert chunkops._wsola_chunk_kernel(plan) == "blocked"
+    monkeypatch.delenv("NODEY_WSOLA_CHUNK_FORCE")
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert chunkops._wsola_chunk_kernel(plan) == "scan"
