@@ -73,6 +73,22 @@ def enable_compile_cache() -> None:
     try:
         import jax
 
+        # Key stability for Pallas programs: jax embeds the full Python
+        # call-stack (file:line per frame) in MLIR locations, and while
+        # the cache key canonicalizes the module with strip-debuginfo,
+        # locations already serialized INSIDE a Mosaic custom call's
+        # payload are opaque bytes it cannot reach. With full tracebacks
+        # on, the same kernel program launched from the CLI, the server,
+        # or a user script therefore hashes to a different key per entry
+        # point (measured: shifting an out-of-repo driver script by five
+        # lines changed the key and forced a 17 s recompile — ROUND4.md
+        # §9). One user frame is plenty for profiler attribution and
+        # makes the key a function of the repo alone.
+        if "JAX_INCLUDE_FULL_TRACEBACKS_IN_LOCATIONS" not in os.environ:
+            jax.config.update(
+                "jax_include_full_tracebacks_in_locations", False
+            )
+
         # Respect a cache the embedding application already configured —
         # this must never silently redirect someone else's cache dir.
         current = getattr(jax.config, "jax_compilation_cache_dir", None)

@@ -196,3 +196,38 @@ def test_stream_decoder_missing_file():
 
     with pytest.raises(ProcessorRuntimeError):
         StreamDecoder("/tmp/definitely-missing.wav")
+
+
+def test_compile_cache_config_strips_caller_tracebacks(monkeypatch):
+    """enable_compile_cache limits MLIR locations to one user frame.
+
+    jax's cache key canonicalizes modules with strip-debuginfo, but
+    locations already serialized inside a Mosaic custom call's payload
+    are opaque to that pass — with full tracebacks on, the same Pallas
+    program hashes to a different key per ENTRY POINT (measured:
+    shifting an out-of-repo driver script by five lines forced a fresh
+    17 s kernel compile; ROUND4.md §9). The framework must pin the
+    single-frame mode so persistent-cache keys are a function of the
+    repo alone. An explicit user env override wins."""
+    import jax
+
+    from nodey_tpu import config as cfg
+
+    monkeypatch.delenv("NODEY_NO_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv(
+        "JAX_INCLUDE_FULL_TRACEBACKS_IN_LOCATIONS", raising=False
+    )
+    monkeypatch.setattr(cfg, "_cache_enabled", False)
+    jax.config.update("jax_include_full_tracebacks_in_locations", True)
+    try:
+        cfg.enable_compile_cache()
+        assert jax.config.jax_include_full_tracebacks_in_locations is False
+
+        # User override is respected.
+        monkeypatch.setattr(cfg, "_cache_enabled", False)
+        monkeypatch.setenv("JAX_INCLUDE_FULL_TRACEBACKS_IN_LOCATIONS", "1")
+        jax.config.update("jax_include_full_tracebacks_in_locations", True)
+        cfg.enable_compile_cache()
+        assert jax.config.jax_include_full_tracebacks_in_locations is True
+    finally:
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
