@@ -448,11 +448,16 @@ def wsola_stream_step(plan: WsolaPlan, state, data, n, done):
             x, (0, pos), (C, plan.seek + plan.seq)
         )
         cand = window[:, : plan.seek + plan.overlap]
+        # HIGHEST: the TPU backend's DEFAULT conv precision is single-pass
+        # bf16 (measured, ROUND4.md §10), whose product noise flips
+        # near-tie splice argmaxes — the scan path must reach the same
+        # decisions as the exact-f32 Pallas chain and the CPU conv.
         corr = lax.conv_general_dilated(
             cand[None, :, :], tail_c[None, :, :],
             window_strides=(1,), padding=[(0, 0)],
             dimension_numbers=("NCH", "OIH", "NCH"),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )[0, 0, : plan.seek + 1]
         energy = lax.conv_general_dilated(
             (cand * cand)[None, :, :],
@@ -460,6 +465,7 @@ def wsola_stream_step(plan: WsolaPlan, state, data, n, done):
             window_strides=(1,), padding=[(0, 0)],
             dimension_numbers=("NCH", "OIH", "NCH"),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )[0, 0, : plan.seek + 1]
         score = corr * lax.rsqrt(energy + 1e-9)
         best = jnp.argmax(score).astype(jnp.int32)

@@ -125,7 +125,8 @@ def resample_data_pallas(
             patches[:, i : i + 1, :] = row[:, :W].reshape(C, 1, W)
         for c in range(C):
             out_ref[c, :, :] = jnp.dot(
-                patches[c], bank_ref[:].T, preferred_element_type=jnp.float32
+                patches[c], bank_ref[:].T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [BLOCK_GROUPS, L]
 
     out = pl.pallas_call(

@@ -36,13 +36,30 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from nodey_tpu.core.errors import ProcessorRuntimeError
 from nodey_tpu.core.stream import FMT_FLT, Stream
+
+# Matmul precision for every bank GEMM. The TPU backend's DEFAULT matmul
+# precision is single-pass bf16 — measured on-chip: the resampled master
+# was bitwise-equal to an explicit precision="bfloat16" run and only
+# 53.5 dB from f32 truth, silently voiding the >=90 dB oracle bar on
+# device. HIGHEST (6-pass bf16 emulation) is bitwise-identical to the
+# float32 setting on this backend and costs config 2 0.82 ms vs 0.57 ms
+# per 30 s clip (ROUND4.md §10) — correctness is worth 1.4x here.
+# NODEY_RESAMPLE_PRECISION=high opts into 3-pass bf16 (98.8 dB vs f32,
+# still above the bar) for throughput-first deployments.
+BANK_PRECISION = (
+    lax.Precision.HIGH
+    if os.environ.get("NODEY_RESAMPLE_PRECISION") == "high"
+    else lax.Precision.HIGHEST
+)
 
 # libswresample default rematrix gain (measured: see SURVEY/M1 notes).
 SQRT1_2 = 0.7071067811865476
@@ -255,7 +272,8 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
             [segs[:, i : i + G, :] for i in range(k_shifts)], axis=-1
         )[:, :, :W]             # [C, G, W]
         y = jnp.einsum(
-            "cgw,lw->cgl", patches, bank, preferred_element_type=jnp.float32
+            "cgw,lw->cgl", patches, bank,
+            preferred_element_type=jnp.float32, precision=BANK_PRECISION,
         )                       # [C, G, L]
         return y.reshape(C, G * L)
     if R > 1:
@@ -300,16 +318,26 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
             bank_g = bank_g.at[
                 j * L : (j + 1) * L, j * M : j * M + W
             ].set(bank)
-        ys = []
-        for j in range(B):
-            pj = jax.lax.slice_in_dim(big, j * Mg, j * Mg + Wp, axis=2)
-            ys.append(
-                jnp.einsum(
-                    "cbm,lm->cbl", pj, bank_g,
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        y = jnp.stack(ys, axis=2)       # [C, nblk, B, R*L]
+        # ONE batched GEMM over all B uniform-shift slices. A per-slice
+        # einsum loop lowers to B separate convolutions that each re-read
+        # the [R*L, Wp] grouped bank from HBM (x the f32 multi-pass
+        # decomposition): for 44.1->48 kHz that is ~420 MB of traffic for
+        # an 11.5 MB clip — measured HBM-bound at exactly XLA's modeled
+        # optimum. Stacking the slices first materializes the patch
+        # tensor once (~2x input size) and contracts it against ONE bank
+        # read per pass: ~6x less traffic, same arithmetic terms per
+        # output row (the slice index never affects values — see above).
+        patches = jnp.stack(
+            [
+                jax.lax.slice_in_dim(big, j * Mg, j * Mg + Wp, axis=2)
+                for j in range(B)
+            ],
+            axis=2,
+        )                               # [C, nblk, B, Wp]
+        y = jnp.einsum(
+            "cbjm,lm->cbjl", patches, bank_g,
+            preferred_element_type=jnp.float32, precision=BANK_PRECISION,
+        )                               # [C, nblk, B, R*L]
         return y.reshape(C, nblk * B * R * L)[:, : G * L]
     # Ungrouped decomposed per-shift GEMM: patch[g][i*M + m] = segs[g+i][m],
     # one GEMM per M-aligned shift reading the contiguous segs view — the
@@ -328,7 +356,7 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
             "cgm,lm->cgl",
             segs[:, i : i + G, : w1 - w0],
             bank[:, w0:w1],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=BANK_PRECISION,
         )
         y = part if y is None else y + part
     return y.reshape(C, G * L)

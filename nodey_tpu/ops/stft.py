@@ -11,6 +11,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from nodey_tpu.core.stream import Stream
@@ -51,13 +52,20 @@ def magnitude_spectrogram(
     windowed = frames * window[None, None, :]
     if use_matmul and n_fft <= 4096:
         cos_m, sin_m = _dft_matrices(n_fft)
+        # Explicit HIGHEST: the TPU backend's default matmul precision is
+        # single-pass bf16 (~53 dB vs f32, measured on-chip — ROUND4.md
+        # §10), which would put silent bf16 noise across the whole
+        # spectrum display and the audio_spectrum node's tested output.
+        # HIGHEST is bitwise-equal to f32 semantics on this backend.
         re = jnp.einsum(
             "cfn,nk->cfk", windowed, jnp.asarray(cos_m),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         im = jnp.einsum(
             "cfn,nk->cfk", windowed, jnp.asarray(sin_m),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return jnp.sqrt(re * re + im * im)
     spec = jnp.fft.rfft(windowed, axis=-1)

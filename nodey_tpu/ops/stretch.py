@@ -113,6 +113,10 @@ def _wsola_scan(x, tail0, k0, K, num, den, seq, seek, overlap, win_start=0):
         # every candidate offset in one conv (SoundTouch's seekBestOverlap
         # scored serially; here all `seek` offsets score in parallel).
         cand = window[:, : seek + overlap]
+        # HIGHEST: the TPU backend's DEFAULT conv precision is single-pass
+        # bf16 (measured, ROUND4.md §10) — product noise there flips
+        # near-tie splice argmaxes, and this scan path defines the splice
+        # decisions every other WSOLA formulation is held bitwise to.
         corr = lax.conv_general_dilated(
             cand[None, :, :],              # [1, C, seek+overlap]
             tail[None, :, :],              # [1, C, overlap] (OIH: 1 out feat)
@@ -120,6 +124,7 @@ def _wsola_scan(x, tail0, k0, K, num, den, seq, seek, overlap, win_start=0):
             padding=[(0, 0)],
             dimension_numbers=("NCH", "OIH", "NCH"),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )[0, 0, :seek + 1]
         energy = lax.conv_general_dilated(
             (cand * cand)[None, :, :],
@@ -128,6 +133,7 @@ def _wsola_scan(x, tail0, k0, K, num, den, seq, seek, overlap, win_start=0):
             padding=[(0, 0)],
             dimension_numbers=("NCH", "OIH", "NCH"),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )[0, 0, :seek + 1]
         score = corr * lax.rsqrt(energy + 1e-9)
         best = jnp.argmax(score).astype(jnp.int32)

@@ -210,3 +210,34 @@ def test_compat_env_resolution(monkeypatch):
     monkeypatch.setenv("NODEY_RESAMPLE_COMPAT", "swr")
     assert resolve_compat(None) == "swr"
     assert resolve_compat("") is None      # explicit off
+
+
+def test_mxu_call_sites_pin_precision():
+    """Every MXU GEMM/conv in the compute ops passes an explicit precision.
+
+    The TPU backend's DEFAULT matmul precision is single-pass bf16 —
+    measured on-chip at 53.5 dB vs f32 truth for the resampled master
+    (ROUND4.md §10), silently voiding the >=90 dB oracle bar. The jaxpr
+    records the precision attribute, so this guards against a refactor
+    dropping the argument (CPU execution is exact f32 either way, which
+    is why only the jaxpr — not the output — can catch it here)."""
+    import jax
+    import jax.numpy as jnp
+
+    import nodey_tpu.ops.resample as rs
+    import nodey_tpu.ops.stft as stft_ops
+
+    x = jnp.zeros((2, 4410), jnp.float32)
+    s = str(jax.make_jaxpr(
+        lambda d: rs.resample_data(d, 44_100, 48_000)
+    )(x))
+    assert "HIGHEST" in s
+
+    from nodey_tpu.core.stream import Stream
+
+    def spec(d):
+        st = Stream(d, jnp.int32(d.shape[1]), 48_000, 2)
+        return stft_ops.magnitude_spectrogram(st)
+
+    s = str(jax.make_jaxpr(spec)(jnp.zeros((2, 8192), jnp.float32)))
+    assert "HIGHEST" in s
