@@ -1,0 +1,645 @@
+"""Phase-vocoder time stretch — the parallel alternative to WSOLA.
+
+Why this exists: the node-graph's tempo stage has two algorithm families
+(the north star names both: "SoundTouch pitch/tempo (WSOLA/phase-vocoder)").
+The reference ships only SoundTouch's WSOLA
+(/root/reference/src/processor/audio-velocity.cpp:384-457), whose defining
+data dependence — frame k's splice candidates are scored against the tail
+CHOSEN at frame k-1 — makes it an inherently serial chain. On TPU that chain
+is the measured ceiling of every velocity/pitch graph (~2.8 us/frame on the
+VPU, ROUND4.md §8): the MXU sits idle because no formulation can batch
+across frames without changing the splice decisions.
+
+The phase vocoder has no such dependence. Every per-frame quantity —
+analysis DFT, instantaneous frequency, synthesis DFT — is independent, and
+the single cross-frame coupling (synthesis phase accumulation) is a prefix
+sum, which XLA computes in O(log K) depth. The whole stretch is therefore
+three batched [K, n_fft] x [n_fft, bins] GEMMs riding the MXU plus
+elementwise VPU work, instead of K dependent correlation searches.
+
+Pipeline (classical Flanagan/Golden analysis-synthesis with simplified
+Laroche-Dolson identity phase locking):
+
+1. analysis frames at hop_a ~= hop * tempo (integer positions, one static
+   gather), periodic-Hann windowed, real DFT via MXU matmul
+   (ops/stft._dft_matrices — same basis, same reasoning: explicit GEMM
+   beats the generic FFT lowering at audio frame sizes);
+2. per-bin instantaneous frequency from wrapped phase deltas over the
+   ACTUAL integer hop of each frame (positions are rounded, so hops vary
+   by +-1 sample; using the true hop keeps tones locked);
+3. synthesis phase = cumsum of hop * omega_inst (parallel prefix sum),
+   then identity phase locking: non-peak bins are re-phased rigidly with
+   their dominant spectral peak, which removes most of the classic PV
+   "phasiness" while staying embarrassingly parallel (the simplified
+   post-pass variant of Laroche & Dolson 1999 — locking is applied after
+   bin-wise propagation rather than threaded through it);
+4. inverse real DFT (two more MXU GEMMs), synthesis window, overlap-add at
+   hop = n_fft/4 (75% overlap), divide by the exact window-squared
+   coverage.
+
+Quality/precision: PV output has no sample-level oracle (neither SoundTouch
+nor the reference computes it), so unlike the WSOLA path there is no bitwise
+decision contract to protect — the GEMMs default to 3-pass bf16
+(``Precision.HIGH``, 98.8 dB vs f32 on this backend, ROUND4.md §10) for
+throughput; ``NODEY_PV_PRECISION=highest`` opts into the bitwise-f32 6-pass
+variant.
+
+This module is OPT-IN per node (``algorithm: "pv"`` on velocity/pitch
+processors); the default stays the reference-parity WSOLA.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nodey_tpu.ops.stft import _dft_matrices
+
+PV_PRECISION = (
+    lax.Precision.HIGHEST
+    if os.environ.get("NODEY_PV_PRECISION") == "highest"
+    else lax.Precision.HIGH
+)
+
+_TWO_PI = 2.0 * math.pi
+
+
+def pv_params(rate: int):
+    """(n_fft, hop): smallest power of two covering ~40 ms (the same
+    psychoacoustic window SoundTouch's SEQUENCE_MS targets), 75% overlap."""
+    n_fft = 512
+    while n_fft < rate * 0.04:
+        n_fft *= 2
+    return n_fft, n_fft // 4
+
+
+@functools.lru_cache(maxsize=8)
+def _pv_window(n_fft: int) -> np.ndarray:
+    """Periodic Hann: sum_k w^2(n - k*hop) == 1.5 exactly at hop n_fft/4."""
+    n = np.arange(n_fft)
+    return (0.5 - 0.5 * np.cos(_TWO_PI * n / n_fft)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _idft_matrices(n_fft: int):
+    """Inverse real-DFT bases [bins, n_fft]: x_n = Re X @ icos + Im X @ isin
+    (conjugate-symmetric expansion folded into the c_b = {1,2,...,2,1}/N
+    column weights; taking only the real part of the complex inverse)."""
+    bins = n_fft // 2 + 1
+    k = np.arange(bins)[:, None] * np.arange(n_fft)[None, :]
+    ang = _TWO_PI * k / n_fft
+    c = np.full((bins, 1), 2.0 / n_fft)
+    c[0, 0] = 1.0 / n_fft
+    c[-1, 0] = 1.0 / n_fft
+    return (
+        (c * np.cos(ang)).astype(np.float32),
+        (-c * np.sin(ang)).astype(np.float32),
+    )
+
+
+def _pv_geometry(N: int, tempo: float, rate: int):
+    """Static frame geometry for a clip of capacity ``N``.
+
+    Returns (n_fft, hop, pos [K] int analysis positions, dpos [K] actual
+    integer hops, pad_to). All numpy/python — resolved at trace time so the
+    gather below is static (XLA requirement; SURVEY.md §7).
+
+    Positions use the SAME 16.16 fixed-point law as the streaming step
+    (stretch.frame_pos): pos_k = (k*num + 32768) >> 16 with
+    num = round(hop*tempo*65536) — offline and chunked renders see
+    byte-identical analysis geometry."""
+    n_fft, hop = pv_params(rate)
+    out_cap = int(math.ceil(N / tempo)) + hop
+    K = max(2, -(-out_cap // hop) + 1)
+    num = pv_hop_num(hop, tempo)
+    pos = (np.arange(K, dtype=np.int64) * num + 32768) >> 16
+    dpos = np.diff(pos, prepend=pos[:1])
+    dpos[0] = hop
+    # Rounded positions step by >=1 for any tempo >= 1/hop; guard anyway so
+    # omega_inst's division is always defined.
+    dpos = np.maximum(dpos, 1)
+    pad_to = int(pos[-1]) + n_fft + 2
+    return n_fft, hop, pos, dpos, pad_to
+
+
+def pv_hop_num(hop: int, tempo: float) -> int:
+    """16.16 fixed-point analysis-hop numerator shared by the offline
+    geometry and the streaming plan."""
+    return int(round(hop * tempo * 65536))
+
+
+def _lock_to_peaks(cos_phi, sin_phi, ph_in, mag):
+    """Simplified identity phase locking (Laroche & Dolson 1999).
+
+    ``cos_phi``/``sin_phi`` [C, K, B] are the propagated synthesis phases
+    in PHASOR form (see _pv_impl — angles are never materialized on the
+    accumulation path); non-peak bins are re-phased rigidly with their
+    nearest dominant peak: phi[b] <- phi[peak] + (ph_in[b] - ph_in[peak]),
+    i.e. phasor[b] <- phasor[peak] * e^{i(ph_in[b]-ph_in[peak])}. Fully
+    vectorized: peaks are local maxima over +-2 bins; each bin adopts the
+    nearer of its previous/next peak.
+
+    Peak VALUES ride the same associative scans that find peak positions
+    (a "last-valid" combine over (idx, cp, sp, ph) tuples) instead of a
+    take_along_axis by peak index: the general gather was measured at
+    ~20 s of XLA CPU compile at [2, 752, 1025] vs 2.5 s for the value
+    scans, with bitwise-identical output."""
+    C, K, B = mag.shape
+    neg = jnp.full_like(mag[..., :1], -1.0)
+
+    def shift(x, s):
+        if s > 0:
+            return jnp.concatenate([neg.repeat(s, -1), x[..., :-s]], -1)
+        return jnp.concatenate([x[..., -s:], neg.repeat(-s, -1)], -1)
+
+    is_peak = (
+        (mag > shift(mag, 1))
+        & (mag >= shift(mag, -1))
+        & (mag > shift(mag, 2))
+        & (mag >= shift(mag, -2))
+    )
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), mag.shape)
+
+    def last_valid(a, b):
+        sel = b[0] >= 0
+        return tuple(jnp.where(sel, bb, aa) for aa, bb in zip(a, b))
+
+    seed = (
+        jnp.where(is_peak, b_idx, -1),
+        jnp.where(is_peak, cos_phi, 0.0),
+        jnp.where(is_peak, sin_phi, 0.0),
+        jnp.where(is_peak, ph_in, 0.0),
+    )
+    # Previous peak (position + its phasor/phase), or idx -1 if none yet.
+    prev = lax.associative_scan(last_valid, seed, axis=-1)
+    # Next peak: same scan over the reversed axis.
+    rev = tuple(jnp.flip(x, -1) for x in seed)
+    nxt = tuple(
+        jnp.flip(x, -1)
+        for x in lax.associative_scan(last_valid, rev, axis=-1)
+    )
+    prev_i, nxt_i = prev[0], nxt[0]
+    bi = jnp.arange(B, dtype=jnp.int32)
+    use_prev = (prev_i >= 0) & ((nxt_i < 0) | (bi - prev_i <= nxt_i - bi))
+    has_peak = (prev_i >= 0) | (nxt_i >= 0)
+    cp = jnp.where(use_prev, prev[1], nxt[1])
+    sp = jnp.where(use_prev, prev[2], nxt[2])
+    pph = jnp.where(use_prev, prev[3], nxt[3])
+    # No peak either side (silent frame): keep the bin's own phase.
+    cp = jnp.where(has_peak, cp, cos_phi)
+    sp = jnp.where(has_peak, sp, sin_phi)
+    pph = jnp.where(has_peak, pph, ph_in)
+
+    d = ph_in - pph  # |d| < 2*pi
+    cd, sd = jnp.cos(d), jnp.sin(d)
+    return (
+        jnp.where(is_peak, cos_phi, cp * cd - sp * sd),
+        jnp.where(is_peak, sin_phi, cp * sd + sp * cd),
+    )
+
+
+def _pv_impl(data, tempo: float, rate: int, lock: bool = True):
+    """Stretch [C, N] by ``tempo`` (>1 = faster/shorter); returns the
+    overlap-added output [C, (K+3)*hop] (unmasked — caller trims)."""
+    C, N = data.shape
+    n_fft, hop, pos, dpos, pad_to = _pv_geometry(N, tempo, rate)
+    K = len(pos)
+    bins = n_fft // 2 + 1
+
+    w = jnp.asarray(_pv_window(n_fft))
+    cos_m, sin_m = _dft_matrices(n_fft)
+
+    x = jnp.pad(data, ((0, 0), (0, max(0, pad_to - N))))
+    # One batched slice-gather for all frames: vmapped dynamic_slice keeps
+    # the HLO index literal at K entries (vs a [K, n_fft] 2D literal, which
+    # costs ~3x the XLA CPU compile at equal runtime).
+    starts = jnp.asarray(pos.astype(np.int32))
+    frames = jax.vmap(
+        lambda s: lax.dynamic_slice_in_dim(x, s, n_fft, axis=1),
+        out_axes=1,
+    )(starts) * w[None, None, :]                     # [C, K, n_fft]
+
+    re = jnp.einsum(
+        "ckn,nb->ckb", frames, jnp.asarray(cos_m),
+        preferred_element_type=jnp.float32, precision=PV_PRECISION,
+    )
+    im = jnp.einsum(
+        "ckn,nb->ckb", frames, jnp.asarray(sin_m),
+        preferred_element_type=jnp.float32, precision=PV_PRECISION,
+    )
+    mag = jnp.sqrt(re * re + im * im)
+    ph = jnp.arctan2(im, re)                         # [C, K, bins]
+
+    # Phase advance per synthesis frame, kept SMALL for f32: the raw
+    # advance hop*omega_inst grows to ~1.6e3 rad/frame at the top bin and
+    # its prefix sum to ~1e5 rad, where f32 resolution is ~0.01 rad —
+    # measured 57 dB of reconstruction noise with a naive cumsum. Split it:
+    # the deterministic hop*omega term reduces mod 2pi EXACTLY at trace
+    # time ((b*hop) % n_fft — multiples of pi/2 at 75% overlap), and the
+    # measured deviation (wrapped phase delta, |.| <= pi, scaled by
+    # hop/dpos) stays O(1) by construction.
+    # (b * dpos_k) mod n_fft in int32 on device (max product ~1.6e6, no
+    # overflow; a [K-1, bins] f32 constant would bake ~100 MB into the
+    # HLO for long clips).
+    b_i = jnp.arange(bins, dtype=jnp.int32)
+    dpos_i = jnp.asarray(dpos[1:].astype(np.int32))
+    omega_dpos = (
+        (b_i[None, :] * dpos_i[:, None]) % n_fft
+    ).astype(jnp.float32) * np.float32(_TWO_PI / n_fft)  # [K-1, bins]
+    ph_d = ph[:, 1:] - ph[:, :-1]                    # [C, K-1, bins]
+    dphi = ph_d - omega_dpos[None]
+    wrapped = dphi - _TWO_PI * jnp.round(dphi / _TWO_PI)
+    hop_over_dpos = jnp.asarray(
+        (float(hop) / dpos[1:, None]).astype(np.float32)
+    )                                                # [K-1, 1]
+    omega_hop = np.mod(
+        np.arange(bins) * hop, n_fft
+    ).astype(np.float64) * (_TWO_PI / n_fft)         # [bins] exact mod 2pi
+    adv = (
+        jnp.asarray(omega_hop.astype(np.float32))[None, None, :]
+        + wrapped * hop_over_dpos[None]
+    )                                                # [C, K-1, bins] O(1)
+
+    # Prefix-accumulate as unit PHASORS, not angles: a complex prefix
+    # product (lax.associative_scan, O(log K) depth) rotates by each
+    # small advance with ~1e-7 error per combine INDEPENDENT of the
+    # accumulated total — the f32-stable form of phase integration.
+    ca, sa = jnp.cos(adv), jnp.sin(adv)
+
+    def _cmul(a, b):
+        return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
+
+    pc, ps = lax.associative_scan((lambda a, b: _cmul(a, b)), (ca, sa),
+                                  axis=1)
+    c0, s0 = jnp.cos(ph[:, :1]), jnp.sin(ph[:, :1])
+    cos_phi = jnp.concatenate([c0, c0 * pc - s0 * ps], axis=1)
+    sin_phi = jnp.concatenate([s0, c0 * ps + s0 * pc], axis=1)
+    if lock:
+        cos_phi, sin_phi = _lock_to_peaks(cos_phi, sin_phi, ph, mag)
+
+    re_y = mag * cos_phi
+    im_y = mag * sin_phi
+    icos_m, isin_m = _idft_matrices(n_fft)
+    y = jnp.einsum(
+        "ckb,bn->ckn", re_y, jnp.asarray(icos_m),
+        preferred_element_type=jnp.float32, precision=PV_PRECISION,
+    ) + jnp.einsum(
+        "ckb,bn->ckn", im_y, jnp.asarray(isin_m),
+        preferred_element_type=jnp.float32, precision=PV_PRECISION,
+    )
+    y = y * w[None, None, :]                         # WOLA synthesis window
+
+    # Overlap-add at hop = n_fft/4: each frame is 4 hop-subframes; subframe
+    # j of frame k lands on output row k + j — four shifted adds, no
+    # scatter.
+    y4 = y.reshape(C, K, 4, hop)
+    ola = None
+    for j in range(4):
+        part = jnp.pad(y4[:, :, j, :], ((0, 0), (j, 3 - j), (0, 0)))
+        ola = part if ola is None else ola + part    # [C, K+3, hop]
+    out = ola.reshape(C, (K + 3) * hop)
+
+    den = _ola_denominator(K, n_fft)
+    return out / jnp.asarray(den)[None, :]
+
+
+@functools.lru_cache(maxsize=32)
+def _ola_denominator(K: int, n_fft: int) -> np.ndarray:
+    """Exact window-squared coverage sum_k w^2(n - k*hop) over the OLA
+    output (1.5 in the interior for periodic Hann at 75% overlap; partial
+    at the edges). Dividing by the TRUE partial sum keeps unit-hop
+    reconstruction exact right up to the edges; the floor only guards the
+    first/last few samples where coverage vanishes."""
+    hop = n_fft // 4
+    w2 = _pv_window(n_fft).astype(np.float64) ** 2
+    den = np.zeros(((K + 3) * hop,), dtype=np.float64)
+    w2v = w2.reshape(4, hop)
+    for j in range(4):
+        den.reshape(-1, hop)[j : j + K] += w2v[j]
+    return np.maximum(den, 1e-2).astype(np.float32)
+
+
+def pv_stretch_at_rate(data, length, tempo: float, rate: int,
+                       lock: bool = True):
+    """Stretch [C, N] float32 by ``tempo`` (>1 = faster/shorter).
+
+    Same contract as stretch.wsola_stretch_at_rate — returns
+    (out_data [C, M], out_length) with out_length = floor(length/tempo) via
+    the shared exact integer scaling, so swapping algorithm never changes a
+    graph's timing math. Identity when tempo == 1."""
+    if tempo == 1.0:
+        return data, length
+    from nodey_tpu.ops.stretch import _scale_length_exact
+
+    out = _pv_impl(data, float(tempo), int(rate), lock=lock)
+    out_length = jnp.minimum(
+        _scale_length_exact(length, float(tempo)), out.shape[1]
+    )
+    mask = jnp.arange(out.shape[1])[None, :]
+    return jnp.where(mask < out_length, out, 0.0), out_length
+
+
+# -- streaming (chunked) phase vocoder --------------------------------------
+#
+# PV streams naturally on TPU: every per-frame quantity is independent, so a
+# chunk is just a BATCH of frames (one MXU GEMM per DFT pass), and the only
+# cross-chunk state is (a) the input FIFO, (b) the previous frame's analysis
+# phase (for instantaneous frequency), (c) the accumulated synthesis phasor
+# (one complex [C, bins] carry — the prefix product factorizes across chunk
+# boundaries), and (d) the 3*hop overlap-add tail. Geometry is the shared
+# 16.16 law, so chunked output equals the offline render up to f32
+# re-association of the phasor products (the offline path accumulates in
+# associative_scan tree order, the chunked path per-chunk + carry).
+
+
+import typing as _t
+
+
+class PvStreamPlan(_t.NamedTuple):
+    n_fft: int
+    hop: int           # synthesis hop (n_fft // 4)
+    num: int           # analysis-hop numerator, den 65536 (pv_hop_num)
+    num_t: int         # round(tempo * 65536) — output-length law
+    push_cap: int
+    k_cap: int         # frames processed per step
+    window: int        # input window needed by k_cap frames
+    cap: int           # FIFO capacity
+    out_cap: int       # k_cap * hop
+    lock: bool
+
+
+def pv_stream_plan(tempo: float, rate: int, push_cap: int,
+                   lock: bool = True) -> PvStreamPlan:
+    n_fft, hop = pv_params(rate)
+    num = pv_hop_num(hop, tempo)
+    k_cap = max(1, -(-push_cap * 65536 // num) + 2)
+    window = (k_cap - 1) * num // 65536 + n_fft + 2
+    cap = window + push_cap + num // 65536 + 2
+    return PvStreamPlan(
+        n_fft=n_fft, hop=hop, num=num, num_t=int(round(tempo * 65536)),
+        push_cap=push_cap, k_cap=k_cap, window=window, cap=cap,
+        out_cap=k_cap * hop, lock=lock,
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _ola_row_partials(n_fft: int) -> np.ndarray:
+    """P1[r] = sum_{j<=r} w^2 row j, [4, hop]: the window-squared coverage
+    of OLA output row k is P1[min(3, k)] for every emitted row (rows in the
+    end-partial region lie beyond the trimmed output length — see
+    pv_stream_step), floored like the offline _ola_denominator."""
+    hop = n_fft // 4
+    w2v = (_pv_window(n_fft).astype(np.float64) ** 2).reshape(4, hop)
+    return np.maximum(np.cumsum(w2v, axis=0), 1e-2).astype(np.float32)
+
+
+def pv_stream_init(plan: PvStreamPlan, channels: int):
+    """State: (fifo, carry_c, carry_s [C, bins] synthesis phasor,
+    ph_prev [C, bins] last frame's analysis phase, ola_tail [C, 3*hop],
+    k int32 next frame, consumed int32, in_len int32)."""
+    from nodey_tpu.ops.chunkops import fifo_init
+
+    bins = plan.n_fft // 2 + 1
+    return (
+        fifo_init(channels, plan.cap),
+        jnp.ones((channels, bins), dtype=jnp.float32),
+        jnp.zeros((channels, bins), dtype=jnp.float32),
+        jnp.zeros((channels, bins), dtype=jnp.float32),
+        jnp.zeros((channels, 3 * plan.hop), dtype=jnp.float32),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+
+
+def pv_stream_step(plan: PvStreamPlan, state, data, n, done):
+    """Push a chunk, analyze/synthesize every frame that is ready, emit
+    final OLA rows.
+
+    Frame k reads [pos(k), pos(k) + n_fft); output row k (hop samples at
+    output offset k*hop) is final once frame k is synthesized, because no
+    later frame touches it. Live frames are additionally gated to rows
+    fully inside the output-length bound implied by the input so far
+    (monotone — mid-stream emissions are never retracted); at EOF the FIFO's
+    zero tail stands in for the offline right pad and the final chunk is
+    clamped to the exact stretched length. Every emitted row has coverage
+    P1[min(3, k)] — the trimmed output never reaches the end-partial
+    rows (out_total <= (K_offline-2)*hop by the offline K formula), which
+    is why start partials + interior are the only denominators needed.
+
+    Returns (state, out [C, out_cap], out_n, out_done)."""
+    from nodey_tpu.ops.chunkops import (
+        fifo_advance, fifo_level, fifo_push, fifo_window,
+    )
+    from nodey_tpu.ops.stretch import frame_pos, scale_length_by_num
+
+    n_fft, hop = plan.n_fft, plan.hop
+    F = plan.k_cap
+    bins = n_fft // 2 + 1
+
+    fifo, cc, cs, ph_prev, tail, k0, consumed, in_len = state
+    fifo = fifo_push(fifo, data, n)
+    in_len = in_len + jnp.int32(n)
+    level = fifo_level(fifo)
+
+    out_total = scale_length_by_num(in_len, plan.num_t)
+    k_fin = jnp.maximum((out_total + hop - 1) // hop, 0)
+    k_bound = jnp.where(done, k_fin, out_total // hop)
+
+    ks = k0 + jnp.arange(F, dtype=jnp.int32)
+    pos = frame_pos(ks, plan.num)
+    ready = jnp.where(done, True, pos + n_fft <= consumed + level)
+    valid = ready & (ks < k_bound)          # a prefix: both terms monotone
+    k_done = valid.sum().astype(jnp.int32)
+
+    x = fifo_window(fifo, plan.window + plan.push_cap)
+    C = x.shape[0]
+    w = jnp.asarray(_pv_window(n_fft))
+    rel = jnp.clip(pos - consumed, 0, x.shape[1] - n_fft)
+    frames = jax.vmap(
+        lambda s: lax.dynamic_slice(x, (0, s), (C, n_fft)), out_axes=1
+    )(rel) * w[None, None, :]                # [C, F, n_fft]
+
+    cos_m, sin_m = _dft_matrices(n_fft)
+    re = jnp.einsum(
+        "ckn,nb->ckb", frames, jnp.asarray(cos_m),
+        preferred_element_type=jnp.float32, precision=PV_PRECISION,
+    )
+    im = jnp.einsum(
+        "ckn,nb->ckb", frames, jnp.asarray(sin_m),
+        preferred_element_type=jnp.float32, precision=PV_PRECISION,
+    )
+    mag = jnp.sqrt(re * re + im * im)
+    ph = jnp.arctan2(im, re)                 # [C, F, bins]
+
+    # Phase advance per frame over its ACTUAL integer hop (same split as
+    # the offline path: exact (b*dpos) mod n_fft plus the O(1) measured
+    # deviation scaled by hop/dpos).
+    pos_prev = jnp.where(ks >= 1, frame_pos(jnp.maximum(ks - 1, 0), plan.num), 0)
+    dpos = jnp.maximum(pos - pos_prev, 1)    # [F] int32
+    b_i = jnp.arange(bins, dtype=jnp.int32)
+    omega_dpos = (
+        (b_i[None, :] * dpos[:, None]) % n_fft
+    ).astype(jnp.float32) * np.float32(_TWO_PI / n_fft)   # [F, bins]
+    ph_all = jnp.concatenate([ph_prev[:, None, :], ph], axis=1)
+    dphi = ph_all[:, 1:] - ph_all[:, :-1] - omega_dpos[None]
+    wrapped = dphi - _TWO_PI * jnp.round(dphi / _TWO_PI)
+    omega_hop = np.mod(
+        np.arange(bins) * hop, n_fft
+    ).astype(np.float64) * (_TWO_PI / n_fft)
+    adv = (
+        jnp.asarray(omega_hop.astype(np.float32))[None, None, :]
+        + wrapped * (np.float32(hop) / dpos[None, :, None].astype(jnp.float32))
+    )
+    # Global frame 0 seeds the accumulation with its own analysis phase
+    # (carry starts at identity); invalid frames rotate by identity so the
+    # carry is exactly the product over the valid prefix.
+    adv = jnp.where((ks == 0)[None, :, None], ph, adv)
+    vmask = valid[None, :, None]
+    ca = jnp.where(vmask, jnp.cos(adv), 1.0)
+    sa = jnp.where(vmask, jnp.sin(adv), 0.0)
+
+    def _cmul(a, b):
+        return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
+
+    pc, ps = lax.associative_scan(_cmul, (ca, sa), axis=1)
+    cos_phi = cc[:, None, :] * pc - cs[:, None, :] * ps
+    sin_phi = cc[:, None, :] * ps + cs[:, None, :] * pc
+
+    # Carries from the LAST VALID frame (unlocked — locking is synthesis-
+    # only, exactly like the offline path).
+    j_last = jnp.clip(k_done - 1, 0, F - 1)
+    take = lambda a: lax.dynamic_slice(
+        a, (0, j_last, 0), (C, 1, a.shape[2])
+    )[:, 0, :]
+    cc = jnp.where(k_done > 0, take(cos_phi), cc)
+    cs = jnp.where(k_done > 0, take(sin_phi), cs)
+    ph_prev = jnp.where(k_done > 0, take(ph), ph_prev)
+
+    if plan.lock:
+        lcos, lsin = _lock_to_peaks(cos_phi, sin_phi, ph, mag)
+    else:
+        lcos, lsin = cos_phi, sin_phi
+
+    icos_m, isin_m = _idft_matrices(n_fft)
+    y = jnp.einsum(
+        "ckb,bn->ckn", mag * lcos, jnp.asarray(icos_m),
+        preferred_element_type=jnp.float32, precision=PV_PRECISION,
+    ) + jnp.einsum(
+        "ckb,bn->ckn", mag * lsin, jnp.asarray(isin_m),
+        preferred_element_type=jnp.float32, precision=PV_PRECISION,
+    )
+    y = y * w[None, None, :] * vmask.astype(jnp.float32)
+
+    # OLA over [k0*hop, (k0+F+3)*hop): 4 shifted adds + the carried tail.
+    y4 = y.reshape(C, F, 4, hop)
+    acc = None
+    for j in range(4):
+        part = jnp.pad(y4[:, :, j, :], ((0, 0), (j, 3 - j), (0, 0)))
+        acc = part if acc is None else acc + part
+    acc = acc.reshape(C, (F + 3) * hop)
+    acc = acc.at[:, : 3 * hop].add(tail)
+    tail = lax.dynamic_slice(acc, (0, k_done * hop), (C, 3 * hop))
+
+    # Divide emitted rows by their exact coverage (start partials, then
+    # the 1.5 interior).
+    P1 = jnp.asarray(_ola_row_partials(n_fft))            # [4, hop]
+    den = P1[jnp.clip(ks, 0, 3)].reshape(F * hop)
+    out = acc[:, : F * hop] / den[None, :]
+
+    emitted = k0 * hop
+    out_n = jnp.clip(
+        jnp.minimum(k_done * hop, out_total - emitted), 0, plan.out_cap
+    )
+    idx = jnp.arange(plan.out_cap, dtype=jnp.int32)[None, :]
+    out = jnp.where(idx < out_n, out, 0.0)
+
+    k_next = k0 + k_done
+    keep_from = frame_pos(k_next, plan.num)
+    advance = jnp.clip(keep_from - consumed, 0, None)
+    fifo = fifo_advance(fifo, advance)
+    consumed = consumed + advance
+
+    out_done = done & (k_next >= k_fin)
+    new_state = (fifo, cc, cs, ph_prev, tail, k_next, consumed, in_len)
+    return new_state, out, out_n, out_done
+
+
+# -- NumPy reference (host-side mirror for tests) ---------------------------
+
+
+def pv_stretch_reference(
+    data: np.ndarray, tempo: float, rate: int, lock: bool = True
+) -> np.ndarray:
+    """Direct NumPy mirror of the device phase vocoder (same geometry,
+    same propagation, same locking rule) in float64 — the quality yardstick
+    the float32 device path is compared against."""
+    C, N = data.shape
+    n_fft, hop, pos, dpos, pad_to = _pv_geometry(N, tempo, rate)
+    K = len(pos)
+    bins = n_fft // 2 + 1
+    w = _pv_window(n_fft).astype(np.float64)
+    x = np.pad(data.astype(np.float64), ((0, 0), (0, max(0, pad_to - N))))
+    idx = pos[:, None] + np.arange(n_fft)[None, :]
+    frames = x[:, idx] * w[None, None, :]
+    spec = np.fft.rfft(frames, axis=-1)
+    mag, ph = np.abs(spec), np.angle(spec)
+
+    omega = _TWO_PI * np.arange(bins) / n_fft
+    dp = dpos[1:, None].astype(np.float64)
+    dphi = ph[:, 1:] - ph[:, :-1] - omega[None, None, :] * dp[None]
+    wrapped = dphi - _TWO_PI * np.round(dphi / _TWO_PI)
+    omega_inst = omega[None, None, :] + wrapped / dp[None]
+    phi = np.concatenate(
+        [ph[:, :1], ph[:, :1] + np.cumsum(hop * omega_inst, axis=1)], axis=1
+    )
+    if lock:
+        phi = _lock_to_peaks_np(phi, ph, mag)
+
+    y = np.fft.irfft(mag * np.exp(1j * phi), n=n_fft, axis=-1)
+    y = y * w[None, None, :]
+    out = np.zeros((C, (K + 3) * hop))
+    y4 = y.reshape(C, K, 4, hop)
+    ov = out.reshape(C, -1, hop)
+    for j in range(4):
+        ov[:, j : j + K] += y4[:, :, j, :]
+    den = _ola_denominator(K, n_fft).astype(np.float64)
+    return (out / den[None, :]).astype(np.float32)
+
+
+def _lock_to_peaks_np(phi, ph_in, mag):
+    C, K, B = mag.shape
+    pad = np.full((C, K, 2), -1.0)
+    m = np.concatenate([pad, mag, pad], axis=-1)
+    is_peak = (
+        (mag > m[..., 1:B + 1])
+        & (mag >= m[..., 3:B + 3])
+        & (mag > m[..., 0:B])
+        & (mag >= m[..., 4:B + 4])
+    )
+    b_idx = np.arange(B)
+    prev_peak = np.maximum.accumulate(
+        np.where(is_peak, b_idx, -1), axis=-1
+    )
+    next_peak = np.flip(
+        np.minimum.accumulate(
+            np.flip(np.where(is_peak, b_idx, B), -1), axis=-1
+        ),
+        -1,
+    )
+    use_prev = (prev_peak >= 0) & (
+        (next_peak >= B) | (b_idx - prev_peak <= next_peak - b_idx)
+    )
+    peak = np.where(use_prev, prev_peak, next_peak)
+    peak = np.clip(peak, 0, B - 1)
+    has_peak = (prev_peak >= 0) | (next_peak < B)
+    peak = np.where(has_peak, peak, b_idx)
+    phi_pk = np.take_along_axis(phi, peak, axis=-1)
+    ph_pk = np.take_along_axis(ph_in, peak, axis=-1)
+    return np.where(is_peak, phi, phi_pk + (ph_in - ph_pk))

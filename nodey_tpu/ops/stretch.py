@@ -551,7 +551,8 @@ def transpose_rate(data, length, factor: float):
     return out, out_length
 
 
-def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float) -> Stream:
+def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float,
+                    algorithm: str = "wsola") -> Stream:
     """Apply the SoundTouch (rate, pitch) pair to a stream.
 
     Effective decomposition (SoundTouch semantics):
@@ -559,15 +560,27 @@ def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float) -> Stream:
         WSOLA tempo          = 1 / pitch   (virtualTempo == 1 in both nodes)
     Tempo runs first, then transposition (SoundTouch orders by rate for
     cache reasons; the stages commute in the linear-signal sense).
+
+    ``algorithm`` selects the tempo-stage family: "wsola" (default,
+    reference parity — audio-velocity.cpp drives SoundTouch's WSOLA) or
+    "pv" (ops/pv.py phase vocoder — no serial splice chain, rides the MXU;
+    see that module for the quality/throughput trade).
     """
     eff_rate = rate * pitch
     eff_tempo = 1.0 / pitch
 
     data, length = stream.data, stream.length
     if abs(eff_tempo - 1.0) > 1e-9:
-        data, length = wsola_stretch_at_rate(
-            data, length, eff_tempo, stream.rate
-        )
+        if algorithm == "pv":
+            from nodey_tpu.ops import pv as pv_ops
+
+            data, length = pv_ops.pv_stretch_at_rate(
+                data, length, eff_tempo, stream.rate
+            )
+        else:
+            data, length = wsola_stretch_at_rate(
+                data, length, eff_tempo, stream.rate
+            )
     if abs(eff_rate - 1.0) > 1e-9:
         data, length = transpose_rate(data, length, eff_rate)
     return Stream(

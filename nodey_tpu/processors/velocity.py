@@ -73,11 +73,24 @@ class _SoundTouchStreamBase(Processor):
         states = {}
         width = spec.width
         self._wsola_plan = None
+        self._pv_plan = None
         if abs(eff_tempo - 1.0) > 1e-9:
-            plan = chunkops.wsola_plan(eff_tempo, spec.rate, width)
-            self._wsola_plan = plan
-            states["w"] = chunkops.wsola_stream_init(plan, spec.channels)
-            width = plan.out_cap
+            if getattr(self, "algorithm", "wsola") == "pv":
+                # Chunked phase vocoder: a chunk is a batch of frames
+                # (ops/pv.pv_stream_step) — no serial splice chain, and
+                # the only carries are the FIFO, one synthesis phasor,
+                # the previous analysis phase, and the OLA tail.
+                from nodey_tpu.ops import pv as pv_ops
+
+                plan = pv_ops.pv_stream_plan(eff_tempo, spec.rate, width)
+                self._pv_plan = plan
+                states["w"] = pv_ops.pv_stream_init(plan, spec.channels)
+                width = plan.out_cap
+            else:
+                plan = chunkops.wsola_plan(eff_tempo, spec.rate, width)
+                self._wsola_plan = plan
+                states["w"] = chunkops.wsola_stream_init(plan, spec.channels)
+                width = plan.out_cap
 
         self._rs_plan = None
         if abs(eff_rate - 1.0) > 1e-9:
@@ -108,6 +121,12 @@ class _SoundTouchStreamBase(Processor):
             new_state["w"], data, n, done = chunkops.wsola_stream_step(
                 self._wsola_plan, state["w"], data, n, done
             )
+        elif getattr(self, "_pv_plan", None) is not None:
+            from nodey_tpu.ops import pv as pv_ops
+
+            new_state["w"], data, n, done = pv_ops.pv_stream_step(
+                self._pv_plan, state["w"], data, n, done
+            )
         if self._rs_plan is not None:
             new_state["r"], data, n, done = chunkops.resample_stream_step(
                 self._rs_plan, state["r"], data, n, done
@@ -122,6 +141,11 @@ class VelocityModifier(_SoundTouchStreamBase):
         # Defaults: include/processor/audio-velocity.hpp:11-12.
         self.velocity: float = 1.0
         self.keep_pitch: bool = False
+        # Tempo-stage algorithm: "wsola" (reference parity) | "pv"
+        # (phase vocoder, ops/pv.py — parallel MXU path). Extension: the
+        # reference has no such switch, so serde only writes it when
+        # non-default (project files stay byte-compatible).
+        self.algorithm: str = "wsola"
 
     def _factors(self):
         # reference: audio-velocity.cpp:446-460.
@@ -150,7 +174,10 @@ class VelocityModifier(_SoundTouchStreamBase):
     # -- serde (reference: audio-velocity.cpp:479-493) -----------------------
 
     def serialize(self) -> Any:
-        return {"velocity": self.velocity, "keep_pitch": self.keep_pitch}
+        out = {"velocity": self.velocity, "keep_pitch": self.keep_pitch}
+        if self.algorithm != "wsola":
+            out["algorithm"] = self.algorithm
+        return out
 
     def deserialize(self, value: Any) -> None:
         # Tolerant field-by-field restore, like the reference.
@@ -164,6 +191,9 @@ class VelocityModifier(_SoundTouchStreamBase):
             kp = value.get("keep_pitch")
             if isinstance(kp, bool):
                 self.keep_pitch = kp
+            algo = value.get("algorithm")
+            if algo in ("wsola", "pv"):
+                self.algorithm = algo
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         stream = _require_input(inputs, "Velocity Modifier")
@@ -171,7 +201,8 @@ class VelocityModifier(_SoundTouchStreamBase):
 
         pitch = (1.0 / self.velocity) if self.keep_pitch else 1.0
         out = stretch_ops.soundtouch_like(
-            ctx, stream, rate=self.velocity, pitch=pitch
+            ctx, stream, rate=self.velocity, pitch=pitch,
+            algorithm=self.algorithm,
         )
         return {"output": out}
 
@@ -180,6 +211,7 @@ class PitchModifier(_SoundTouchStreamBase):
     def __init__(self) -> None:
         # Default: include/processor/audio-velocity.hpp:44.
         self.pitch: float = 0.0
+        self.algorithm: str = "wsola"   # see VelocityModifier.algorithm
 
     def _factors(self):
         # reference: audio-velocity.cpp:463-477.
@@ -203,19 +235,26 @@ class PitchModifier(_SoundTouchStreamBase):
     # -- serde (reference: audio-velocity.cpp:495-505) -----------------------
 
     def serialize(self) -> Any:
-        return {"pitch": self.pitch}
+        out = {"pitch": self.pitch}
+        if self.algorithm != "wsola":
+            out["algorithm"] = self.algorithm
+        return out
 
     def deserialize(self, value: Any) -> None:
         if isinstance(value, dict):
             p = value.get("pitch")
             if isinstance(p, (int, float)) and not isinstance(p, bool):
                 self.pitch = float(p)
+            algo = value.get("algorithm")
+            if algo in ("wsola", "pv"):
+                self.algorithm = algo
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         stream = _require_input(inputs, "Pitch Modifier")
         from nodey_tpu.ops import stretch as stretch_ops
 
         out = stretch_ops.soundtouch_like(
-            ctx, stream, rate=1.0, pitch=2.0 ** (self.pitch / 12.0)
+            ctx, stream, rate=1.0, pitch=2.0 ** (self.pitch / 12.0),
+            algorithm=self.algorithm,
         )
         return {"output": out}

@@ -1,0 +1,287 @@
+"""Phase-vocoder time stretch (ops/pv.py).
+
+PV has no sample-level oracle (neither SoundTouch nor the reference
+implements one — audio-velocity.cpp ships WSOLA only), so the contract is
+held by: exact WOLA identity reconstruction at tempo 1, duration/pitch
+properties matching the WSOLA stage contract, agreement between the f32
+device path and the float64 NumPy mirror, and the locking rewrite's
+equivalence (value-propagating scans vs the index-gather formulation).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nodey_tpu.core import compiler, registry
+from nodey_tpu.core.graph import Graph
+from nodey_tpu.core.stream import Stream
+from nodey_tpu.ops import pv
+from nodey_tpu.ops.stretch import _scale_length_exact, soundtouch_like
+from nodey_tpu.processors.audio_input import AudioInput
+from nodey_tpu.processors.audio_output import AudioOutput
+from nodey_tpu.processors.velocity import PitchModifier, VelocityModifier
+
+from conftest import snr_db
+
+RATE = 48_000
+
+
+def tone(freq=440.0, seconds=1.0, channels=1, rate=RATE):
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    x = 0.5 * np.sin(2 * np.pi * freq * t)
+    if channels == 2:
+        x = np.stack([x, 0.3 * np.sin(2 * np.pi * freq * 1.5 * t)])
+    else:
+        x = x[None, :]
+    return x.astype(np.float32)
+
+
+def dominant_freq(x: np.ndarray, rate: int) -> float:
+    n = len(x)
+    spec = np.abs(np.fft.rfft(x * np.hanning(n)))
+    return float(np.argmax(spec) * rate / n)
+
+
+# -- core op ----------------------------------------------------------------
+
+
+def test_mirror_identity_reconstruction():
+    """tempo=1 analysis lands on the exact hop grid: the mirror (f64) must
+    reconstruct the interior essentially perfectly (WOLA with the true
+    window-squared denominator)."""
+    data = tone(seconds=1.0)
+    out = pv.pv_stretch_reference(data, 1.0, RATE, lock=False)
+    n_fft, _ = pv.pv_params(RATE)
+    n = data.shape[1] - n_fft
+    assert snr_db(data[:, n_fft:n], out[:, n_fft:n]) > 100.0
+
+
+def test_device_identity_reconstruction():
+    data = tone(seconds=1.0)
+    out = np.asarray(pv._pv_impl(jnp.asarray(data), 1.0, RATE, lock=False))
+    n_fft, _ = pv.pv_params(RATE)
+    n = data.shape[1] - n_fft
+    # f32 phasor accumulation: error floor well below audibility.
+    assert snr_db(data[:, n_fft:n], out[:, n_fft:n]) > 55.0
+
+
+def test_tempo_one_is_passthrough():
+    data = jnp.asarray(tone(seconds=0.25))
+    out, out_len = pv.pv_stretch_at_rate(data, jnp.int32(data.shape[1]),
+                                         1.0, RATE)
+    assert out is data
+    assert int(out_len) == data.shape[1]
+
+
+@pytest.mark.parametrize("tempo", [0.75, 1.25])
+def test_duration_scaling(tempo):
+    data = jnp.asarray(tone(seconds=1.0))
+    length = jnp.int32(data.shape[1])
+    out, out_len = pv.pv_stretch_at_rate(data, length, tempo, RATE)
+    expected = int(_scale_length_exact(length, tempo))
+    assert int(out_len) == min(expected, out.shape[1])
+    # Same length law as the WSOLA stage — swapping algorithm never moves
+    # a graph's timing math.
+    assert int(out_len) == expected
+    # Masked beyond out_len.
+    tail = np.asarray(out)[:, int(out_len):]
+    assert not tail.size or float(np.abs(tail).max()) == 0.0
+
+
+@pytest.mark.parametrize("lock", [False, True])
+@pytest.mark.parametrize("tempo", [0.8, 1.25])
+def test_device_matches_mirror(tempo, lock):
+    data = tone(seconds=1.0, channels=2)
+    dev = np.asarray(pv._pv_impl(jnp.asarray(data), tempo, RATE, lock=lock))
+    ref = pv.pv_stretch_reference(data, tempo, RATE, lock=lock)
+    n = min(dev.shape[1], ref.shape[1])
+    assert snr_db(ref[:, :n], dev[:, :n]) > 55.0
+
+
+def test_pitch_preserved_under_stretch():
+    """The defining PV property WSOLA shares: tempo changes duration, not
+    pitch."""
+    data = tone(freq=440.0, seconds=1.5)
+    out, out_len = pv.pv_stretch_at_rate(
+        jnp.asarray(data), jnp.int32(data.shape[1]), 1.5, RATE
+    )
+    y = np.asarray(out)[0, : int(out_len)]
+    # Trim windup/teardown edges before measuring.
+    n_fft, _ = pv.pv_params(RATE)
+    y = y[n_fft : len(y) - n_fft]
+    assert abs(dominant_freq(y, RATE) - 440.0) < 5.0
+    # Energy preserved within 1 dB in the interior.
+    rms_in = float(np.sqrt(np.mean(data[0] ** 2)))
+    rms_out = float(np.sqrt(np.mean(y**2)))
+    assert abs(20 * np.log10(rms_out / rms_in)) < 1.0
+
+
+def test_channels_independent():
+    data = tone(seconds=0.5, channels=2)
+    data[1] = 0.0
+    out, out_len = pv.pv_stretch_at_rate(
+        jnp.asarray(data), jnp.int32(data.shape[1]), 1.25, RATE
+    )
+    assert float(np.abs(np.asarray(out)[1]).max()) < 1e-6
+
+
+def test_lock_scan_matches_numpy_mirror():
+    """The value-propagating-scan locking (device) must agree with the
+    angle-space NumPy mirror: same peak picks, same rigid re-phasing."""
+    rng = np.random.default_rng(7)
+    C, K, B = 2, 5, 257
+    mag = rng.random((C, K, B)).astype(np.float32)
+    ph_in = (rng.random((C, K, B)).astype(np.float32) - 0.5) * 6.0
+    phi = (rng.random((C, K, B)).astype(np.float32) - 0.5) * 6.0
+    cj, sj = pv._lock_to_peaks(
+        jnp.asarray(np.cos(phi)), jnp.asarray(np.sin(phi)),
+        jnp.asarray(ph_in), jnp.asarray(mag),
+    )
+    phi_np = pv._lock_to_peaks_np(
+        phi.astype(np.float64), ph_in.astype(np.float64),
+        mag.astype(np.float64),
+    )
+    np.testing.assert_allclose(np.asarray(cj), np.cos(phi_np), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sj), np.sin(phi_np), atol=1e-5)
+
+
+# -- algorithm switch on the tempo stage ------------------------------------
+
+
+def _stream_of(data):
+    data = jnp.asarray(data)
+    return Stream(data=data, length=jnp.int32(data.shape[-1]), rate=RATE,
+                  channels=data.shape[0])
+
+
+def test_soundtouch_like_pv_algorithm():
+    """soundtouch_like(algorithm='pv') applies the same (rate, pitch)
+    decomposition — only the tempo stage differs."""
+    data = tone(freq=440.0, seconds=1.0)
+    out = soundtouch_like(None, _stream_of(data), rate=1.0, pitch=2.0,
+                          algorithm="pv")
+    y = np.asarray(out.data)[0, : int(out.length)]
+    n_fft, _ = pv.pv_params(RATE)
+    y = y[n_fft : len(y) - n_fft]
+    # pitch=2.0: tempo 0.5 then transpose 2.0 → octave up, same duration.
+    assert abs(dominant_freq(y, RATE) - 880.0) < 10.0
+    assert abs(int(out.length) - data.shape[1]) <= 2
+
+
+# -- processor integration --------------------------------------------------
+
+
+def _render(g, src, data):
+    key = compiler.external_key(src, "output_0")
+    sources = {
+        (src, "output_0"): compiler.SourceSpec(
+            rate=RATE, channels=data.shape[0], fmt="f32",
+            capacity=data.shape[1],
+        )
+    }
+    compiled = compiler.compile_graph(g, sources, mode="export")
+    outs = compiled.run({key: data}, {key: data.shape[1]})
+    arr, n = outs["master"]
+    return np.asarray(arr)[:, : int(n)]
+
+
+def _velocity_graph(algorithm):
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = ["0.wav"]
+    g.update_node_pin(src)
+    vel = g.add_node(VelocityModifier())
+    g.nodes[vel].processor.velocity = 1.25
+    g.nodes[vel].processor.keep_pitch = True
+    g.nodes[vel].processor.algorithm = algorithm
+    out = g.add_node(AudioOutput())
+    g.add_link(g.nodes[src].pin_name_map["output_0"],
+               g.nodes[vel].pin_name_map["input"])
+    g.add_link(g.nodes[vel].pin_name_map["output"],
+               g.nodes[out].pin_name_map["input"])
+    return g, src
+
+
+def test_graph_render_pv_matches_wsola_length():
+    data = tone(seconds=1.0, channels=2)
+    out_pv = _render(*_velocity_graph("pv"), data)
+    out_ws = _render(*_velocity_graph("wsola"), data)
+    assert out_pv.shape == out_ws.shape
+    assert abs(dominant_freq(out_pv[0], RATE) - 440.0) < 6.0
+
+
+def test_serde_omits_default_algorithm():
+    v = VelocityModifier()
+    assert "algorithm" not in v.serialize()
+    v.algorithm = "pv"
+    blob = v.serialize()
+    assert blob["algorithm"] == "pv"
+    w = VelocityModifier()
+    w.deserialize(blob)
+    assert w.algorithm == "pv" and w.velocity == v.velocity
+    p = PitchModifier()
+    assert "algorithm" not in p.serialize()
+    p.deserialize({"pitch": 3.0, "algorithm": "pv"})
+    assert p.algorithm == "pv" and p.pitch == 3.0
+    p.deserialize({"algorithm": "bogus"})
+    assert p.algorithm == "pv"  # unknown value ignored, field kept
+
+
+# -- streaming ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tempo", [0.8, 1.25])
+def test_stream_step_matches_offline(tempo):
+    """Chunked PV (carried phasor + OLA tail) equals the offline render up
+    to f32 re-association of the phasor products, with identical geometry
+    (shared 16.16 position law) and identical total length."""
+    data = tone(seconds=2.0, channels=2)
+    length = data.shape[1]
+    off, off_len = pv.pv_stretch_at_rate(
+        jnp.asarray(data), jnp.int32(length), tempo, RATE
+    )
+    off = np.asarray(off)[:, : int(off_len)]
+
+    push = 4800
+    plan = pv.pv_stream_plan(tempo, RATE, push)
+    state = pv.pv_stream_init(plan, 2)
+    pieces, p, done = [], 0, False
+    steps = 0
+    while not done:
+        nblk = min(push, length - p)
+        block = np.zeros((2, push), np.float32)
+        if nblk > 0:
+            block[:, :nblk] = data[:, p : p + nblk]
+        p += max(nblk, 0)
+        state, out, out_n, odone = pv.pv_stream_step(
+            plan, state, jnp.asarray(block), jnp.int32(max(nblk, 0)),
+            jnp.bool_(p >= length),
+        )
+        if int(out_n):
+            pieces.append(np.asarray(out)[:, : int(out_n)])
+        done = bool(odone)
+        steps += 1
+        assert steps < 100
+    got = np.concatenate(pieces, axis=1)
+    assert got.shape[1] == int(off_len)
+    assert snr_db(off, got) > 60.0
+
+
+def test_streamed_graph_pv_node():
+    """A velocity(pv) node streams through the production chunk-flow
+    compiler and matches the offline graph render."""
+    from test_chunkflow import run_offline, run_streamed
+
+    data = tone(seconds=1.5, channels=2)
+    g, src = _velocity_graph("pv")
+    src_arrays = {(src, "output_0"): (data, RATE, "f32")}
+    outs, _meta = run_offline(g, src_arrays)
+    off_arr, off_n = outs["master"]
+    off = np.asarray(off_arr)[:, : int(off_n)]
+    streamed, _smeta = run_streamed(g, src_arrays, chunk=RATE // 4)
+    got = streamed["master"]
+    assert got.shape[1] == off.shape[1]
+    assert snr_db(off, got) > 60.0
