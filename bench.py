@@ -180,6 +180,20 @@ def config4_resample_pitch_tempo(tmp, seconds):
     return g, "export"
 
 
+def config4_pv(tmp, seconds):
+    """Config 4 with both tempo-stage nodes flipped to the phase vocoder
+    (``algorithm: "pv"``) — the second tempo-stage algorithm family,
+    measured end-to-end through the production compiler. Slower than the
+    WSOLA default (~451x vs ~3517x on v5e; PV spends ~20x the FLOPs for
+    its artifact profile, ROUND4.md §11) but pinned here so the
+    alternative path has a tracked on-chip number."""
+    g, mode = config4_resample_pitch_tempo(tmp, seconds)
+    for node in g.nodes.values():
+        if hasattr(node.processor, "algorithm"):
+            node.processor.algorithm = "pv"
+    return g, mode
+
+
 def config5_full_editor(tmp, seconds):
     """4 tracks -> split/mix/pitch + STFT spectrum tap, preview stream."""
     from nodey_tpu.processors.amix import AudioAmix
@@ -399,6 +413,80 @@ V5E_MXU_BF16_PEAK = 197e12  # TPU v5e public peak (bf16 MXU FLOP/s)
 V5E_VPU_F32_PEAK = 4e12     # approximate v5e vector-unit f32 FLOP/s
 
 
+def _probe_timed(fn, arg, iters: int) -> float:
+    """Probe-corrected device timing with ADAPTIVE iteration count: the loop
+    total must dwarf the ~30 ms relay probe RTT or the correction swallows
+    sub-millisecond kernels (a first cut of this helper printed 189x
+    'MFU'). Returns best-of-3 mean seconds per call."""
+    import jax
+
+    def probe(o):
+        return jax.device_get(o.ravel()[:4])
+
+    f = jax.jit(fn)
+    o = f(arg)
+    probe(o)
+    probe_rtt = min(_timed(lambda: probe(o)) for _ in range(3))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = f(arg)
+    probe(o)
+    pilot = max((time.perf_counter() - t0 - probe_rtt) / iters, 1e-6)
+    iters_adj = _adaptive_iters(pilot, probe_rtt, iters)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters_adj):
+            o = f(arg)
+        probe(o)
+        times.append((time.perf_counter() - t0 - probe_rtt) / iters_adj)
+    return max(min(times), 1e-7)
+
+
+def pv_wsola_ab(seconds: float, iters: int = 8):
+    """Tempo-stage algorithm A/B on the chip: the serial WSOLA splice chain
+    (reference parity; ~2.8 us/frame VPU ceiling, ROUND4.md §8) vs the
+    batched-GEMM phase vocoder (ops/pv.py) at the config-4 tempo. Measured
+    verdict (ROUND4.md §11): WSOLA wins ~7x — it needs ~20x fewer FLOPs
+    and the VPU runs it near roofline — so the A/B documents the cost a
+    user pays for the PV's artifact profile, and pins that neither path
+    regresses."""
+    import jax.numpy as jnp
+
+    from nodey_tpu.ops import pv as pv_ops
+    from nodey_tpu.ops import stretch as stretch_ops
+
+    tempo, rate = 1.25, 48_000
+    rng = np.random.default_rng(2)
+    n = int(rate * seconds)
+    x = jnp.asarray((0.3 * rng.standard_normal((2, n))).astype(np.float32))
+    out = []
+    try:
+        t_ws = _probe_timed(
+            lambda d: stretch_ops.wsola_stretch_at_rate(
+                d, jnp.int32(d.shape[1]), tempo, rate
+            )[0],
+            x, iters,
+        )
+        t_pv = _probe_timed(
+            lambda d: pv_ops.pv_stretch_at_rate(
+                d, jnp.int32(d.shape[1]), tempo, rate
+            )[0],
+            x, iters,
+        )
+        log(
+            f"tempo_stage_ab ({seconds:.0f}s stereo, tempo {tempo}): "
+            f"wsola {t_ws * 1e3:.2f} ms ({seconds / t_ws:.0f}x), "
+            f"pv {t_pv * 1e3:.2f} ms ({seconds / t_pv:.0f}x) — "
+            f"{t_ws / t_pv:.1f}x"
+        )
+        out.append(("rtf_tempo_wsola", seconds / t_ws))
+        out.append(("rtf_tempo_pv", seconds / t_pv))
+    except Exception as exc:
+        log(f"tempo_stage_ab skipped: {type(exc).__name__}: {exc}")
+    return out
+
+
 def kernel_mfu(seconds: float, iters: int = 8):
     """Roofline attribution for the two hot kernels (VERDICT r1 item 9):
     achieved FLOP/s vs the unit's peak, so future perf deltas separate
@@ -419,34 +507,8 @@ def kernel_mfu(seconds: float, iters: int = 8):
     rng = np.random.default_rng(1)
     x = jnp.asarray((0.3 * rng.standard_normal((2, n))).astype(np.float32))
 
-    def probe(o):
-        return jax.device_get(o.ravel()[:4])
-
     def timed(fn, arg):
-        """Probe-corrected timing with ADAPTIVE iteration count: the loop
-        total must dwarf the ~30 ms relay probe RTT or the correction
-        swallows sub-millisecond kernels (a first cut of this helper
-        printed 189x 'MFU')."""
-        f = jax.jit(fn)
-        o = f(arg)
-        probe(o)
-        probe_rtt = min(_timed(lambda: probe(o)) for _ in range(3))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            o = f(arg)
-        probe(o)
-        pilot = max((time.perf_counter() - t0 - probe_rtt) / iters, 1e-6)
-        iters_adj = _adaptive_iters(pilot, probe_rtt, iters)
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters_adj):
-                o = f(arg)
-            probe(o)
-            times.append(
-                (time.perf_counter() - t0 - probe_rtt) / iters_adj
-            )
-        return max(min(times), 1e-7)
+        return _probe_timed(fn, arg, iters)
 
     try:
         # -- resample GEMM flops (superblock grouped path geometry) ----------
@@ -541,6 +603,9 @@ def main() -> int:
          config_seconds, iters),
         ("rtf_config5_full_editor_preview", config5_full_editor,
          config_seconds, iters),
+        # Extension metric (not a BASELINE config): config 4 with the
+        # tempo stages flipped to the phase vocoder.
+        ("rtf_config4_pv", config4_pv, config_seconds, iters),
     ]
 
     # Optional subset (e.g. NODEY_BENCH_ONLY="1,4" or "headline") — lets the
@@ -552,7 +617,7 @@ def main() -> int:
         configs = [
             c for i, c in enumerate(configs, start=1) if str(i) in wanted
         ]
-        run_headline = "headline" in wanted or not wanted.isdisjoint({"6"})
+        run_headline = "headline" in wanted or not wanted.isdisjoint({"7"})
         run_pallas_ab = "pallas" in wanted
     else:
         run_headline = True
@@ -690,6 +755,7 @@ def main() -> int:
         if run_pallas_ab:
             pallas_resample_ab(min(seconds, 60.0), iters)
             results.extend(kernel_mfu(min(seconds, 30.0), iters))
+            results.extend(pv_wsola_ab(min(seconds, 30.0), iters))
 
     # The driver reads the LAST line as the headline metric.
     results.sort(key=lambda kv: kv[0] == "rtf_5node_stereo")

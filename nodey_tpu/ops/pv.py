@@ -44,6 +44,14 @@ decision contract to protect — the GEMMs default to 3-pass bf16
 throughput; ``NODEY_PV_PRECISION=highest`` opts into the bitwise-f32 6-pass
 variant.
 
+Measured outcome (v5e, ROUND4.md §11): the MXU-friendly structure does NOT
+out-run the serial chain — WSOLA needs ~20x fewer FLOPs and the VPU runs
+it at ~790 GFLOP/s, so it stays ~7x faster single-clip (2.3 vs 17.2 ms for
+30 s stereo) and ~12x faster batched (B=8 vmap). Pick "pv" for the
+phase-vocoder artifact profile (rigid per-peak phase, no splice seams —
+the usual choice for polyphonic material at large ratios); it is still
+>=1700x real-time as a stage and >=450x inside the full config-4 graph.
+
 This module is OPT-IN per node (``algorithm: "pv"`` on velocity/pitch
 processors); the default stays the reference-parity WSOLA.
 """
@@ -134,6 +142,41 @@ def pv_hop_num(hop: int, tempo: float) -> int:
     return int(round(hop * tempo * 65536))
 
 
+def _hs_last_valid(seed):
+    """Inclusive "last valid" prefix scan along the final (bin) axis via
+    Hillis-Steele doubling SHIFTS, not ``lax.associative_scan``.
+
+    ``seed`` is an (idx, *values) tuple; idx < 0 marks an invalid slot.
+    Result[i] = seed values at the largest j <= i with idx[j] >= 0 (or
+    the untouched invalid slot if none). Because the combine only ever
+    SELECTS seed values, any correct scan order is bitwise identical to
+    any other — tests assert exact equality vs ``associative_scan``.
+
+    Why not associative_scan: on TPU, one lane-axis associative_scan is
+    ~5 ms at [2, 2252, 1025] — but COMPOSED in the same program with the
+    K-axis phasor scan of _pv_impl it inflates to ~46 ms (each fast
+    alone; a barrier between them does not help). associative_scan
+    lowers to odd/even recursion whose stride-2 lane slices relayout
+    badly when two such scans on different axes coexist; this
+    formulation uses only contiguous slices + selects and keeps the
+    composed program at ~10 ms (measured on v5e, jax 0.9)."""
+    arrs = list(seed)
+    n = arrs[0].shape[-1]
+    s = 1
+    while s < n:
+        valid = arrs[0] >= 0
+        updated = []
+        for i, a in enumerate(arrs):
+            pad = jnp.full_like(
+                a[..., :s], -1 if i == 0 else 0
+            )
+            sh = jnp.concatenate([pad, a[..., : n - s]], axis=-1)
+            updated.append(jnp.where(valid, a, sh))
+        arrs = updated
+        s *= 2
+    return tuple(arrs)
+
+
 def _lock_to_peaks(cos_phi, sin_phi, ph_in, mag):
     """Simplified identity phase locking (Laroche & Dolson 1999).
 
@@ -145,11 +188,11 @@ def _lock_to_peaks(cos_phi, sin_phi, ph_in, mag):
     vectorized: peaks are local maxima over +-2 bins; each bin adopts the
     nearer of its previous/next peak.
 
-    Peak VALUES ride the same associative scans that find peak positions
-    (a "last-valid" combine over (idx, cp, sp, ph) tuples) instead of a
-    take_along_axis by peak index: the general gather was measured at
-    ~20 s of XLA CPU compile at [2, 752, 1025] vs 2.5 s for the value
-    scans, with bitwise-identical output."""
+    Peak VALUES ride the same last-valid scans that find peak positions
+    (a combine over (idx, cp, sp, ph) tuples — see _hs_last_valid)
+    instead of a take_along_axis by peak index: the general gather was
+    measured at ~20 s of XLA CPU compile at [2, 752, 1025] vs 2.5 s for
+    the value scans, with bitwise-identical output."""
     C, K, B = mag.shape
     neg = jnp.full_like(mag[..., :1], -1.0)
 
@@ -166,10 +209,6 @@ def _lock_to_peaks(cos_phi, sin_phi, ph_in, mag):
     )
     b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), mag.shape)
 
-    def last_valid(a, b):
-        sel = b[0] >= 0
-        return tuple(jnp.where(sel, bb, aa) for aa, bb in zip(a, b))
-
     seed = (
         jnp.where(is_peak, b_idx, -1),
         jnp.where(is_peak, cos_phi, 0.0),
@@ -177,13 +216,10 @@ def _lock_to_peaks(cos_phi, sin_phi, ph_in, mag):
         jnp.where(is_peak, ph_in, 0.0),
     )
     # Previous peak (position + its phasor/phase), or idx -1 if none yet.
-    prev = lax.associative_scan(last_valid, seed, axis=-1)
+    prev = _hs_last_valid(seed)
     # Next peak: same scan over the reversed axis.
     rev = tuple(jnp.flip(x, -1) for x in seed)
-    nxt = tuple(
-        jnp.flip(x, -1)
-        for x in lax.associative_scan(last_valid, rev, axis=-1)
-    )
+    nxt = tuple(jnp.flip(x, -1) for x in _hs_last_valid(rev))
     prev_i, nxt_i = prev[0], nxt[0]
     bi = jnp.arange(B, dtype=jnp.int32)
     use_prev = (prev_i >= 0) & ((nxt_i < 0) | (bi - prev_i <= nxt_i - bi))

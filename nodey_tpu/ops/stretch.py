@@ -563,8 +563,9 @@ def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float,
 
     ``algorithm`` selects the tempo-stage family: "wsola" (default,
     reference parity — audio-velocity.cpp drives SoundTouch's WSOLA) or
-    "pv" (ops/pv.py phase vocoder — no serial splice chain, rides the MXU;
-    see that module for the quality/throughput trade).
+    "pv" (ops/pv.py phase vocoder — a different artifact profile; slower
+    on chip despite its parallel structure, see that module's measured
+    numbers).
     """
     eff_rate = rate * pitch
     eff_tempo = 1.0 / pitch

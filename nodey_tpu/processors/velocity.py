@@ -142,9 +142,10 @@ class VelocityModifier(_SoundTouchStreamBase):
         self.velocity: float = 1.0
         self.keep_pitch: bool = False
         # Tempo-stage algorithm: "wsola" (reference parity) | "pv"
-        # (phase vocoder, ops/pv.py — parallel MXU path). Extension: the
-        # reference has no such switch, so serde only writes it when
-        # non-default (project files stay byte-compatible).
+        # (phase vocoder, ops/pv.py — a different artifact profile;
+        # slower on chip, see that module). Extension: the reference has
+        # no such switch, so serde only writes it when non-default
+        # (project files stay byte-compatible).
         self.algorithm: str = "wsola"
 
     def _factors(self):

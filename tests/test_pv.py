@@ -147,6 +147,38 @@ def test_lock_scan_matches_numpy_mirror():
     np.testing.assert_allclose(np.asarray(sj), np.sin(phi_np), atol=1e-5)
 
 
+def test_hs_scan_bitwise_vs_associative_scan():
+    """_hs_last_valid (Hillis-Steele doubling shifts — the formulation
+    that avoids the on-chip cost of composing two associative_scans on
+    different axes, see its docstring) must equal
+    lax.associative_scan(last-valid) BITWISE: the combine only selects
+    seed values, so every correct scan order yields identical bits.
+    Covers: no valid slot at all, leading invalids, adjacent valids,
+    and a non-power-of-two axis length."""
+    from jax import lax
+
+    def last_valid(a, b):
+        sel = b[0] >= 0
+        return tuple(jnp.where(sel, bb, aa) for aa, bb in zip(a, b))
+
+    rng = np.random.default_rng(13)
+    for B in (1, 7, 128, 1025):
+        for p_valid in (0.0, 0.02, 0.5, 1.0):
+            valid = rng.random((3, B)) < p_valid
+            idx = np.where(valid, np.arange(B, dtype=np.int32), -1)
+            vals = tuple(
+                np.where(valid, rng.standard_normal((3, B)), 0.0).astype(
+                    np.float32
+                )
+                for _ in range(3)
+            )
+            seed = (jnp.asarray(idx),) + tuple(jnp.asarray(v) for v in vals)
+            got = pv._hs_last_valid(seed)
+            want = lax.associative_scan(last_valid, seed, axis=-1)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 # -- algorithm switch on the tempo stage ------------------------------------
 
 

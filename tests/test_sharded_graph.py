@@ -237,6 +237,55 @@ def test_dp_timevariant_graph_bitwise():
         )
 
 
+def test_dp_phase_vocoder_graph():
+    """A velocity(pv) node — phase-vocoder tempo stage — runs on the dp
+    mesh like any other time-variant graph: whole clips per device,
+    matching the single-device program."""
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = ["0.wav"]
+    g.update_node_pin(src)
+    vel = g.add_node(VelocityModifier())
+    g.nodes[vel].processor.set_velocity(1.25)
+    g.nodes[vel].processor.keep_pitch = True
+    g.nodes[vel].processor.algorithm = "pv"
+    out = g.add_node(AudioOutput())
+    g.add_link(g.nodes[src].pin_name_map["output_0"],
+               g.nodes[vel].pin_name_map["input"])
+    g.add_link(g.nodes[vel].pin_name_map["output"],
+               g.nodes[out].pin_name_map["input"])
+
+    rate, cap, B = 48_000, 48_000, 8
+    mesh = make_mesh({"dp": 8})
+    rng = np.random.default_rng(11)
+    batch = (0.3 * rng.standard_normal((B, 2, cap))).astype(np.float32)
+    lens = np.array([cap - 31 * i for i in range(B)], dtype=np.int32)
+    for i, n in enumerate(lens):
+        batch[i, :, n:] = 0.0
+
+    key = compiler.external_key(src, "output_0")
+    sources = {
+        (src, "output_0"): compiler.SourceSpec(
+            rate=rate, channels=2, fmt="flt", capacity=cap
+        )
+    }
+    dp = sharded.compile_graph_dp(g, sources, mesh, mode="export")
+    out_b = dp.run({key: batch}, {key: lens})
+    data_b, len_b = out_b["master"]
+
+    single = compiler.compile_graph(g, sources, mode="export")
+    for i in range(B):
+        ref = single.run({key: batch[i]}, {key: int(lens[i])})
+        ref_data, ref_len = ref["master"]
+        assert int(len_b[i]) == int(ref_len)
+        ref_np = np.asarray(ref_data)
+        got = np.asarray(data_b[i])
+        err = np.sum((got - ref_np) ** 2)
+        sig = np.sum(ref_np**2)
+        assert err == 0.0 or 10 * np.log10(sig / err) > 90.0, f"clip {i}"
+
+
 def test_sharded_mixed_input_rates_bitwise():
     """Mixed source rates (44.1 kHz + 48 kHz into one mixer) shard over sp
     with per-source time-aligned chunks/halos (round-1 VERDICT item 4b):
