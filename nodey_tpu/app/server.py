@@ -60,6 +60,18 @@ _PAGE = """<!DOCTYPE html>
  select, textarea { background:#23262d; color:#d6d8de; border:1px solid
           #3a3f4a; border-radius:6px; width:100%; }
  textarea { height:84px; font:11px monospace; }
+ .prow { display:flex; align-items:center; gap:6px; margin:3px 0;
+         font-size:11px; }
+ .prow label { flex:0 0 92px; color:#aab; }
+ .prow input[type=range] { flex:1; accent-color:#2d6cdf; }
+ .prow input[type=number] { width:80px; background:#23262d; color:#d6d8de;
+         border:1px solid #3a3f4a; border-radius:6px; }
+ .prow .pval { flex:0 0 52px; text-align:right; color:#d6d8de; }
+ .prow .fname { flex:1; overflow:hidden; text-overflow:ellipsis;
+         white-space:nowrap; color:#d6d8de; }
+ .prow button { padding:2px 6px; font-size:10px; }
+ #rawparams summary { cursor:pointer; color:#8a8f99; font-size:11px;
+         margin:6px 0 2px; }
  .gauge { height:10px; background:#2c2f36; border-radius:5px; margin:4px 0; }
  .gauge>i { display:block; height:100%; border-radius:5px;
             background:#7fd962; }
@@ -145,10 +157,12 @@ _PAGE = """<!DOCTYPE html>
  <h3>Events</h3><pre id="notif"></pre>
  <h3>Node</h3><pre id="info">click a node…</pre>
  <div id="editbox" style="display:none">
-  <textarea id="params"></textarea>
-  <button id="apply">apply params</button>
+  <div id="widgets"></div>
+  <details id="rawparams"><summary>raw JSON</summary>
+   <textarea id="params"></textarea>
+   <button id="apply">apply params</button>
+  </details>
   <button id="del">remove node</button>
-  <button id="addfile" style="display:none">add input file…</button>
  </div>
 </div>
 <div id="fswin">
@@ -263,6 +277,128 @@ async function loadGraph() {
   }
   renderMinimap();
 }
+// Parameter panel: renders each node's param_spec() (the web counterpart
+// of the reference's per-node ImGui draw_content widgets — sliders,
+// checkboxes, per-slot file rows). Edits POST through /api/edit/set, so
+// clamping and coupled behaviors (amix's unlocked-volume renormalization,
+// audio-amix.cpp:349-393) run server-side; the panel then re-renders from
+// server truth.
+async function applyParam(key, value) {
+  try { await api('/api/edit/set', {node_id: primary, params: {[key]: value}}); }
+  catch (e) { err(String(e.message || e)); }
+  await refreshPanel();
+}
+async function refreshPanel() {
+  await loadGraph();
+  if (primary === null) return;
+  const n = graph.nodes.find(x => x.id === primary);
+  if (!n) return;
+  document.getElementById('params').value =
+    JSON.stringify(n.params === undefined ? {} : n.params, null, 1);
+  renderWidgets(n);
+}
+function renderWidgets(n) {
+  const box = document.getElementById('widgets');
+  box.textContent = '';
+  if (!n.spec) return;
+  // Logarithmic drags (reference velocity slider) map the range input's
+  // [0,1000] ticks onto min*(max/min)^(t/1000).
+  const fromTicks = (f, t) => f.log
+    ? f.min * Math.pow(f.max / f.min, t / 1000) : Number(t);
+  const toTicks = (f, v) => f.log
+    ? Math.round(1000 * Math.log(v / f.min) / Math.log(f.max / f.min)) : v;
+  for (const f of n.spec) {
+    const row = document.createElement('div');
+    row.className = 'prow';
+    const lab = document.createElement('label');
+    lab.textContent = f.label;
+    row.appendChild(lab);
+    const send = (v) => applyParam(f.key, f.index === undefined ? v : [f.index, v]);
+    if (f.kind === 'float' || f.kind === 'int') {
+      const ranged = f.min !== undefined && f.max !== undefined;
+      const inp = document.createElement('input');
+      inp.type = ranged ? 'range' : 'number';
+      if (ranged) {
+        inp.min = f.log ? 0 : f.min;
+        inp.max = f.log ? 1000 : f.max;
+        inp.step = f.log ? 1 : (f.step !== undefined ? f.step : (f.kind === 'int' ? 1 : 'any'));
+        inp.value = toTicks(f, f.value);
+      } else {
+        if (f.step !== undefined) inp.step = f.step;
+        inp.value = f.value;
+      }
+      const shown = document.createElement('span');
+      shown.className = 'pval';
+      const fmt = (v) => f.kind === 'int'
+        ? String(Math.round(v)) : Number(v).toFixed(3);
+      shown.textContent = fmt(f.value);
+      inp.oninput = () => { shown.textContent = fmt(fromTicks(f, inp.value)); };
+      inp.onchange = () => {
+        const v = fromTicks(f, inp.value);
+        send(f.kind === 'int' ? Math.round(v) : v);
+      };
+      row.appendChild(inp); row.appendChild(shown);
+    } else if (f.kind === 'bool') {
+      const inp = document.createElement('input');
+      inp.type = 'checkbox';
+      inp.checked = !!f.value;
+      inp.onchange = () => send(inp.checked);
+      row.appendChild(inp);
+    } else if (f.kind === 'enum') {
+      const sel = document.createElement('select');
+      for (const c of f.choices) {
+        const o = document.createElement('option');
+        o.textContent = String(c);
+        if (c === f.value) o.selected = true;
+        sel.appendChild(o);
+      }
+      // send the TYPED choice (target_rate is an int), not the DOM string
+      sel.onchange = () => send(f.choices[sel.selectedIndex]);
+      row.appendChild(sel);
+    } else if (f.kind === 'files') {
+      // Per-slot rows (reference: Slot i + Browse, audio-io.cpp:345-426)
+      row.remove();
+      const files = f.value.slice();
+      files.forEach((p, i) => {
+        const fr = document.createElement('div');
+        fr.className = 'prow';
+        const name = document.createElement('span');
+        name.className = 'fname';
+        name.title = p;
+        name.textContent = (i + 1) + ': ' + (p ? p.split('/').pop() : '(none)');
+        const br = document.createElement('button');
+        br.textContent = 'browse…';
+        br.onclick = async () => {
+          const path = await pickPath('Select input file', '', '');
+          if (!path) return;
+          const next = files.slice(); next[i] = path;
+          applyParam(f.key, next);
+        };
+        const rm = document.createElement('button');
+        rm.textContent = '✕';
+        rm.disabled = files.length <= 1;
+        rm.onclick = () => {
+          const next = files.slice(); next.splice(i, 1);
+          applyParam(f.key, next);
+        };
+        fr.appendChild(name); fr.appendChild(br); fr.appendChild(rm);
+        box.appendChild(fr);
+      });
+      const addRow = document.createElement('div');
+      addRow.className = 'prow';
+      const add = document.createElement('button');
+      add.textContent = 'add input file…';
+      add.onclick = async () => {
+        const path = await pickPath('Add input file', '', '');
+        if (path) applyParam(f.key, files.concat([path]));
+      };
+      addRow.appendChild(add);
+      box.appendChild(addRow);
+      continue;
+    }
+    box.appendChild(row);
+  }
+}
 function selectNode(n, ev) {
   if (ev && ev.shiftKey) {
     if (selected.has(n.id)) selected.delete(n.id); else selected.add(n.id);
@@ -279,8 +415,7 @@ function selectNode(n, ev) {
     box.style.display = 'block';
     document.getElementById('params').value =
       JSON.stringify(n.params === undefined ? {} : n.params, null, 1);
-    document.getElementById('addfile').style.display =
-      n.identifier === 'audio_input' ? '' : 'none';
+    renderWidgets(n);
   } else {
     box.style.display = 'none';
     document.getElementById('info').textContent = 'click a node…';
@@ -348,7 +483,7 @@ document.getElementById('apply').onclick = async () => {
   try { params = JSON.parse(document.getElementById('params').value); }
   catch (e) { err('bad JSON: ' + e.message); return; }
   await api('/api/edit/set', {node_id: primary, params});
-  loadGraph();
+  refreshPanel();
 };
 document.getElementById('del').onclick = removeSelected;
 document.getElementById('undo').onclick =
@@ -402,15 +537,6 @@ document.getElementById('fsok').onclick = () => {
   fsClose(fsDir.replace(/[\\/]+$/, '') + '/' + name);
 };
 document.getElementById('fscancel').onclick = () => fsClose(null);
-document.getElementById('addfile').onclick = async () => {
-  const n = graph.nodes.find(x => x.id === primary);
-  if (!n) return;
-  const path = await pickPath('Add input file', '', '');
-  if (!path) return;
-  const files = (n.params && n.params.file_paths || []).concat([path]);
-  await api('/api/edit/set', {node_id: primary, params: {file_paths: files}});
-  refresh();
-};
 async function saveProject() {
   // First save of an empty-canvas session needs a path (save-as); the
   // browser dialog stands in for the native save dialog
@@ -787,6 +913,7 @@ class ViewerState:
                     "display_name": info.display_name,
                     "description": info.description,
                     "params": node.processor.serialize(),
+                    "spec": node.processor.param_spec(),
                     "x": node.position[0],
                     "y": node.position[1],
                     "pins": pins,
@@ -943,6 +1070,9 @@ class ViewerState:
             node = g.nodes.get(nid)
             if node is None:
                 raise NodeyError(f"No node {nid}")
+            # Snapshot BEFORE applying: parameter edits are undoable
+            # (Processor.snapshot_params rides every undo state).
+            self.session.save_undo_state()
             applied = apply_params(node.processor, body.get("params") or {})
             g.update_node_pin(nid)  # arity may have changed
             g.modified = True

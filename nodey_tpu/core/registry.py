@@ -94,6 +94,28 @@ class Processor:
         """Inverse of :meth:`snapshot_params`."""
         self.deserialize(blob)
 
+    def param_spec(self) -> Optional[List[Dict[str, Any]]]:
+        """Declarative widget schema for the editor's parameter panel.
+
+        The reference draws per-node ImGui widgets in ``draw_content``
+        (e.g. DragFloat/Checkbox, audio-velocity.cpp:116-126); this
+        framework keeps the engine UI-free (SURVEY.md §2.3), so nodes
+        describe their widgets as DATA and the web editor renders them.
+        Each entry: ``{key, label, kind, value}`` plus kind-specific
+        constraints — ``min``/``max``/``step`` (+ ``log`` for the
+        reference's logarithmic drags) for float/int, ``choices`` for
+        enum, ``index`` for per-slot composite setters (amix volumes).
+        ``value`` is the LIVE value; it may be absent from
+        ``serialize()`` (Audio_vol's volume, reference quirk). Edits are
+        applied through ``app.session.apply_params`` (``set_<key>``
+        setter first, serde merge otherwise), so clamping and coupled
+        behaviors (amix renormalization) run server-side exactly once.
+
+        Default ``None``: no editable parameters (the raw-JSON editor
+        stays available for every node either way).
+        """
+        return None
+
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         """Emit this node's DSP into the traced graph program.
 

@@ -92,6 +92,37 @@ class AudioAmix(Processor):
                 if not self.locks[i]:
                     self.volumes[i] *= scale
 
+    def set_volume_at(self, value) -> None:
+        """One-argument adapter for :meth:`set_volume` so the editor's
+        parameter panel can route a per-slot slider through
+        app.session.apply_params (``value`` = [index, volume]); the
+        reference's renormalization of unlocked channels
+        (audio-amix.cpp:349-393) then runs server-side exactly once."""
+        index, volume = value
+        self.set_volume(int(index), float(volume))
+
+    def param_spec(self) -> List[Dict[str, Any]]:
+        # reference widgets: InputInt "Input Channels" clamped 1-16
+        # (audio-amix.cpp:340-347), per-input SliderFloat 0.001-0.999
+        # "%.3f" with unlocked-volume renormalization + "Locked"
+        # checkboxes (audio-amix.cpp:349-393).
+        self._pad_params()
+        spec: List[Dict[str, Any]] = [{
+            "key": "input_num", "label": "Input Channels", "kind": "int",
+            "min": 1, "max": 16, "value": self.input_num,
+        }]
+        for i in range(self.input_num):
+            spec.append({
+                "key": "volume_at", "label": f"Input {i + 1} Volume",
+                "kind": "float", "min": 0.001, "max": 0.999, "step": 0.002,
+                "index": i, "value": self.volumes[i],
+            })
+            spec.append({
+                "key": f"locks{i}", "label": f"Locked {i + 1}",
+                "kind": "bool", "value": self.locks[i],
+            })
+        return spec
+
     # -- serde (reference: audio-amix.cpp:395-423; flat volumes{i}/locks{i}
     #    keys) ---------------------------------------------------------------
 

@@ -59,6 +59,15 @@ class AudioInput(Processor):
 
     # -- serde (reference: src/processor/audio-io.cpp:302-338) --------------
 
+    def param_spec(self) -> List[Dict[str, Any]]:
+        # reference widgets: per-slot "File Path" text + Browse button +
+        # remove, plus an add-slot control (audio-io.cpp:345-426 via the
+        # pfd dialogs, dialog-utility.cpp:15-92 — redesigned onto the web
+        # editor's /api/fs picker). Applied as the whole "file_path" list
+        # through the serde merge.
+        return [{"key": "file_path", "label": "Input Files",
+                 "kind": "files", "value": list(self.file_paths)}]
+
     def serialize(self) -> Any:
         return {"file_path": list(self.file_paths)}
 

@@ -53,6 +53,16 @@ class AudioVol(Processor):
         include/config.hpp:58)."""
         self.volume = min(max(float(volume), 0.0), config.AUDIO_VOLUME_MAX)
 
+    def param_spec(self) -> List[Dict[str, Any]]:
+        # reference widgets: DragFloat "Volume" 0..max_volume, 0.01 step,
+        # "%.2f" (audio-vol.cpp:260-276). volume is NOT in serialize()
+        # (project-file quirk), so the live value rides the spec.
+        return [{
+            "key": "volume", "label": "Volume", "kind": "float",
+            "min": 0.0, "max": config.AUDIO_VOLUME_MAX, "step": 0.01,
+            "value": self.volume,
+        }]
+
     # serialize: the reference deliberately persists NOTHING for this node
     # (include/processor/audio-vol.hpp:57-58) — a project-file quirk we keep
     # for byte-semantics compatibility. Base-class {} / no-op defaults apply.

@@ -157,6 +157,13 @@ class AudioBimix(_BimixStreamBase):
         """Clamped setter (reference: audio-bimix.cpp:348-349)."""
         self.bias = min(max(float(bias), -1.0), 1.0)
 
+    def param_spec(self) -> List[Dict[str, Any]]:
+        # reference widget: DragFloat "Bias" step 0.005, -1..1, "%.3f"
+        # (audio-bimix.cpp:348).
+        return [{"key": "bias", "label": "Bias", "kind": "float",
+                 "min": -1.0, "max": 1.0, "step": 0.005,
+                 "value": self.bias}]
+
     # -- serde (reference: audio-bimix.cpp:358-383) --------------------------
 
     def serialize(self) -> Any:

@@ -48,6 +48,18 @@ class AudioResample(Processor):
             )
         self.target_rate = int(rate)
 
+    def param_spec(self) -> List[Dict[str, Any]]:
+        # Extension node (no reference widget): the canonical rate set as
+        # an enum keeps the picker aligned with the tested resample matrix;
+        # arbitrary rates in [4000, 192000] remain reachable via raw JSON.
+        rates = [8_000, 16_000, 22_050, 32_000, 44_100, 48_000,
+                 88_200, 96_000, 176_400, 192_000]
+        if self.target_rate not in rates:
+            rates = sorted(rates + [self.target_rate])
+        return [{"key": "target_rate", "label": "Target Rate (Hz)",
+                 "kind": "enum", "choices": rates,
+                 "value": self.target_rate}]
+
     def serialize(self) -> Any:
         return {"target_rate": self.target_rate}
 

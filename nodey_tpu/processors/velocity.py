@@ -172,6 +172,32 @@ class VelocityModifier(_SoundTouchStreamBase):
         """Clamped setter (reference slider 0.5-3.0x, audio-velocity.cpp:115-124)."""
         self.velocity = min(max(float(velocity), 0.5), 3.0)
 
+    def set_algorithm(self, algorithm: str) -> None:
+        """Setter for the tempo-stage family (extension; not in the serde
+        when default, so the panel applies it through set_*)."""
+        if algorithm not in ("wsola", "pv"):
+            raise ProcessorRuntimeError(
+                "Unknown tempo algorithm",
+                "Velocity/pitch nodes support 'wsola' or 'pv'.",
+                f"Got: {algorithm!r}",
+            )
+        self.algorithm = algorithm
+
+    def param_spec(self) -> List[Dict[str, Any]]:
+        # reference widgets: DragFloat "Velocity" 0.5-3.0, 0.01 step,
+        # "%.2fx", logarithmic+clamped; Checkbox "Keep Pitch"
+        # (audio-velocity.cpp:116-126). "Algorithm" is this framework's
+        # extension (ops/pv.py).
+        return [
+            {"key": "velocity", "label": "Velocity", "kind": "float",
+             "min": 0.5, "max": 3.0, "step": 0.01, "log": True,
+             "value": self.velocity},
+            {"key": "keep_pitch", "label": "Keep Pitch", "kind": "bool",
+             "value": self.keep_pitch},
+            {"key": "algorithm", "label": "Algorithm", "kind": "enum",
+             "choices": ["wsola", "pv"], "value": self.algorithm},
+        ]
+
     # -- serde (reference: audio-velocity.cpp:479-493) -----------------------
 
     def serialize(self) -> Any:
@@ -232,6 +258,18 @@ class PitchModifier(_SoundTouchStreamBase):
 
     def pin_attributes(self) -> List[PinAttribute]:
         return _audio_pins()
+
+    set_algorithm = VelocityModifier.set_algorithm
+
+    def param_spec(self) -> List[Dict[str, Any]]:
+        # reference widget: InputFloat "Pitch (Note)" step 0.5, "%+.1f",
+        # unclamped (audio-velocity.cpp:142).
+        return [
+            {"key": "pitch", "label": "Pitch (Note)", "kind": "float",
+             "step": 0.5, "value": self.pitch},
+            {"key": "algorithm", "label": "Algorithm", "kind": "enum",
+             "choices": ["wsola", "pv"], "value": self.algorithm},
+        ]
 
     # -- serde (reference: audio-velocity.cpp:495-505) -----------------------
 

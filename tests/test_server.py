@@ -665,19 +665,129 @@ def test_fs_browser_endpoints(running_server, tmp_path):
     assert status == 200 and r["ok"]
     status, r = _post_json(port, "/api/open", {"path": str(proj)})
     assert status == 200 and r["ok"]
-    status, r = _post_json(port, "/api/edit/add-node",
-                           {"identifier": "audio_input", "x": 1, "y": 1})
-    if status == 200 and "node_id" in r:
-        nid = r["node_id"]
-        status, r = _post_json(
-            port, "/api/edit/set",
-            {"node_id": nid, "params": {"file_paths": [str(wav)]}},
-        )
-        assert status == 200
-        status, body = _get(port, "/api/graph")
-        g = json.loads(body)
-        node = next(n for n in g["nodes"] if n["id"] == nid)
-        assert node["params"]["file_paths"] == [str(wav)]
+    # Browsed file lands in the EXISTING audio_input singleton through the
+    # files widget's apply path (serde key "file_path" — an earlier version
+    # of this block posted "file_paths" to a node that add-node could never
+    # create, so it silently asserted nothing).
+    status, body = _get(port, "/api/graph")
+    g = json.loads(body)
+    src = next(n for n in g["nodes"] if n["identifier"] == "audio_input")
+    old = src["params"]["file_path"]
+    status, r = _post_json(
+        port, "/api/edit/set",
+        {"node_id": src["id"], "params": {"file_path": old + [str(wav)]}},
+    )
+    assert status == 200 and r["ok"]
+    status, body = _get(port, "/api/graph")
+    g = json.loads(body)
+    node = next(n for n in g["nodes"] if n["id"] == src["id"])
+    assert node["params"]["file_path"] == old + [str(wav)]
+    # ... and the new slot derived a new output pin.
+    pins = [p["identifier"] for p in node["pins"] if p["is_input"] is False]
+    assert f"output_{len(old)}" in pins
     # The served page carries the picker dialog.
     status, body = _get(port, "/")
     assert b"fswin" in body and b"fslist" in body
+
+
+def test_param_spec_rides_graph_payload(running_server):
+    """param_spec — the reference's per-node ImGui widgets as data
+    (audio-velocity.cpp:116-126, audio-vol.cpp:260-276) — is served with
+    every node; live values included even when absent from the serde
+    (Audio_vol's volume, the project-file quirk)."""
+    srv, port = running_server
+    status, body = _get(port, "/api/graph")
+    g = json.loads(body)
+
+    vol = next(n for n in g["nodes"]
+               if n["identifier"] == "audio_volume_adjust")
+    (vs,) = vol["spec"]
+    assert vs["key"] == "volume" and vs["kind"] == "float"
+    assert vs["min"] == 0.0 and vs["max"] == 10.0
+    assert vs["value"] == 1.0
+    assert vol["params"] == {}  # quirk intact: spec carries what serde omits
+
+    src = next(n for n in g["nodes"] if n["identifier"] == "audio_input")
+    (fs,) = src["spec"]
+    assert fs["kind"] == "files" and fs["value"] == src["params"]["file_path"]
+
+    out = next(n for n in g["nodes"] if n["identifier"] == "audio_output")
+    assert out["spec"] is None  # no params: raw-JSON editor only
+
+    # The served page carries the widget panel + collapsed raw editor.
+    status, body = _get(port, "/")
+    assert b"widgets" in body and b"rawparams" in body
+
+
+def test_param_widget_edit_clamps_and_undoes(running_server):
+    """A widget edit routes through /api/edit/set: the set_volume clamp
+    (reference: audio-vol.cpp:262-276) runs server-side, and the edit is
+    undoable (param snapshots ride every undo state)."""
+    srv, port = running_server
+    status, body = _get(port, "/api/graph")
+    g = json.loads(body)
+    vol = next(n for n in g["nodes"]
+               if n["identifier"] == "audio_volume_adjust")
+
+    status, r = _post_json(port, "/api/edit/set",
+                           {"node_id": vol["id"], "params": {"volume": 99.0}})
+    assert status == 200 and r["ok"]
+    status, body = _get(port, "/api/graph")
+    g = json.loads(body)
+    node = next(n for n in g["nodes"] if n["id"] == vol["id"])
+    assert node["spec"][0]["value"] == 10.0  # clamped to AUDIO_VOLUME_MAX
+
+    status, r = _post_json(port, "/api/undo", {})
+    assert status == 200 and r["ok"]
+    status, body = _get(port, "/api/graph")
+    g = json.loads(body)
+    node = next(n for n in g["nodes"] if n["id"] == vol["id"])
+    assert node["spec"][0]["value"] == 1.0
+
+
+def test_amix_volume_at_renormalizes(running_server):
+    """The amix per-slot slider applies through set_volume_at — the
+    reference's unlocked-volume renormalization (audio-amix.cpp:349-393)
+    runs server-side exactly once, and the panel re-reads server truth."""
+    srv, port = running_server
+    status, r = _post_json(port, "/api/edit/add-node",
+                           {"identifier": "audio_amix", "x": 5, "y": 5})
+    assert status == 200
+    nid = r["node_id"]
+
+    status, r = _post_json(port, "/api/edit/set",
+                           {"node_id": nid, "params": {"volume_at": [0, 0.9]}})
+    assert status == 200 and r["ok"]
+    status, body = _get(port, "/api/graph")
+    g = json.loads(body)
+    node = next(n for n in g["nodes"] if n["id"] == nid)
+    vols = [f["value"] for f in node["spec"] if f["key"] == "volume_at"]
+    assert len(vols) == 2
+    assert abs(sum(vols) - 1.0) < 1e-6
+    # both unlocked: [0.9, 1.0] scaled by 1/1.9
+    assert abs(vols[0] - 0.9 / 1.9) < 1e-6
+
+    # Lock slot 0, push slot 1: only the unlocked slot renormalizes.
+    status, r = _post_json(port, "/api/edit/set",
+                           {"node_id": nid, "params": {"locks0": True}})
+    assert status == 200
+    status, r = _post_json(port, "/api/edit/set",
+                           {"node_id": nid, "params": {"volume_at": [1, 0.7]}})
+    assert status == 200
+    status, body = _get(port, "/api/graph")
+    g = json.loads(body)
+    node = next(n for n in g["nodes"] if n["id"] == nid)
+    spec = {(f["key"], f.get("index")): f["value"] for f in node["spec"]}
+    locked0 = spec[("volume_at", 0)]
+    assert abs(spec[("volume_at", 1)] - (1.0 - locked0)) < 1e-6
+
+    # input_num through the widget re-derives pins (arity change).
+    status, r = _post_json(port, "/api/edit/set",
+                           {"node_id": nid, "params": {"input_num": 4}})
+    assert status == 200
+    status, body = _get(port, "/api/graph")
+    g = json.loads(body)
+    node = next(n for n in g["nodes"] if n["id"] == nid)
+    ins = [p for p in node["pins"] if p["is_input"]]
+    assert len(ins) == 4
+    assert len([f for f in node["spec"] if f["key"] == "volume_at"]) == 4
