@@ -1,0 +1,410 @@
+"""Sequence-parallel (sp) execution of TIME-VARIANT processing chains.
+
+Round-1 left one honest restriction on the mesh runtime: graphs containing
+velocity/pitch stages could ride it only as whole clips over dp
+(parallel/sharded.compile_graph_dp), because WSOLA's serial splice chain
+(/root/reference/src/processor/audio-velocity.cpp:384-457) makes the
+SAMPLE axis unshardable.  The phase-vocoder tempo stage (ops/pv.py,
+selectable per node via ``algorithm="pv"``) removes that obstruction: its
+only cross-frame coupling is an associative phasor prefix, which
+parallel/pv_sharded.py shards over the mesh with a log-depth ``ppermute``
+scan.  This module composes that stage with the LTI stage algebra so a
+whole velocity/pitch CHAIN — the config-4 benchmark shape
+(resample -> pitch -> velocity) — runs time-sharded across devices.
+
+Composition model: one ``shard_map`` body chains per-stage local steps,
+each mapping (local chunk [C, c_in], global length) -> (local chunk
+[C, c_out], global length):
+
+* **gain** (audio_vol, flt) — elementwise, no communication;
+* **resample** (audio_resample / transposition) — ``halo_exchange_nd``
+  fetches the polyphase receptive field (left = bank left-pad, right =
+  W - M), then the SAME patch-GEMM kernel as the offline path
+  (ops/resample.apply_filter_bank) evaluates this shard's output groups
+  at their global phase: per-shard chunks are aligned to M * group_factor
+  so local cycle 0 sits on a global group boundary and concatenated
+  shard outputs equal the single-device program;
+* **pv tempo** (velocity/pitch with ``algorithm="pv"``) —
+  parallel/pv_sharded.pv_sharded_local_step: frames split evenly over
+  shards, cross-shard synthesis-phasor prefix via ppermute doubling, OLA
+  tail handoff to the right neighbor.
+
+Alignment planning runs BACKWARD through the chain: each resample stage
+requires its input chunk divisible by M * lcm(R, req/gcd(L, req)) where
+``req`` is everything downstream's requirement; a PV stage ABSORBS the
+downstream requirement into its free K_per parameter (its output chunk is
+K_per * hop with K_per rounded up — plan_pv_sharded(k_per_align=...)) and
+resets ``req`` to 1 for its input side.  The forward pass then fixes
+chunk sizes and the input capacity (``sp * c0``).
+
+Agreement contract vs the single-device compiled graph
+(core/compiler.compile_graph over the same nodes): LTI stages reproduce
+the offline dot products at the same global phases (exact within a
+program; last-ulp across program shapes — the standing grouped-GEMM
+caveat, ops/resample.apply_filter_bank); a single PV stage agrees up to
+f32 re-association of the phasor products (>= ~70 dB,
+tests/test_pv_sharded).  Chains with TWO PV stages agree only to ~50 dB
+— NOT a sharding defect: the phase vocoder's instantaneous-frequency
+estimate (arctan2 of near-zero bins) is chaotic, and a controlled
+experiment on the offline path alone shows a 96.7 dB input perturbation
+to the second stage already costs 52 dB of output agreement (49 dB with
+lock=False, so peak-pick flips are not the driver; tests/test_tv_sharded
+docstring records the numbers).
+WSOLA-algorithm nodes are rejected with a pointer to compile_graph_dp —
+that serialization is a measured property of the algorithm, not a gap
+(ROUND4.md config-4 proof).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import fractions
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nodey_tpu.core import compiler
+from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.graph import Graph
+from nodey_tpu.ops import pv as pv_ops
+from nodey_tpu.ops import resample as resample_ops
+from nodey_tpu.parallel.ops import halo_exchange_nd, shard_map
+from nodey_tpu.parallel.pv_sharded import (
+    PvShardPlan,
+    plan_pv_sharded,
+    pv_sharded_local_step,
+)
+
+
+# -- stage descriptors ------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _GainStage:
+    volume: float
+
+
+@dataclasses.dataclass
+class _ResampleStage:
+    """One polyphase stage: either an audio_resample node (law = the
+    Stream length law, rate changes) or a SoundTouch transposition
+    (nominal rate unchanged, transpose_rate's ceil law on the UNREDUCED
+    num/den pair — mirrored exactly so lengths match the offline trace)."""
+
+    L: int
+    M: int
+    W: int
+    left: int
+    R: int
+    bank: np.ndarray
+    law_num: int          # length law: ceil(length * law_den / law_num)
+    law_den: int
+    rate_out: int         # nominal rate after this stage
+
+
+@dataclasses.dataclass
+class _PvStage:
+    tempo: float
+    rate: int
+    plan: Optional[PvShardPlan] = None   # filled by the forward pass
+
+
+_EPS = 1e-9
+
+
+# -- chain extraction -------------------------------------------------------
+
+
+def _linear_chain(graph: Graph) -> List[int]:
+    """Topological node list of a single linear chain
+    input -> ... -> output; raises for any other shape."""
+    from nodey_tpu.processors.audio_input import AudioInput
+    from nodey_tpu.processors.audio_output import AudioOutput
+
+    starts = [
+        nid for nid, n in graph.nodes.items()
+        if isinstance(n.processor, AudioInput)
+    ]
+    if len(starts) != 1:
+        raise ProcessorRuntimeError(
+            "Chain sharding needs exactly one input node",
+            "compile_chain_sp_tv shards linear chains; multi-input graphs "
+            "run via compile_graph_sharded (LTI) or compile_graph_dp.",
+            f"found {len(starts)} audio_input nodes",
+        )
+    succ: Dict[int, List[int]] = {}
+    for link in graph.links.values():
+        a = graph.pins[link.from_pin].parent
+        b = graph.pins[link.to_pin].parent
+        succ.setdefault(a, []).append(b)
+
+    order = [starts[0]]
+    seen = {starts[0]}
+    while True:
+        nxt = succ.get(order[-1], [])
+        if not nxt:
+            break
+        if len(nxt) != 1 or nxt[0] in seen:
+            raise ProcessorRuntimeError(
+                "Graph is not a linear chain",
+                "compile_chain_sp_tv shards single-path chains only; "
+                "fan-out/fan-in graphs run via compile_graph_sharded or "
+                "compile_graph_dp.",
+                f"node {order[-1]} has successors {sorted(nxt)}",
+            )
+        order.append(nxt[0])
+        seen.add(nxt[0])
+    if not isinstance(graph.nodes[order[-1]].processor, AudioOutput):
+        raise ProcessorRuntimeError(
+            "Chain does not terminate in an audio output",
+            "The last node of the chain must be audio_output.",
+            f"terminal node {order[-1]}",
+        )
+    return order
+
+
+def _resample_stage(in_rate: int, out_rate: int, law_num: int,
+                    law_den: int, nominal_rate: int) -> _ResampleStage:
+    L, M = resample_ops._rational(in_rate, out_rate)
+    bank_np, left, W = resample_ops.bank_spec(in_rate, out_rate, None)
+    return _ResampleStage(
+        L=L, M=M, W=W, left=left, R=resample_ops.group_factor(L, M),
+        bank=bank_np, law_num=law_num, law_den=law_den,
+        rate_out=nominal_rate,
+    )
+
+
+def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
+    """Map chain nodes to stage descriptors; returns (stages, out_rate)."""
+    from nodey_tpu.processors.audio_vol import AudioVol
+    from nodey_tpu.processors.resample_node import AudioResample
+    from nodey_tpu.processors.velocity import (
+        PitchModifier,
+        VelocityModifier,
+    )
+    from nodey_tpu.ops.stretch import _rational_factor
+
+    order = _linear_chain(graph)
+    stages: List[Any] = []
+    for nid in order[1:-1]:
+        proc = graph.nodes[nid].processor
+        if isinstance(proc, AudioVol):
+            stages.append(_GainStage(volume=float(proc.volume)))
+        elif isinstance(proc, AudioResample):
+            target = int(proc.target_rate)
+            if target == rate:
+                continue
+            L, M = resample_ops._rational(rate, target)
+            # Stream law: ceil(length * L / M) — resample_ops._out_length.
+            stages.append(_resample_stage(rate, target, M, L, target))
+            rate = target
+        elif isinstance(proc, (VelocityModifier, PitchModifier)):
+            if isinstance(proc, VelocityModifier):
+                st_rate = float(proc.velocity)
+                st_pitch = (1.0 / st_rate) if proc.keep_pitch else 1.0
+            else:
+                st_rate = 1.0
+                st_pitch = 2.0 ** (float(proc.pitch) / 12.0)
+            eff_tempo = 1.0 / st_pitch
+            eff_rate = st_rate * st_pitch
+            if abs(eff_tempo - 1.0) > _EPS:
+                if getattr(proc, "algorithm", "wsola") != "pv":
+                    raise ProcessorRuntimeError(
+                        "WSOLA tempo stages cannot shard the sample axis",
+                        "The WSOLA splice chain is serial by construction "
+                        "(ROUND4.md config-4 proof); set the node's "
+                        "algorithm to 'pv' for sequence-parallel "
+                        "execution, or run the graph via compile_graph_dp.",
+                        f"node {nid}",
+                    )
+                stages.append(_PvStage(tempo=eff_tempo, rate=rate))
+            if abs(eff_rate - 1.0) > _EPS:
+                num, den = _rational_factor(eff_rate)
+                # transpose_rate's law: ceil(length * den / num) on the
+                # UNREDUCED pair; nominal rate does not change.
+                stages.append(
+                    _resample_stage(num, den, num, den, rate)
+                )
+        else:
+            raise ProcessorRuntimeError(
+                "Unsupported node in sharded chain",
+                "compile_chain_sp_tv supports audio_vol, audio_resample "
+                "and velocity/pitch (algorithm='pv') between input and "
+                "output.",
+                f"node {nid}: {type(proc).__name__}",
+            )
+    return stages, rate
+
+
+# -- planning ---------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ChainPlan:
+    stages: List[Any]
+    sp: int
+    in_rate: int
+    out_rate: int
+    capacity: int         # global input capacity (sp * chunk_in)
+    chunk_in: int
+    chunk_out: int
+
+    @property
+    def out_capacity(self) -> int:
+        return self.sp * self.chunk_out
+
+
+def plan_chain(graph: Graph, rate: int, max_length: int, mesh: Mesh,
+               sp_axis: str = "sp") -> ChainPlan:
+    """Backward alignment pass + forward size pass over the chain."""
+    sp = int(mesh.shape[sp_axis])
+    stages, out_rate = _extract_stages(graph, rate)
+
+    # Backward: required divisor of each stage's INPUT chunk. PV stages
+    # absorb the downstream requirement into k_per and reset it.
+    req = 1
+    pv_aligns: Dict[int, int] = {}
+    for i in range(len(stages) - 1, -1, -1):
+        st = stages[i]
+        if isinstance(st, _ResampleStage):
+            t_req = req // math.gcd(st.L, req)
+            req = st.M * (st.R * t_req // math.gcd(st.R, t_req))
+        elif isinstance(st, _PvStage):
+            _, hop = pv_ops.pv_params(st.rate)
+            pv_aligns[i] = req // math.gcd(hop, req)
+            req = 1
+
+    chunk_in = -(-max(max_length, 1) // sp)
+    chunk_in = -(-chunk_in // req) * req
+    capacity = sp * chunk_in
+
+    # Forward: fix chunk sizes and PV plans.
+    c = chunk_in
+    for i, st in enumerate(stages):
+        if isinstance(st, _ResampleStage):
+            assert c % st.M == 0, (c, st.M)
+            c = c * st.L // st.M
+        elif isinstance(st, _PvStage):
+            st.plan = plan_pv_sharded(
+                st.tempo, st.rate, sp * c, sp,
+                k_per_align=max(pv_aligns.get(i, 1), 1),
+            )
+            c = st.plan.out_chunk
+    return ChainPlan(
+        stages=stages, sp=sp, in_rate=rate, out_rate=out_rate,
+        capacity=capacity, chunk_in=chunk_in, chunk_out=c,
+    )
+
+
+# -- local steps ------------------------------------------------------------
+
+
+def _resample_local(st: _ResampleStage, x, length, axis_name: str):
+    """This shard's output groups of the global polyphase program."""
+    c = x.shape[-1]
+    ext = halo_exchange_nd(x, st.left, st.W - st.M, axis_name)
+    gl = c // st.M
+    y = resample_ops.apply_filter_bank(
+        ext, gl, st.M, st.W, jnp.asarray(st.bank)
+    )                                     # [C, gl * L]
+    out_len = (length // st.law_num) * st.law_den + (
+        (length % st.law_num) * st.law_den + st.law_num - 1
+    ) // st.law_num
+    idx0 = lax.axis_index(axis_name) * (gl * st.L)
+    mask = (idx0 + jnp.arange(gl * st.L, dtype=jnp.int32))[None, :] < out_len
+    return jnp.where(mask, y, 0.0), out_len
+
+
+@dataclasses.dataclass
+class TvShardedChain:
+    """A time-variant chain compiled for sp execution on a mesh."""
+
+    fn: Any
+    mesh: Mesh
+    plan: ChainPlan
+    input_key: str
+    sp_axis: str
+
+    def run(self, data: np.ndarray, length: int):
+        """Execute [C, n] (auto-padded to the plan capacity); returns
+        (out [C, out_capacity] numpy, out_length int)."""
+        cap = self.plan.capacity
+        if data.shape[-1] > cap:
+            raise ProcessorRuntimeError(
+                "Clip exceeds planned capacity",
+                "Re-plan the chain with a larger max_length.",
+                f"{data.shape[-1]} > {cap}",
+            )
+        if data.shape[-1] < cap:
+            data = np.pad(data, ((0, 0), (0, cap - data.shape[-1])))
+        x = jax.device_put(
+            jnp.asarray(data),
+            NamedSharding(self.mesh, P(None, self.sp_axis)),
+        )
+        out, out_len = self.fn(x, jnp.int32(length))
+        return np.asarray(out), int(out_len)
+
+
+def compile_chain_sp_tv(
+    graph: Graph,
+    sources: Dict[Tuple[int, str], compiler.SourceSpec],
+    mesh: Mesh,
+    max_length: Optional[int] = None,
+    sp_axis: str = "sp",
+    lock: bool = True,
+    jit: bool = True,
+) -> TvShardedChain:
+    """Compile a linear time-variant chain for sp execution over ``mesh``.
+
+    ``sources`` must hold exactly one flt source; ``max_length`` defaults
+    to its capacity. The result's ``run`` pads the clip to the planned
+    capacity automatically."""
+    if len(sources) != 1:
+        raise ProcessorRuntimeError(
+            "Chain sharding needs exactly one source",
+            "Multi-source graphs run via compile_graph_sharded (LTI) or "
+            "compile_graph_dp.",
+            f"{len(sources)} sources",
+        )
+    (nid, pin), spec = next(iter(sources.items()))
+    if spec.fmt != "flt":
+        raise ProcessorRuntimeError(
+            "Chain sharding requires flt sources",
+            "Convert the source to float32 before sharding.",
+            f"fmt={spec.fmt}",
+        )
+    plan = plan_chain(
+        graph, spec.rate, max_length or spec.capacity, mesh, sp_axis
+    )
+
+    def local_step(x, length):
+        ln = length
+        for st in plan.stages:
+            if isinstance(st, _GainStage):
+                x = x * jnp.float32(st.volume)
+            elif isinstance(st, _ResampleStage):
+                x, ln = _resample_local(st, x, ln, sp_axis)
+            else:
+                x, ln = pv_sharded_local_step(
+                    st.plan, x, ln, sp_axis, lock=lock
+                )
+        return x, ln
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(None, sp_axis), P()),
+        out_specs=(P(None, sp_axis), P()),
+        check_vma=False,
+    )
+    if jit:
+        fn = jax.jit(fn)
+    return TvShardedChain(
+        fn=fn, mesh=mesh, plan=plan,
+        input_key=compiler.external_key(nid, pin), sp_axis=sp_axis,
+    )

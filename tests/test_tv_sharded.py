@@ -1,0 +1,198 @@
+"""Sequence-parallel time-variant CHAINS (parallel/tv_sharded.py).
+
+Contract under test: a linear input -> (vol | resample | velocity/pitch
+with algorithm='pv') -> output chain compiled by ``compile_chain_sp_tv``
+over an sp mesh agrees with the single-device compiled graph
+(core/compiler.compile_graph, export-mode master):
+
+* lengths match EXACTLY — every stage mirrors the offline integer length
+  law (Stream ceil law for resample nodes, transpose_rate's unreduced
+  ceil law for transpositions, the 16.16 law for PV tempo);
+* waveforms match >= 70 dB when ONE PV stage is present (f32
+  re-association of the sharded phasor prefix — same bar as
+  tests/test_pv_sharded.py) and >= 100 dB for LTI-only chains (last-ulp
+  across program shapes, the standing grouped-GEMM caveat);
+* chains with TWO PV stages get a 45 dB floor: the phase vocoder's
+  instantaneous-frequency estimate (arctan2 of near-zero bins) is
+  chaotic, so stage-2 amplifies stage-1's last-ulp divergence O(1000)x.
+  Measured directly on the OFFLINE path alone (no sharding anywhere): a
+  96.7 dB perturbation of stage-2's input yields 52.2 dB output
+  agreement (49.0 dB with lock=False, so it is the phase estimate, not
+  peak-pick flips). The sharded chain's 48-56 dB sits exactly at that
+  intrinsic sensitivity;
+* WSOLA-algorithm tempo stages are REJECTED with a pointer to
+  compile_graph_dp — that serialization is an algorithm property
+  (ROUND4.md config-4 proof), not a planner gap.
+
+Runs on the 8-virtual-device CPU mesh from conftest.
+"""
+
+import numpy as np
+import pytest
+
+from nodey_tpu.core import compiler, registry
+from nodey_tpu.core.errors import ProcessorRuntimeError
+from nodey_tpu.core.graph import Graph
+from nodey_tpu.parallel import tv_sharded
+from nodey_tpu.parallel.mesh import make_mesh
+from nodey_tpu.processors.audio_input import AudioInput
+from nodey_tpu.processors.audio_output import AudioOutput
+from nodey_tpu.processors.audio_vol import AudioVol
+from nodey_tpu.processors.resample_node import AudioResample
+from nodey_tpu.processors.velocity import PitchModifier, VelocityModifier
+
+from conftest import make_tone, snr_db
+
+RATE = 44_100
+
+
+def _chain(*procs):
+    """input -> procs... -> output as a Graph; returns (graph, src_id)."""
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = ["a.wav"]
+    g.update_node_pin(src)
+
+    def pin(n, p):
+        return g.nodes[n].pin_name_map[p]
+
+    prev, prev_pin = src, "output_0"
+    for proc in procs:
+        nid = g.add_node(proc)
+        g.add_link(pin(prev, prev_pin), pin(nid, "input"))
+        prev, prev_pin = nid, "output"
+    out = g.add_node(AudioOutput())
+    g.add_link(pin(prev, prev_pin), pin(out, "input"))
+    return g, src
+
+
+def _source(src, n, channels=2, rate=RATE):
+    spec = compiler.SourceSpec(
+        rate=rate, channels=channels, fmt="flt", capacity=n
+    )
+    return {(src, "output_0"): spec}, compiler.external_key(src, "output_0")
+
+
+def _run_both(g, src, data, sp=8):
+    n = data.shape[1]
+    sources, key = _source(src, n, channels=data.shape[0])
+
+    single = compiler.compile_graph(g, sources, mode="export")
+    ref, ref_len = single.run({key: data}, {key: n})["master"]
+
+    mesh = make_mesh({"sp": sp})
+    chain = tv_sharded.compile_chain_sp_tv(g, sources, mesh)
+    out, out_len = chain.run(data, n)
+    return np.asarray(ref), int(ref_len), out, out_len
+
+
+def _vol(v):
+    p = AudioVol()
+    p.set_volume(v)
+    return p
+
+
+def _resample(rate):
+    p = AudioResample()
+    p.set_target_rate(rate)
+    return p
+
+
+def _pitch(semis, algorithm="pv"):
+    p = PitchModifier()
+    p.pitch = float(semis)
+    p.set_algorithm(algorithm)
+    return p
+
+
+def _velocity(v, keep_pitch=True, algorithm="pv"):
+    p = VelocityModifier()
+    p.velocity = float(v)
+    p.keep_pitch = keep_pitch
+    p.set_algorithm(algorithm)
+    return p
+
+
+def test_config4_shaped_chain_matches_single_device():
+    """The config-4 benchmark shape — gain, rate change, pitch shift,
+    tempo change — time-sharded over 8 devices vs the offline program.
+
+    Two PV stages in series: the 45 dB floor is the algorithm's own
+    perturbation sensitivity (module docstring), not sharding error."""
+    data = make_tone(rate=RATE, seconds=0.8, channels=2)
+    g, src = _chain(
+        _vol(1.3), _resample(48_000), _pitch(12), _velocity(1.3)
+    )
+    ref, ref_len, out, out_len = _run_both(g, src, data)
+    assert out_len == ref_len
+    n = min(ref_len, ref.shape[1], out.shape[1])
+    assert snr_db(ref[:, :n], out[:, :n]) > 45.0
+
+
+def test_pv_only_chain():
+    data = make_tone(rate=RATE, seconds=0.6)
+    g, src = _chain(_velocity(0.8))
+    ref, ref_len, out, out_len = _run_both(g, src, data)
+    assert out_len == ref_len
+    n = min(ref_len, ref.shape[1], out.shape[1])
+    assert snr_db(ref[:, :n], out[:, :n]) > 70.0
+
+
+def test_lti_only_chain_near_exact():
+    """No PV stage: the only cross-path divergence allowed is the last-ulp
+    grouped-GEMM caveat across program shapes."""
+    data = make_tone(rate=RATE, seconds=0.7, channels=2)
+    g, src = _chain(_vol(0.8), _resample(48_000))
+    ref, ref_len, out, out_len = _run_both(g, src, data)
+    assert out_len == ref_len
+    n = min(ref_len, ref.shape[1], out.shape[1])
+    assert snr_db(ref[:, :n], out[:, :n]) > 100.0
+
+
+def test_output_masked_past_length():
+    data = make_tone(rate=RATE, seconds=0.6)
+    g, src = _chain(_velocity(1.5))
+    _, _, out, out_len = _run_both(g, src, data)
+    assert np.all(out[:, out_len:] == 0.0)
+
+
+def test_wsola_algorithm_rejected():
+    data = make_tone(rate=RATE, seconds=0.5)
+    g, src = _chain(_velocity(1.3, algorithm="wsola"))
+    sources, _ = _source(src, data.shape[1])
+    mesh = make_mesh({"sp": 8})
+    with pytest.raises(ProcessorRuntimeError, match="serial"):
+        tv_sharded.compile_chain_sp_tv(g, sources, mesh)
+
+
+def test_nonlinear_graph_rejected():
+    """Fan-out from one node breaks the linear-chain contract."""
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = ["a.wav"]
+    g.update_node_pin(src)
+    v1, v2 = g.add_node(_vol(1.0)), g.add_node(_vol(0.5))
+    out = g.add_node(AudioOutput())
+
+    def pin(n, p):
+        return g.nodes[n].pin_name_map[p]
+
+    g.add_link(pin(src, "output_0"), pin(v1, "input"))
+    g.add_link(pin(src, "output_0"), pin(v2, "input"))
+    g.add_link(pin(v1, "output"), pin(out, "input"))
+    sources, _ = _source(src, RATE // 2)
+    mesh = make_mesh({"sp": 8})
+    with pytest.raises(ProcessorRuntimeError, match="linear chain"):
+        tv_sharded.compile_chain_sp_tv(g, sources, mesh)
+
+
+def test_multi_source_rejected():
+    data = make_tone(rate=RATE, seconds=0.5)
+    g, src = _chain(_velocity(1.2))
+    sources, _ = _source(src, data.shape[1])
+    sources[(src, "output_1")] = next(iter(sources.values()))
+    mesh = make_mesh({"sp": 8})
+    with pytest.raises(ProcessorRuntimeError, match="one source"):
+        tv_sharded.compile_chain_sp_tv(g, sources, mesh)
