@@ -240,6 +240,31 @@ def _lock_to_peaks(cos_phi, sin_phi, ph_in, mag):
     )
 
 
+def lock_phases(cos_phi, sin_phi, ph_in, mag):
+    """Backend-dispatched identity locking.
+
+    TPU defaults to the VMEM-resident Pallas kernel
+    (``ops/pallas_lock.py`` — the XLA doubling scans are HBM-bound, ~10
+    of the locked pipeline's 17 ms at 30 s stereo); everywhere else the
+    pure-XLA ``_lock_to_peaks``. ``NODEY_PV_LOCK_FORCE='pallas'|'xla'``
+    overrides (tests run the kernel in interpret mode on CPU, pinned
+    bitwise against the XLA path)."""
+    force = os.environ.get("NODEY_PV_LOCK_FORCE")
+    if force == "xla":
+        return _lock_to_peaks(cos_phi, sin_phi, ph_in, mag)
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if force == "pallas" or on_tpu:
+        from nodey_tpu.ops import pallas_lock
+
+        return pallas_lock.lock_to_peaks_pallas(
+            cos_phi, sin_phi, ph_in, mag, interpret=not on_tpu
+        )
+    return _lock_to_peaks(cos_phi, sin_phi, ph_in, mag)
+
+
 def _pv_impl(data, tempo: float, rate: int, lock: bool = True):
     """Stretch [C, N] by ``tempo`` (>1 = faster/shorter); returns the
     overlap-added output [C, (K+3)*hop] (unmasked — caller trims)."""
@@ -317,7 +342,7 @@ def _pv_impl(data, tempo: float, rate: int, lock: bool = True):
     cos_phi = jnp.concatenate([c0, c0 * pc - s0 * ps], axis=1)
     sin_phi = jnp.concatenate([s0, c0 * ps + s0 * pc], axis=1)
     if lock:
-        cos_phi, sin_phi = _lock_to_peaks(cos_phi, sin_phi, ph, mag)
+        cos_phi, sin_phi = lock_phases(cos_phi, sin_phi, ph, mag)
 
     re_y = mag * cos_phi
     im_y = mag * sin_phi
@@ -559,7 +584,7 @@ def pv_stream_step(plan: PvStreamPlan, state, data, n, done):
     ph_prev = jnp.where(k_done > 0, take(ph), ph_prev)
 
     if plan.lock:
-        lcos, lsin = _lock_to_peaks(cos_phi, sin_phi, ph, mag)
+        lcos, lsin = lock_phases(cos_phi, sin_phi, ph, mag)
     else:
         lcos, lsin = cos_phi, sin_phi
 

@@ -254,7 +254,7 @@ def pv_sharded_local_step(plan: PvShardPlan, x_local, length,
     sin_phi = ec[:, None, :] * ps + es[:, None, :] * pc
 
     if lock:
-        cos_phi, sin_phi = pv_ops._lock_to_peaks(cos_phi, sin_phi, ph, mag)
+        cos_phi, sin_phi = pv_ops.lock_phases(cos_phi, sin_phi, ph, mag)
 
     icos_m, isin_m = pv_ops._idft_matrices(n_fft)
     y = jnp.einsum(
