@@ -89,3 +89,26 @@ def test_dispatcher_routes_by_env(monkeypatch):
     b = jax.jit(lambda *t: pv.lock_phases(*t))(cos_phi, sin_phi, ph_in, mag)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_vmap_composes(monkeypatch):
+    """The kernel batches under vmap (the dp run_batch path vmaps whole
+    PV programs on TPU, where the pallas route is the default; CPU suite
+    runs it in interpret mode — the batching rule is the same jax-level
+    transform either way) and stays bitwise-equal to the XLA lock."""
+    rng = np.random.default_rng(11)
+    xb = jnp.asarray(
+        (0.3 * rng.standard_normal((3, 2, 12_000))).astype(np.float32)
+    )
+
+    def stretch(c):
+        return pv.pv_stretch_at_rate(c, jnp.int32(c.shape[1]), 1.25, 48_000)
+
+    monkeypatch.setenv("NODEY_PV_LOCK_FORCE", "pallas")
+    out_p, n_p = jax.vmap(stretch)(xb)
+    monkeypatch.setenv("NODEY_PV_LOCK_FORCE", "xla")
+    out_x, n_x = jax.vmap(stretch)(xb)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), rtol=0, atol=3e-7
+    )
