@@ -35,7 +35,20 @@ def tone(freq=440.0, seconds=1.0, channels=1, rate=RATE):
     return x.astype(np.float32)
 
 
+_PAIR_CACHE = {}
+
+
 def _run_pair(tempo, sp=8, seconds=1.0, channels=1, lock=True):
+    # Memoized: each distinct signature compiles its own 8-device mesh
+    # program (~2 min of XLA CPU compile on this 1-core host), so tests
+    # asserting different PROPERTIES of the same render share one run.
+    key = (tempo, sp, seconds, channels, lock)
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE[key] = _run_pair_uncached(*key)
+    return _PAIR_CACHE[key]
+
+
+def _run_pair_uncached(tempo, sp, seconds, channels, lock):
     data = tone(seconds=seconds, channels=channels)
     length = data.shape[1]
     cap = pvs.pv_sharded_capacity(length, sp)
@@ -87,7 +100,10 @@ def test_sharded_sp1_degenerate():
 
 
 def test_output_masked_past_length():
-    out, out_len, _, _ = _run_pair(1.5)
+    # Same render as test_sharded_matches_offline[1.25] (memoized) — the
+    # masking law is tempo-independent, so don't pay a fresh mesh compile.
+    out, out_len, _, _ = _run_pair(1.25)
+    assert out.shape[1] > out_len  # the property must not be vacuous
     assert np.all(out[:, out_len:] == 0.0)
 
 
