@@ -85,6 +85,102 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment/health report: backend reachability, native codec
+    runtime, compile cache, playback sink. The device claim on a relayed
+    TPU can pend for minutes (and a down chip pends ~25 min before
+    failing UNAVAILABLE), so the backend probe runs in a daemon thread
+    bounded by --timeout and reports "pending" instead of hanging the
+    CLI. Replaces nothing in the reference (its runtime is local); this
+    surface exists because remote-device health is the first question on
+    a TPU deployment."""
+    import ctypes.util
+    import os
+    import threading
+
+    def row(k: str, v) -> None:
+        print(f"  {k:<22} {v}")
+
+    print("nodey-tpu doctor")
+    print("host:")
+    import platform
+
+    row("python", platform.python_version())
+    try:
+        import jax
+
+        row("jax", jax.__version__)
+    except Exception as exc:  # pragma: no cover - jax is baked in
+        row("jax", f"UNAVAILABLE ({exc})")
+        return 1
+    import numpy
+
+    row("numpy", numpy.__version__)
+    try:
+        cpus = len(os.sched_getaffinity(0))
+    except AttributeError:
+        cpus = os.cpu_count() or 1
+    row("cpus", cpus)
+
+    print("native host runtime:")
+    from nodey_tpu.host import native_lib
+
+    lib = native_lib.load()
+    row("libnodey_host", "ok" if lib is not None else
+        f"UNAVAILABLE ({native_lib._load_failed})")
+    for name in ("mp3lame", "SDL2"):
+        row(f"lib{name}", ctypes.util.find_library(name) or "not found")
+
+    print("compile cache:")
+    from nodey_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
+    cache_dir = jax.config.jax_compilation_cache_dir
+    row("dir", cache_dir or "disabled")
+    if cache_dir and os.path.isdir(cache_dir):
+        entries = os.listdir(cache_dir)
+        row("entries", len(entries))
+
+    print("device backend:")
+    result = {}
+
+    def probe():
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        try:
+            devs = jax.devices()
+            result["backend"] = jax.default_backend()
+            result["devices"] = ", ".join(str(d) for d in devs)
+            x = jnp.ones((8, 128), jnp.float32)
+            y = jax.jit(lambda a: (a * 2).sum())(x)
+            jax.device_get(y)
+            result["first_result_s"] = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            jax.device_get(y)
+            result["probe_rtt_ms"] = (time.perf_counter() - t1) * 1e3
+        except Exception as exc:
+            result["error"] = f"{type(exc).__name__}: {str(exc)[:160]}"
+
+    th = threading.Thread(target=probe, daemon=True)
+    t_start = time.perf_counter()
+    th.start()
+    th.join(args.timeout)
+    if th.is_alive():
+        row("claim", f"still pending after {time.perf_counter()-t_start:.0f}s "
+            "(relayed TPU claims can take minutes; raise --timeout)")
+        return 3
+    if "error" in result:
+        row("claim", f"FAILED: {result['error']}")
+        return 3
+    row("backend", result["backend"])
+    row("devices", result["devices"])
+    row("first result", f"{result['first_result_s']:.2f}s "
+        "(claim + compile + roundtrip)")
+    row("probe rtt", f"{result['probe_rtt_ms']:.1f} ms")
+    return 0
+
+
 def cmd_help(args) -> int:
     """Help/About surface (reference: src/frontend/help.cpp:5-132 —
     markdown node manual + about box), headless: prints the registered
@@ -484,6 +580,15 @@ def main(argv=None) -> int:
     )
     p_browse.add_argument("path", nargs="?", default=None)
     p_browse.set_defaults(fn=cmd_browse)
+
+    p_doc = sub.add_parser(
+        "doctor", help="environment/device health report"
+    )
+    p_doc.add_argument(
+        "--timeout", type=float, default=60.0,
+        help="seconds to wait for the device claim (default 60)",
+    )
+    p_doc.set_defaults(fn=cmd_doctor)
 
     p_val = sub.add_parser("validate", help="validate a project file")
     p_val.add_argument("project")

@@ -92,3 +92,14 @@ def test_cli_diagnostics_flag(tmp_path, capsys):
 
 def test_working_set_reader():
     assert diagnostics.get_working_set_bytes() > 10 * 1024 * 1024
+
+
+def test_cli_doctor(capsys):
+    """doctor reports host/native/cache/backend health; on the CPU test
+    backend the claim resolves instantly, so the full report prints."""
+    rc = cli_main(["doctor", "--timeout", "60"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "libnodey_host" in out
+    assert "backend" in out and "cpu" in out
+    assert "probe rtt" in out
