@@ -69,6 +69,51 @@ from jax import lax
 
 from nodey_tpu.ops.stft import _dft_matrices
 
+# Spectral-flux threshold for transient phase reset (opt-in,
+# ``transient=True`` / the velocity node's ``pv_transient`` param).
+# Flux is the relu'd magnitude increase of a frame over its predecessor,
+# normalized by the predecessor's total magnitude: ~0 for steady or
+# decaying material (negative deltas clip to zero), O(0.1) for vibrato
+# and slow modulation, >> 1 at an attack out of quiet. 1.0 ("the new
+# energy exceeds everything that was there before") only fires on real
+# onsets — a pure tone never resets (pinned by test), so reconstruction
+# paths stay bitwise-identical with the flag on.
+PV_TRANSIENT_FLUX = 1.0
+
+
+def _cmul_seg(a, b):
+    """Segmented phasor combine: (cos, sin, reset), ``b`` later in time.
+
+    A reset element's phasor is an ABSOLUTE target (e^{i*ph}), not a
+    relative advance, so everything before it is discarded; otherwise the
+    phasors multiply. Associative (the standard "product since last
+    segment boundary" monoid), so it rides lax.associative_scan, the
+    chunked carry combine, and the cross-shard ppermute doubling
+    unchanged."""
+    ac, as_, ar = a
+    bc, bs, br = b
+    mc = ac * bc - as_ * bs
+    ms = ac * bs + as_ * bc
+    return (
+        jnp.where(br, bc, mc),
+        jnp.where(br, bs, ms),
+        ar | br,
+    )
+
+
+def transient_resets(mag_prev, mag, threshold: float = PV_TRANSIENT_FLUX):
+    """Per-frame transient detection by normalized positive spectral flux.
+
+    ``mag_prev``/``mag`` are [..., bins] magnitude planes of consecutive
+    frames (broadcast over leading axes); returns a boolean [...] mask.
+    Shared by the offline, streaming, and sp-sharded paths so reset
+    DECISIONS are identical everywhere (the three paths see the same
+    magnitudes up to their documented last-ulp caveats)."""
+    rise = jnp.maximum(mag - mag_prev, 0.0).sum(axis=-1)
+    base = mag_prev.sum(axis=-1)
+    return rise > threshold * (base + np.float32(1e-6))
+
+
 PV_PRECISION = (
     lax.Precision.HIGHEST
     if os.environ.get("NODEY_PV_PRECISION") == "highest"
@@ -265,9 +310,19 @@ def lock_phases(cos_phi, sin_phi, ph_in, mag):
     return _lock_to_peaks(cos_phi, sin_phi, ph_in, mag)
 
 
-def _pv_impl(data, tempo: float, rate: int, lock: bool = True):
+def _pv_impl(data, tempo: float, rate: int, lock: bool = True,
+             transient: bool = False):
     """Stretch [C, N] by ``tempo`` (>1 = faster/shorter); returns the
-    overlap-added output [C, (K+3)*hop] (unmasked — caller trims)."""
+    overlap-added output [C, (K+3)*hop] (unmasked — caller trims).
+
+    ``transient=True`` adds phase reset at detected onsets (normalized
+    positive spectral flux > PV_TRANSIENT_FLUX): the reset frame's
+    synthesis phase snaps back to its analysis phase, so attacks keep
+    the original waveform's phase alignment instead of the smeared
+    accumulated phase — the standard transient fix for the phase
+    vocoder. TPU-first formulation: a reset is a segment boundary in the
+    phasor prefix, handled by the associative ``_cmul_seg`` combine in
+    the SAME log-depth scan (no serial pass, no control flow)."""
     C, N = data.shape
     n_fft, hop, pos, dpos, pad_to = _pv_geometry(N, tempo, rate)
     K = len(pos)
@@ -336,11 +391,25 @@ def _pv_impl(data, tempo: float, rate: int, lock: bool = True):
     def _cmul(a, b):
         return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
 
-    pc, ps = lax.associative_scan((lambda a, b: _cmul(a, b)), (ca, sa),
-                                  axis=1)
     c0, s0 = jnp.cos(ph[:, :1]), jnp.sin(ph[:, :1])
-    cos_phi = jnp.concatenate([c0, c0 * pc - s0 * ps], axis=1)
-    sin_phi = jnp.concatenate([s0, c0 * ps + s0 * pc], axis=1)
+    if transient:
+        reset = transient_resets(mag[:, :-1], mag[:, 1:])[..., None]
+        ca = jnp.where(reset, jnp.cos(ph[:, 1:]), ca)
+        sa = jnp.where(reset, jnp.sin(ph[:, 1:]), sa)
+        pc, ps, pr = lax.associative_scan(
+            _cmul_seg, (ca, sa, jnp.broadcast_to(reset, ca.shape)), axis=1
+        )
+        # Frames after a reset are already absolute; earlier ones rotate
+        # off frame 0's analysis phase exactly as before.
+        cos1 = jnp.where(pr, pc, c0 * pc - s0 * ps)
+        sin1 = jnp.where(pr, ps, c0 * ps + s0 * pc)
+        cos_phi = jnp.concatenate([c0, cos1], axis=1)
+        sin_phi = jnp.concatenate([s0, sin1], axis=1)
+    else:
+        pc, ps = lax.associative_scan((lambda a, b: _cmul(a, b)), (ca, sa),
+                                      axis=1)
+        cos_phi = jnp.concatenate([c0, c0 * pc - s0 * ps], axis=1)
+        sin_phi = jnp.concatenate([s0, c0 * ps + s0 * pc], axis=1)
     if lock:
         cos_phi, sin_phi = lock_phases(cos_phi, sin_phi, ph, mag)
 
@@ -387,18 +456,20 @@ def _ola_denominator(K: int, n_fft: int) -> np.ndarray:
 
 
 def pv_stretch_at_rate(data, length, tempo: float, rate: int,
-                       lock: bool = True):
+                       lock: bool = True, transient: bool = False):
     """Stretch [C, N] float32 by ``tempo`` (>1 = faster/shorter).
 
     Same contract as stretch.wsola_stretch_at_rate — returns
     (out_data [C, M], out_length) with out_length = floor(length/tempo) via
     the shared exact integer scaling, so swapping algorithm never changes a
-    graph's timing math. Identity when tempo == 1."""
+    graph's timing math. Identity when tempo == 1. ``transient`` enables
+    onset phase reset (see _pv_impl)."""
     if tempo == 1.0:
         return data, length
     from nodey_tpu.ops.stretch import _scale_length_exact
 
-    out = _pv_impl(data, float(tempo), int(rate), lock=lock)
+    out = _pv_impl(data, float(tempo), int(rate), lock=lock,
+                   transient=transient)
     out_length = jnp.minimum(
         _scale_length_exact(length, float(tempo)), out.shape[1]
     )
@@ -433,10 +504,12 @@ class PvStreamPlan(_t.NamedTuple):
     cap: int           # FIFO capacity
     out_cap: int       # k_cap * hop
     lock: bool
+    transient: bool = False
 
 
 def pv_stream_plan(tempo: float, rate: int, push_cap: int,
-                   lock: bool = True) -> PvStreamPlan:
+                   lock: bool = True,
+                   transient: bool = False) -> PvStreamPlan:
     n_fft, hop = pv_params(rate)
     num = pv_hop_num(hop, tempo)
     k_cap = max(1, -(-push_cap * 65536 // num) + 2)
@@ -445,7 +518,7 @@ def pv_stream_plan(tempo: float, rate: int, push_cap: int,
     return PvStreamPlan(
         n_fft=n_fft, hop=hop, num=num, num_t=int(round(tempo * 65536)),
         push_cap=push_cap, k_cap=k_cap, window=window, cap=cap,
-        out_cap=k_cap * hop, lock=lock,
+        out_cap=k_cap * hop, lock=lock, transient=transient,
     )
 
 
@@ -462,7 +535,9 @@ def _ola_row_partials(n_fft: int) -> np.ndarray:
 
 def pv_stream_init(plan: PvStreamPlan, channels: int):
     """State: (fifo, carry_c, carry_s [C, bins] synthesis phasor,
-    ph_prev [C, bins] last frame's analysis phase, ola_tail [C, 3*hop],
+    ph_prev [C, bins] last frame's analysis phase, mag_prev [C, bins]
+    last frame's magnitudes (transient flux context; zeros before frame
+    0, where the seed masks resets anyway), ola_tail [C, 3*hop],
     k int32 next frame, consumed int32, in_len int32)."""
     from nodey_tpu.ops.chunkops import fifo_init
 
@@ -470,6 +545,7 @@ def pv_stream_init(plan: PvStreamPlan, channels: int):
     return (
         fifo_init(channels, plan.cap),
         jnp.ones((channels, bins), dtype=jnp.float32),
+        jnp.zeros((channels, bins), dtype=jnp.float32),
         jnp.zeros((channels, bins), dtype=jnp.float32),
         jnp.zeros((channels, bins), dtype=jnp.float32),
         jnp.zeros((channels, 3 * plan.hop), dtype=jnp.float32),
@@ -504,7 +580,7 @@ def pv_stream_step(plan: PvStreamPlan, state, data, n, done):
     F = plan.k_cap
     bins = n_fft // 2 + 1
 
-    fifo, cc, cs, ph_prev, tail, k0, consumed, in_len = state
+    fifo, cc, cs, ph_prev, mag_prev, tail, k0, consumed, in_len = state
     fifo = fifo_push(fifo, data, n)
     in_len = in_len + jnp.int32(n)
     level = fifo_level(fifo)
@@ -563,15 +639,32 @@ def pv_stream_step(plan: PvStreamPlan, state, data, n, done):
     # carry is exactly the product over the valid prefix.
     adv = jnp.where((ks == 0)[None, :, None], ph, adv)
     vmask = valid[None, :, None]
+    if plan.transient:
+        # Same decisions as the offline path: flux of each frame vs its
+        # predecessor (the carry supplies the cross-chunk context). Frame
+        # 0 is the seed, never a reset; invalid frames stay identity.
+        mag_all = jnp.concatenate([mag_prev[:, None, :], mag], axis=1)
+        reset = (
+            transient_resets(mag_all[:, :-1], mag_all[:, 1:])
+            & (ks > 0)[None, :] & valid[None, :]
+        )[..., None]                                  # [C, F, 1]
+        adv = jnp.where(reset, ph, adv)
     ca = jnp.where(vmask, jnp.cos(adv), 1.0)
     sa = jnp.where(vmask, jnp.sin(adv), 0.0)
 
     def _cmul(a, b):
         return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
 
-    pc, ps = lax.associative_scan(_cmul, (ca, sa), axis=1)
-    cos_phi = cc[:, None, :] * pc - cs[:, None, :] * ps
-    sin_phi = cc[:, None, :] * ps + cs[:, None, :] * pc
+    if plan.transient:
+        pc, ps, pr = lax.associative_scan(
+            _cmul_seg, (ca, sa, jnp.broadcast_to(reset, ca.shape)), axis=1
+        )
+        cos_phi = jnp.where(pr, pc, cc[:, None, :] * pc - cs[:, None, :] * ps)
+        sin_phi = jnp.where(pr, ps, cc[:, None, :] * ps + cs[:, None, :] * pc)
+    else:
+        pc, ps = lax.associative_scan(_cmul, (ca, sa), axis=1)
+        cos_phi = cc[:, None, :] * pc - cs[:, None, :] * ps
+        sin_phi = cc[:, None, :] * ps + cs[:, None, :] * pc
 
     # Carries from the LAST VALID frame (unlocked — locking is synthesis-
     # only, exactly like the offline path).
@@ -582,6 +675,7 @@ def pv_stream_step(plan: PvStreamPlan, state, data, n, done):
     cc = jnp.where(k_done > 0, take(cos_phi), cc)
     cs = jnp.where(k_done > 0, take(sin_phi), cs)
     ph_prev = jnp.where(k_done > 0, take(ph), ph_prev)
+    mag_prev = jnp.where(k_done > 0, take(mag), mag_prev)
 
     if plan.lock:
         lcos, lsin = lock_phases(cos_phi, sin_phi, ph, mag)
@@ -628,7 +722,8 @@ def pv_stream_step(plan: PvStreamPlan, state, data, n, done):
     consumed = consumed + advance
 
     out_done = done & (k_next >= k_fin)
-    new_state = (fifo, cc, cs, ph_prev, tail, k_next, consumed, in_len)
+    new_state = (fifo, cc, cs, ph_prev, mag_prev, tail, k_next, consumed,
+                 in_len)
     return new_state, out, out_n, out_done
 
 
@@ -636,11 +731,15 @@ def pv_stream_step(plan: PvStreamPlan, state, data, n, done):
 
 
 def pv_stretch_reference(
-    data: np.ndarray, tempo: float, rate: int, lock: bool = True
+    data: np.ndarray, tempo: float, rate: int, lock: bool = True,
+    transient: bool = False,
 ) -> np.ndarray:
     """Direct NumPy mirror of the device phase vocoder (same geometry,
-    same propagation, same locking rule) in float64 — the quality yardstick
-    the float32 device path is compared against."""
+    same propagation, same locking rule, same transient-reset rule) in
+    float64 — the quality yardstick the float32 device path is compared
+    against. The mirror's reset is the sequential statement ("at an
+    onset, phase := analysis phase, then keep integrating"); the device
+    path expresses the identical recurrence as a segmented prefix scan."""
     C, N = data.shape
     n_fft, hop, pos, dpos, pad_to = _pv_geometry(N, tempo, rate)
     K = len(pos)
@@ -657,9 +756,20 @@ def pv_stretch_reference(
     dphi = ph[:, 1:] - ph[:, :-1] - omega[None, None, :] * dp[None]
     wrapped = dphi - _TWO_PI * np.round(dphi / _TWO_PI)
     omega_inst = omega[None, None, :] + wrapped / dp[None]
-    phi = np.concatenate(
-        [ph[:, :1], ph[:, :1] + np.cumsum(hop * omega_inst, axis=1)], axis=1
-    )
+    if transient:
+        rise = np.maximum(mag[:, 1:] - mag[:, :-1], 0.0).sum(axis=-1)
+        base = mag[:, :-1].sum(axis=-1)
+        reset = rise > PV_TRANSIENT_FLUX * (base + 1e-6)  # [C, K-1]
+        phi = np.empty_like(ph)
+        phi[:, 0] = ph[:, 0]
+        for k in range(1, K):
+            adv = phi[:, k - 1] + hop * omega_inst[:, k - 1]
+            phi[:, k] = np.where(reset[:, k - 1][:, None], ph[:, k], adv)
+    else:
+        phi = np.concatenate(
+            [ph[:, :1], ph[:, :1] + np.cumsum(hop * omega_inst, axis=1)],
+            axis=1,
+        )
     if lock:
         phi = _lock_to_peaks_np(phi, ph, mag)
 

@@ -552,7 +552,8 @@ def transpose_rate(data, length, factor: float):
 
 
 def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float,
-                    algorithm: str = "wsola") -> Stream:
+                    algorithm: str = "wsola",
+                    pv_transient: bool = False) -> Stream:
     """Apply the SoundTouch (rate, pitch) pair to a stream.
 
     Effective decomposition (SoundTouch semantics):
@@ -563,8 +564,9 @@ def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float,
 
     ``algorithm`` selects the tempo-stage family: "wsola" (default,
     reference parity — audio-velocity.cpp drives SoundTouch's WSOLA) or
-    "pv" (ops/pv.py phase vocoder — a different artifact profile; slower
-    on chip despite its parallel structure, see that module's measured
+    "pv" (ops/pv.py phase vocoder — a different artifact profile,
+    optionally with onset phase reset via ``pv_transient``; slower on
+    chip despite its parallel structure, see that module's measured
     numbers).
     """
     eff_rate = rate * pitch
@@ -576,7 +578,8 @@ def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float,
             from nodey_tpu.ops import pv as pv_ops
 
             data, length = pv_ops.pv_stretch_at_rate(
-                data, length, eff_tempo, stream.rate
+                data, length, eff_tempo, stream.rate,
+                transient=pv_transient,
             )
         else:
             data, length = wsola_stretch_at_rate(

@@ -150,16 +150,23 @@ def _cmul(a, b):
     return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
 
 
-def _cross_shard_exclusive_phasor(tc, ts, axis_name: str, sp: int):
+def _cross_shard_exclusive_phasor(tc, ts, axis_name: str, sp: int,
+                                  tr=None):
     """Exclusive prefix product of per-shard total rotations.
 
     Hillis-Steele doubling over ``ppermute``: after the inclusive pass,
     shard i holds prod_{m<=i} T_m; one final shift turns it exclusive
     (identity on shard 0). ppermute fills un-addressed shards with zeros,
     which is NOT the identity rotation — every step gates the combine on
-    ``idx >= d`` so zeros never enter the product."""
+    ``idx >= d`` so zeros never enter the product.
+
+    With ``tr`` (per-shard "contains a transient reset" flags, transient
+    mode) the combine is the segmented one — a shard whose rotation is
+    post-reset ABSOLUTE discards everything received from the left —
+    and the return gains the exclusive flag plane."""
     idx = lax.axis_index(axis_name)
     vc, vs = tc, ts
+    vr = tr
     d = 1
     while d < sp:
         perm = [(m, m + d) for m in range(sp - d)]
@@ -167,6 +174,11 @@ def _cross_shard_exclusive_phasor(tc, ts, axis_name: str, sp: int):
         rs = lax.ppermute(vs, axis_name, perm)
         nc, ns = _cmul((rc, rs), (vc, vs))
         take = idx >= d
+        if vr is not None:
+            rr = lax.ppermute(vr, axis_name, perm)
+            nc = jnp.where(vr, vc, nc)
+            ns = jnp.where(vr, vs, ns)
+            vr = jnp.where(take, vr | rr, vr)
         vc = jnp.where(take, nc, vc)
         vs = jnp.where(take, ns, vs)
         d *= 2
@@ -176,11 +188,15 @@ def _cross_shard_exclusive_phasor(tc, ts, axis_name: str, sp: int):
     first = lax.axis_index(axis_name) == 0
     ec = jnp.where(first, 1.0, ec)
     es = jnp.where(first, 0.0, es)
-    return ec, es
+    if tr is None:
+        return ec, es
+    er = lax.ppermute(vr, axis_name, perm1) & ~first
+    return ec, es, er
 
 
 def pv_sharded_local_step(plan: PvShardPlan, x_local, length,
-                          axis_name: str, lock: bool = True):
+                          axis_name: str, lock: bool = True,
+                          transient: bool = False):
     """The per-shard body: stretch this shard's frames given its local
     input chunk [C, chunk_in] (runs under shard_map over ``axis_name``).
 
@@ -244,14 +260,39 @@ def pv_sharded_local_step(plan: PvShardPlan, x_local, length,
     owned = ks[1:]
     adv = jnp.where((owned == 0)[None, :, None], ph, adv)
 
-    ca, sa = jnp.cos(adv), jnp.sin(adv)
-    pc, ps = lax.associative_scan(_cmul, (ca, sa), axis=1)
-    # Exclusive cross-shard prefix of the shard-total rotations.
-    ec, es = _cross_shard_exclusive_phasor(
-        pc[:, -1, :], ps[:, -1, :], axis_name, plan.sp
-    )
-    cos_phi = ec[:, None, :] * pc - es[:, None, :] * ps
-    sin_phi = ec[:, None, :] * ps + es[:, None, :] * pc
+    if transient:
+        # Same decisions as the offline path: each owned frame's flux vs
+        # its predecessor — the context frame (index 0 of mag_all) covers
+        # the shard boundary. Frame 0 of the whole clip is the seed.
+        reset = (
+            pv_ops.transient_resets(mag_all[:, :-1], mag_all[:, 1:])
+            & (owned > 0)[None, :]
+        )[..., None]
+        adv = jnp.where(reset, ph, adv)
+        ca, sa = jnp.cos(adv), jnp.sin(adv)
+        pc, ps, pr = lax.associative_scan(
+            pv_ops._cmul_seg,
+            (ca, sa, jnp.broadcast_to(reset, ca.shape)), axis=1,
+        )
+        ec, es, _er = _cross_shard_exclusive_phasor(
+            pc[:, -1, :], ps[:, -1, :], axis_name, plan.sp,
+            tr=pr[:, -1, :],
+        )
+        cos_phi = jnp.where(
+            pr, pc, ec[:, None, :] * pc - es[:, None, :] * ps
+        )
+        sin_phi = jnp.where(
+            pr, ps, ec[:, None, :] * ps + es[:, None, :] * pc
+        )
+    else:
+        ca, sa = jnp.cos(adv), jnp.sin(adv)
+        pc, ps = lax.associative_scan(_cmul, (ca, sa), axis=1)
+        # Exclusive cross-shard prefix of the shard-total rotations.
+        ec, es = _cross_shard_exclusive_phasor(
+            pc[:, -1, :], ps[:, -1, :], axis_name, plan.sp
+        )
+        cos_phi = ec[:, None, :] * pc - es[:, None, :] * ps
+        sin_phi = ec[:, None, :] * ps + es[:, None, :] * pc
 
     if lock:
         cos_phi, sin_phi = pv_ops.lock_phases(cos_phi, sin_phi, ph, mag)
@@ -299,7 +340,8 @@ def pv_sharded_local_step(plan: PvShardPlan, x_local, length,
 
 
 def pv_stretch_sharded(mesh: Mesh, data, length, tempo: float, rate: int,
-                       sp_axis: str = "sp", lock: bool = True):
+                       sp_axis: str = "sp", lock: bool = True,
+                       transient: bool = False):
     """Stretch [C, capacity] by ``tempo`` with the time axis sharded over
     ``sp_axis``; returns (out [C, out_capacity] sharded along time,
     out_len int32).
@@ -311,7 +353,7 @@ def pv_stretch_sharded(mesh: Mesh, data, length, tempo: float, rate: int,
 
     def local_fn(x_local, length_r):
         return pv_sharded_local_step(plan, x_local, length_r, sp_axis,
-                                     lock=lock)
+                                     lock=lock, transient=transient)
 
     fn = shard_map(
         local_fn,

@@ -82,7 +82,10 @@ class _SoundTouchStreamBase(Processor):
                 # the previous analysis phase, and the OLA tail.
                 from nodey_tpu.ops import pv as pv_ops
 
-                plan = pv_ops.pv_stream_plan(eff_tempo, spec.rate, width)
+                plan = pv_ops.pv_stream_plan(
+                    eff_tempo, spec.rate, width,
+                    transient=getattr(self, "pv_transient", False),
+                )
                 self._pv_plan = plan
                 states["w"] = pv_ops.pv_stream_init(plan, spec.channels)
                 width = plan.out_cap
@@ -147,6 +150,9 @@ class VelocityModifier(_SoundTouchStreamBase):
         # no such switch, so serde only writes it when non-default
         # (project files stay byte-compatible).
         self.algorithm: str = "wsola"
+        # PV-only: phase reset at detected onsets (ops/pv.py transient
+        # preservation). Extension; serde-omitted when default.
+        self.pv_transient: bool = False
 
     def _factors(self):
         # reference: audio-velocity.cpp:446-460.
@@ -196,6 +202,8 @@ class VelocityModifier(_SoundTouchStreamBase):
              "value": self.keep_pitch},
             {"key": "algorithm", "label": "Algorithm", "kind": "enum",
              "choices": ["wsola", "pv"], "value": self.algorithm},
+            {"key": "pv_transient", "label": "PV Transients",
+             "kind": "bool", "value": self.pv_transient},
         ]
 
     # -- serde (reference: audio-velocity.cpp:479-493) -----------------------
@@ -204,6 +212,8 @@ class VelocityModifier(_SoundTouchStreamBase):
         out = {"velocity": self.velocity, "keep_pitch": self.keep_pitch}
         if self.algorithm != "wsola":
             out["algorithm"] = self.algorithm
+        if self.pv_transient:
+            out["pv_transient"] = True
         return out
 
     def deserialize(self, value: Any) -> None:
@@ -221,6 +231,9 @@ class VelocityModifier(_SoundTouchStreamBase):
             algo = value.get("algorithm")
             if algo in ("wsola", "pv"):
                 self.algorithm = algo
+            tr = value.get("pv_transient")
+            if isinstance(tr, bool):
+                self.pv_transient = tr
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         stream = _require_input(inputs, "Velocity Modifier")
@@ -229,7 +242,7 @@ class VelocityModifier(_SoundTouchStreamBase):
         pitch = (1.0 / self.velocity) if self.keep_pitch else 1.0
         out = stretch_ops.soundtouch_like(
             ctx, stream, rate=self.velocity, pitch=pitch,
-            algorithm=self.algorithm,
+            algorithm=self.algorithm, pv_transient=self.pv_transient,
         )
         return {"output": out}
 
@@ -239,6 +252,7 @@ class PitchModifier(_SoundTouchStreamBase):
         # Default: include/processor/audio-velocity.hpp:44.
         self.pitch: float = 0.0
         self.algorithm: str = "wsola"   # see VelocityModifier.algorithm
+        self.pv_transient: bool = False
 
     def _factors(self):
         # reference: audio-velocity.cpp:463-477.
@@ -269,6 +283,8 @@ class PitchModifier(_SoundTouchStreamBase):
              "step": 0.5, "value": self.pitch},
             {"key": "algorithm", "label": "Algorithm", "kind": "enum",
              "choices": ["wsola", "pv"], "value": self.algorithm},
+            {"key": "pv_transient", "label": "PV Transients",
+             "kind": "bool", "value": self.pv_transient},
         ]
 
     # -- serde (reference: audio-velocity.cpp:495-505) -----------------------
@@ -277,6 +293,8 @@ class PitchModifier(_SoundTouchStreamBase):
         out = {"pitch": self.pitch}
         if self.algorithm != "wsola":
             out["algorithm"] = self.algorithm
+        if self.pv_transient:
+            out["pv_transient"] = True
         return out
 
     def deserialize(self, value: Any) -> None:
@@ -287,6 +305,9 @@ class PitchModifier(_SoundTouchStreamBase):
             algo = value.get("algorithm")
             if algo in ("wsola", "pv"):
                 self.algorithm = algo
+            tr = value.get("pv_transient")
+            if isinstance(tr, bool):
+                self.pv_transient = tr
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         stream = _require_input(inputs, "Pitch Modifier")
@@ -294,6 +315,6 @@ class PitchModifier(_SoundTouchStreamBase):
 
         out = stretch_ops.soundtouch_like(
             ctx, stream, rate=1.0, pitch=2.0 ** (self.pitch / 12.0),
-            algorithm=self.algorithm,
+            algorithm=self.algorithm, pv_transient=self.pv_transient,
         )
         return {"output": out}

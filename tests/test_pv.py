@@ -358,3 +358,97 @@ def test_frozen_goldens():
         assert got["absum"] == pytest.approx(
             float(blobs[f"{key}_absum"]), rel=1e-5
         ), key
+
+
+# -- transient phase reset (segmented phasor prefix) -------------------------
+
+
+def _click_train(n=RATE, base_amp=0.01):
+    """Quiet tone with three sharp 1 kHz bursts — flux >> 1 at each."""
+    t = np.arange(n) / RATE
+    sig = base_amp * np.sin(2 * np.pi * 330 * t)
+    for k in (1, 2, 3):
+        i = int(k * 0.25 * RATE)
+        sig[i:i + 400] += np.sin(2 * np.pi * 1000 * t[:400]) * np.hanning(400)
+    return sig.astype(np.float32)[None, :]
+
+
+def test_transient_steady_signal_bitwise_unchanged():
+    """A pure tone never crosses the flux threshold, so transient=True
+    must be BITWISE equal to the plain path (selects only — pins that
+    the segmented combine degenerates exactly to the product combine
+    when no reset fires)."""
+    data = tone(seconds=1.0)
+    n = data.shape[1]
+    a, na = pv.pv_stretch_at_rate(jnp.asarray(data), jnp.int32(n), 1.25, RATE)
+    b, nb = pv.pv_stretch_at_rate(
+        jnp.asarray(data), jnp.int32(n), 1.25, RATE, transient=True
+    )
+    assert int(na) == int(nb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_transient_resets_fire_and_match_mirror():
+    """On a click train the resets fire (output differs from the plain
+    path) and the segmented-scan device path reproduces the sequential
+    float64 recurrence of the mirror (phase := analysis phase at onsets,
+    then keep integrating)."""
+    data = _click_train()
+    n = data.shape[1]
+    plain, _ = pv.pv_stretch_at_rate(
+        jnp.asarray(data), jnp.int32(n), 1.25, RATE
+    )
+    dev, dn = pv.pv_stretch_at_rate(
+        jnp.asarray(data), jnp.int32(n), 1.25, RATE, transient=True
+    )
+    assert np.any(np.asarray(plain) != np.asarray(dev))
+    ref = pv.pv_stretch_reference(data, 1.25, RATE, transient=True)
+    got = np.asarray(dev)[:, : int(dn)]
+    m = min(ref.shape[1], got.shape[1])
+    assert snr_db(ref[:, :m], got[:, :m]) > 100.0
+
+
+def test_transient_detector_unit():
+    """transient_resets: steady magnitudes never fire; a rise past the
+    threshold fires; decays (negative deltas) never fire."""
+    steady = jnp.ones((1, 4, 8), jnp.float32)
+    assert not np.asarray(
+        pv.transient_resets(steady[:, :-1], steady[:, 1:])
+    ).any()
+    quiet = jnp.full((1, 8), 0.1, jnp.float32)
+    loud = jnp.full((1, 8), 1.0, jnp.float32)
+    assert bool(np.asarray(pv.transient_resets(quiet, loud)))
+    assert not bool(np.asarray(pv.transient_resets(loud, quiet)))
+
+
+def test_transient_stream_matches_offline():
+    """Chunked transient PV equals the offline render: the carry supplies
+    the cross-chunk flux context (mag_prev) and the segmented combine
+    factorizes across chunk boundaries exactly like the plain product."""
+    data = np.concatenate([_click_train(), 0.8 * _click_train()], axis=0)
+    n = data.shape[1]
+    tempo = 1.25
+    off, off_n = pv.pv_stretch_at_rate(
+        jnp.asarray(data), jnp.int32(n), tempo, RATE, transient=True
+    )
+    off = np.asarray(off)[:, : int(off_n)]
+
+    push = RATE // 4
+    plan = pv.pv_stream_plan(tempo, RATE, push, transient=True)
+    state = pv.pv_stream_init(plan, 2)
+    outs, fed = [], 0
+    while True:
+        m = min(push, n - fed)
+        chunk = np.zeros((2, push), np.float32)
+        chunk[:, :m] = data[:, fed:fed + m]
+        state, out, out_n, odone = pv.pv_stream_step(
+            plan, state, jnp.asarray(chunk), jnp.int32(m),
+            jnp.asarray(fed + m >= n),
+        )
+        outs.append(np.asarray(out)[:, : int(out_n)])
+        fed += m
+        if bool(odone):
+            break
+    got = np.concatenate(outs, axis=1)
+    assert got.shape[1] == int(off_n)
+    assert snr_db(off, got) > 100.0

@@ -134,3 +134,33 @@ def test_plan_halos_cover_positions():
                 p = int((np.int64(k) * plan.num + 32768) >> 16)
                 assert p >= lo
                 assert p + plan.n_fft <= hi
+
+
+def test_sharded_transient_matches_offline():
+    """Transient phase reset shards: the segmented combine rides the
+    cross-shard ppermute doubling (a post-reset shard discards the
+    received prefix). Resets re-anchor the phasor chain, so agreement is
+    HIGHER than the plain path's 70 dB re-association floor."""
+    n = RATE
+    t = np.arange(n) / RATE
+    sig = 0.01 * np.sin(2 * np.pi * 330 * t)
+    for k in (1, 2, 3):
+        i = int(k * 0.25 * RATE)
+        sig[i:i + 400] += (
+            np.sin(2 * np.pi * 1000 * t[:400]) * np.hanning(400)
+        )
+    sig = sig.astype(np.float32)[None, :]
+    tempo = 1.25
+    ref, ref_n = pv.pv_stretch_at_rate(
+        jnp.asarray(sig), jnp.int32(n), tempo, RATE, transient=True
+    )
+    ref = np.asarray(ref)[:, : int(ref_n)]
+    cap = pvs.pv_sharded_capacity(n, 8)
+    mesh = make_mesh({"sp": 8})
+    out, out_n = pvs.pv_stretch_sharded(
+        mesh, jnp.asarray(np.pad(sig, ((0, 0), (0, cap - n)))), n,
+        tempo, RATE, transient=True,
+    )
+    assert int(out_n) == int(ref_n)
+    m = min(int(out_n), ref.shape[1], np.asarray(out).shape[1])
+    assert snr_db(ref[:, :m], np.asarray(out)[:, :m]) > 100.0
