@@ -111,6 +111,7 @@ class _ResampleStage:
 class _PvStage:
     tempo: float
     rate: int
+    transient: bool = False              # onset phase reset (ops/pv.py)
     plan: Optional[PvShardPlan] = None   # filled by the forward pass
 
 
@@ -222,7 +223,10 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                         "execution, or run the graph via compile_graph_dp.",
                         f"node {nid}",
                     )
-                stages.append(_PvStage(tempo=eff_tempo, rate=rate))
+                stages.append(_PvStage(
+                    tempo=eff_tempo, rate=rate,
+                    transient=bool(getattr(proc, "pv_transient", False)),
+                ))
             if abs(eff_rate - 1.0) > _EPS:
                 num, den = _rational_factor(eff_rate)
                 # transpose_rate's law: ceil(length * den / num) on the
@@ -391,7 +395,8 @@ def compile_chain_sp_tv(
                 x, ln = _resample_local(st, x, ln, sp_axis)
             else:
                 x, ln = pv_sharded_local_step(
-                    st.plan, x, ln, sp_axis, lock=lock
+                    st.plan, x, ln, sp_axis, lock=lock,
+                    transient=st.transient,
                 )
         return x, ln
 

@@ -196,3 +196,33 @@ def test_multi_source_rejected():
     mesh = make_mesh({"sp": 8})
     with pytest.raises(ProcessorRuntimeError, match="one source"):
         tv_sharded.compile_chain_sp_tv(g, sources, mesh)
+
+
+def test_pv_transient_chain_matches_single_device():
+    """pv_transient threads through the chain compiler: the sharded
+    segmented-scan program matches the single-device compiled graph on
+    onset-bearing material (resets re-anchor the phasor chain, so the
+    bar is HIGHER than the plain PV chain's 70 dB)."""
+    # Quiet background + loud bursts: flux >> threshold at each onset,
+    # so reset DECISIONS are identical across paths (a borderline signal
+    # would let last-ulp magnitude differences flip a decision — that
+    # sensitivity is the same one test_tv_sharded's two-PV-stage floor
+    # documents, not a sharding defect).
+    data = 0.02 * make_tone(rate=RATE, seconds=0.6)
+    for k in (1, 2):
+        i = int(k * 0.18 * RATE)
+        data[:, i:i + 400] += (
+            np.sin(2 * np.pi * 1000 * np.arange(400) / RATE)
+            * np.hanning(400)
+        ).astype(np.float32) * 0.9
+    vel = _velocity(0.8)
+    vel.pv_transient = True
+    g, src = _chain(vel)
+    ref, ref_len, out, out_len = _run_both(g, src, data)
+    assert out_len == ref_len
+    n = min(ref_len, ref.shape[1], out.shape[1])
+    # Re-association still accumulates within each inter-onset segment
+    # (~0.2 s here), so the bar sits between the plain chain's 70 dB
+    # floor and the dense-onset 125 dB of test_pv_sharded (measured
+    # 93.8 dB on this signal).
+    assert snr_db(ref[:, :n], out[:, :n]) > 85.0
