@@ -307,7 +307,9 @@ function renderWidgets(n) {
     ? f.min * Math.pow(f.max / f.min, t / 1000) : Number(t);
   const toTicks = (f, v) => f.log
     ? Math.round(1000 * Math.log(v / f.min) / Math.log(f.max / f.min)) : v;
+  const cur = Object.fromEntries(n.spec.map(s => [s.key, s.value]));
   for (const f of n.spec) {
+    if (f.show_if && cur[f.show_if.key] !== f.show_if.value) continue;
     const row = document.createElement('div');
     row.className = 'prow';
     const lab = document.createElement('label');

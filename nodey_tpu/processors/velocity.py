@@ -203,7 +203,8 @@ class VelocityModifier(_SoundTouchStreamBase):
             {"key": "algorithm", "label": "Algorithm", "kind": "enum",
              "choices": ["wsola", "pv"], "value": self.algorithm},
             {"key": "pv_transient", "label": "PV Transients",
-             "kind": "bool", "value": self.pv_transient},
+             "kind": "bool", "value": self.pv_transient,
+             "show_if": {"key": "algorithm", "value": "pv"}},
         ]
 
     # -- serde (reference: audio-velocity.cpp:479-493) -----------------------
@@ -284,7 +285,8 @@ class PitchModifier(_SoundTouchStreamBase):
             {"key": "algorithm", "label": "Algorithm", "kind": "enum",
              "choices": ["wsola", "pv"], "value": self.algorithm},
             {"key": "pv_transient", "label": "PV Transients",
-             "kind": "bool", "value": self.pv_transient},
+             "kind": "bool", "value": self.pv_transient,
+             "show_if": {"key": "algorithm", "value": "pv"}},
         ]
 
     # -- serde (reference: audio-velocity.cpp:495-505) -----------------------

@@ -791,3 +791,16 @@ def test_amix_volume_at_renormalizes(running_server):
     ins = [p for p in node["pins"] if p["is_input"]]
     assert len(ins) == 4
     assert len([f for f in node["spec"] if f["key"] == "volume_at"]) == 4
+
+
+def test_param_spec_conditional_visibility():
+    """pv_transient renders only when the node's algorithm is 'pv': the
+    spec entry carries a show_if rule and the page's renderWidgets skips
+    fields whose referenced value doesn't match."""
+    from nodey_tpu.processors.velocity import PitchModifier, VelocityModifier
+
+    for proc in (VelocityModifier(), PitchModifier()):
+        spec = proc.param_spec()
+        tr = next(f for f in spec if f["key"] == "pv_transient")
+        assert tr["show_if"] == {"key": "algorithm", "value": "pv"}
+    assert "show_if" in web_server._PAGE
