@@ -56,3 +56,14 @@ def test_pitch_shift_streamed_example(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.exists() and out.stat().st_size > 10_000
     assert "pitch +3" in r.stdout
+
+
+def test_pv_transients_example(tmp_path):
+    """PV tempo stage with onset phase reset, plus the plain comparison
+    render."""
+    out = tmp_path / "pv.mp3"
+    r = _run("pv_transients.py", "-o", str(out), cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 10_000
+    assert (tmp_path / "pv_plain.mp3").exists()
+    assert "transient reset ON" in r.stdout
