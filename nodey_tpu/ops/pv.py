@@ -114,6 +114,76 @@ def transient_resets(mag_prev, mag, threshold: float = PV_TRANSIENT_FLUX):
     return rise > threshold * (base + np.float32(1e-6))
 
 
+# Cepstral lifter length for formant-envelope estimation (bins of
+# quefrency kept). n_fft//32 = 64 at 48 kHz keeps envelope detail up to
+# ~1.3 ms quefrency — smooth enough to ride over harmonics of any f0
+# above ~750 Hz while tracking vocal-tract-scale resonances; the
+# standard speech/music operating point for lifter-based envelopes.
+PV_FORMANT_LIFTER_DIV = 32
+
+
+@functools.lru_cache(maxsize=8)
+def _cepstral_matrices(n_fft: int):
+    """[Q, B] analysis and [B, Q] synthesis cosine matrices for the
+    low-quefrency (liftered) reconstruction of a log-magnitude spectrum.
+
+    For a real, even spectrum known on the B = n_fft/2+1 rfft bins, the
+    real cepstrum is a weighted cosine transform (interior bins count
+    twice for their mirror images); keeping quefrencies |q| < Q and
+    transforming back yields the smooth spectral envelope. Both directions
+    are small dense GEMMs — [C*K, B] x [B, Q] x [Q, B] — so envelope
+    estimation rides the MXU like every other PV pass (float64 design,
+    float32 storage)."""
+    B = n_fft // 2 + 1
+    Q = max(8, n_fft // PV_FORMANT_LIFTER_DIV)
+    b = np.arange(B, dtype=np.float64)
+    q = np.arange(Q, dtype=np.float64)
+    cos_qb = np.cos(2.0 * np.pi * np.outer(q, b) / n_fft)   # [Q, B]
+    w = np.full(B, 2.0 / n_fft)
+    w[0] = 1.0 / n_fft
+    w[-1] = 1.0 / n_fft
+    analysis = cos_qb * w[None, :]                          # [Q, B]
+    dup = np.full(Q, 2.0)
+    dup[0] = 1.0
+    synthesis = cos_qb.T * dup[None, :]                     # [B, Q]
+    return (analysis.astype(np.float32), synthesis.astype(np.float32))
+
+
+def _formant_correction(mag, n_fft: int, ratio: float):
+    """Pre-warp magnitudes so a DOWNSTREAM resample by ``ratio`` keeps the
+    original spectral envelope (formants).
+
+    The SoundTouch decomposition realizes a pitch shift as PV tempo
+    stretch followed by playback-rate resampling; the resample maps the
+    spectrum S(w) -> S(w/ratio), dragging the envelope (the chipmunk
+    effect). Multiplying each frame's magnitudes by
+    exp(E_log(w*ratio) - E_log(w)) — E_log the liftered log envelope —
+    makes the post-resample envelope land back on E_log. Per-frame,
+    batched, stateless: identical math offline / streamed / sharded.
+    Frequencies past Nyquist/ratio clamp to the top bin (flat
+    extension)."""
+    B = mag.shape[-1]
+    ana, syn = _cepstral_matrices(n_fft)
+    log_mag = jnp.log(mag + np.float32(1e-8))
+    ce = jnp.einsum(
+        "...b,qb->...q", log_mag, jnp.asarray(ana),
+        preferred_element_type=jnp.float32, precision=PV_PRECISION,
+    )
+    env = jnp.einsum(
+        "...q,bq->...b", ce, jnp.asarray(syn),
+        preferred_element_type=jnp.float32, precision=PV_PRECISION,
+    )
+    pos = np.minimum(np.arange(B, dtype=np.float64) * float(ratio), B - 1)
+    lo = pos.astype(np.int32)
+    hi = np.minimum(lo + 1, B - 1)
+    frac = jnp.asarray((pos - lo).astype(np.float32))
+    env_w = (
+        env[..., jnp.asarray(lo)] * (1.0 - frac)
+        + env[..., jnp.asarray(hi)] * frac
+    )
+    return mag * jnp.exp(env_w - env)
+
+
 PV_PRECISION = (
     lax.Precision.HIGHEST
     if os.environ.get("NODEY_PV_PRECISION") == "highest"
@@ -311,7 +381,7 @@ def lock_phases(cos_phi, sin_phi, ph_in, mag):
 
 
 def _pv_impl(data, tempo: float, rate: int, lock: bool = True,
-             transient: bool = False):
+             transient: bool = False, formant_ratio: float = 1.0):
     """Stretch [C, N] by ``tempo`` (>1 = faster/shorter); returns the
     overlap-added output [C, (K+3)*hop] (unmasked — caller trims).
 
@@ -351,6 +421,11 @@ def _pv_impl(data, tempo: float, rate: int, lock: bool = True,
     )
     mag = jnp.sqrt(re * re + im * im)
     ph = jnp.arctan2(im, re)                         # [C, K, bins]
+    raw_mag = mag
+    if formant_ratio != 1.0:
+        # Transient flux below reads raw_mag (detection is about the
+        # INPUT); locking and synthesis use the corrected magnitudes.
+        mag = _formant_correction(mag, n_fft, formant_ratio)
 
     # Phase advance per synthesis frame, kept SMALL for f32: the raw
     # advance hop*omega_inst grows to ~1.6e3 rad/frame at the top bin and
@@ -393,7 +468,7 @@ def _pv_impl(data, tempo: float, rate: int, lock: bool = True,
 
     c0, s0 = jnp.cos(ph[:, :1]), jnp.sin(ph[:, :1])
     if transient:
-        reset = transient_resets(mag[:, :-1], mag[:, 1:])[..., None]
+        reset = transient_resets(raw_mag[:, :-1], raw_mag[:, 1:])[..., None]
         ca = jnp.where(reset, jnp.cos(ph[:, 1:]), ca)
         sa = jnp.where(reset, jnp.sin(ph[:, 1:]), sa)
         pc, ps, pr = lax.associative_scan(
@@ -456,7 +531,8 @@ def _ola_denominator(K: int, n_fft: int) -> np.ndarray:
 
 
 def pv_stretch_at_rate(data, length, tempo: float, rate: int,
-                       lock: bool = True, transient: bool = False):
+                       lock: bool = True, transient: bool = False,
+                       formant_ratio: float = 1.0):
     """Stretch [C, N] float32 by ``tempo`` (>1 = faster/shorter).
 
     Same contract as stretch.wsola_stretch_at_rate — returns
@@ -469,7 +545,8 @@ def pv_stretch_at_rate(data, length, tempo: float, rate: int,
     from nodey_tpu.ops.stretch import _scale_length_exact
 
     out = _pv_impl(data, float(tempo), int(rate), lock=lock,
-                   transient=transient)
+                   transient=transient,
+                   formant_ratio=float(formant_ratio))
     out_length = jnp.minimum(
         _scale_length_exact(length, float(tempo)), out.shape[1]
     )
@@ -505,11 +582,13 @@ class PvStreamPlan(_t.NamedTuple):
     out_cap: int       # k_cap * hop
     lock: bool
     transient: bool = False
+    formant_ratio: float = 1.0
 
 
 def pv_stream_plan(tempo: float, rate: int, push_cap: int,
                    lock: bool = True,
-                   transient: bool = False) -> PvStreamPlan:
+                   transient: bool = False,
+                   formant_ratio: float = 1.0) -> PvStreamPlan:
     n_fft, hop = pv_params(rate)
     num = pv_hop_num(hop, tempo)
     k_cap = max(1, -(-push_cap * 65536 // num) + 2)
@@ -519,6 +598,7 @@ def pv_stream_plan(tempo: float, rate: int, push_cap: int,
         n_fft=n_fft, hop=hop, num=num, num_t=int(round(tempo * 65536)),
         push_cap=push_cap, k_cap=k_cap, window=window, cap=cap,
         out_cap=k_cap * hop, lock=lock, transient=transient,
+        formant_ratio=float(formant_ratio),
     )
 
 
@@ -614,6 +694,13 @@ def pv_stream_step(plan: PvStreamPlan, state, data, n, done):
     )
     mag = jnp.sqrt(re * re + im * im)
     ph = jnp.arctan2(im, re)                 # [C, F, bins]
+    raw_mag = mag
+    if plan.formant_ratio != 1.0:
+        # Flux context and the mag_prev carry stay RAW (detection is
+        # about the input); locking/synthesis use corrected magnitudes —
+        # per-frame and stateless, so chunked == offline exactly as for
+        # every other per-frame pass.
+        mag = _formant_correction(mag, n_fft, plan.formant_ratio)
 
     # Phase advance per frame over its ACTUAL integer hop (same split as
     # the offline path: exact (b*dpos) mod n_fft plus the O(1) measured
@@ -643,7 +730,7 @@ def pv_stream_step(plan: PvStreamPlan, state, data, n, done):
         # Same decisions as the offline path: flux of each frame vs its
         # predecessor (the carry supplies the cross-chunk context). Frame
         # 0 is the seed, never a reset; invalid frames stay identity.
-        mag_all = jnp.concatenate([mag_prev[:, None, :], mag], axis=1)
+        mag_all = jnp.concatenate([mag_prev[:, None, :], raw_mag], axis=1)
         reset = (
             transient_resets(mag_all[:, :-1], mag_all[:, 1:])
             & (ks > 0)[None, :] & valid[None, :]
@@ -675,7 +762,7 @@ def pv_stream_step(plan: PvStreamPlan, state, data, n, done):
     cc = jnp.where(k_done > 0, take(cos_phi), cc)
     cs = jnp.where(k_done > 0, take(sin_phi), cs)
     ph_prev = jnp.where(k_done > 0, take(ph), ph_prev)
-    mag_prev = jnp.where(k_done > 0, take(mag), mag_prev)
+    mag_prev = jnp.where(k_done > 0, take(raw_mag), mag_prev)
 
     if plan.lock:
         lcos, lsin = lock_phases(cos_phi, sin_phi, ph, mag)

@@ -553,7 +553,8 @@ def transpose_rate(data, length, factor: float):
 
 def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float,
                     algorithm: str = "wsola",
-                    pv_transient: bool = False) -> Stream:
+                    pv_transient: bool = False,
+                    preserve_formants: bool = False) -> Stream:
     """Apply the SoundTouch (rate, pitch) pair to a stream.
 
     Effective decomposition (SoundTouch semantics):
@@ -565,7 +566,10 @@ def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float,
     ``algorithm`` selects the tempo-stage family: "wsola" (default,
     reference parity — audio-velocity.cpp drives SoundTouch's WSOLA) or
     "pv" (ops/pv.py phase vocoder — a different artifact profile,
-    optionally with onset phase reset via ``pv_transient``; slower on
+    optionally with onset phase reset via ``pv_transient`` and
+    formant-preserving transposition via ``preserve_formants`` — the PV
+    stage pre-warps magnitudes by the liftered envelope so the downstream
+    resample lands the formants back where they started; slower on
     chip despite its parallel structure, see that module's measured
     numbers).
     """
@@ -580,6 +584,7 @@ def soundtouch_like(ctx, stream: Stream, rate: float, pitch: float,
             data, length = pv_ops.pv_stretch_at_rate(
                 data, length, eff_tempo, stream.rate,
                 transient=pv_transient,
+                formant_ratio=(eff_rate if preserve_formants else 1.0),
             )
         else:
             data, length = wsola_stretch_at_rate(

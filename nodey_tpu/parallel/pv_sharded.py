@@ -196,7 +196,8 @@ def _cross_shard_exclusive_phasor(tc, ts, axis_name: str, sp: int,
 
 def pv_sharded_local_step(plan: PvShardPlan, x_local, length,
                           axis_name: str, lock: bool = True,
-                          transient: bool = False):
+                          transient: bool = False,
+                          formant_ratio: float = 1.0):
     """The per-shard body: stretch this shard's frames given its local
     input chunk [C, chunk_in] (runs under shard_map over ``axis_name``).
 
@@ -238,6 +239,11 @@ def pv_sharded_local_step(plan: PvShardPlan, x_local, length,
     ph_all = jnp.arctan2(im, re)                     # [C, K+1, bins]
     mag = mag_all[:, 1:]
     ph = ph_all[:, 1:]
+    if formant_ratio != 1.0:
+        # Flux (below) keeps reading the raw mag_all; locking/synthesis
+        # use corrected magnitudes — per-frame and stateless, identical
+        # to the offline/streamed paths.
+        mag = pv_ops._formant_correction(mag, n_fft, formant_ratio)
 
     # Phase advance over each owned frame's ACTUAL integer hop — the same
     # exact-mod + O(1)-deviation split as ops/pv (docstring there).
@@ -341,7 +347,8 @@ def pv_sharded_local_step(plan: PvShardPlan, x_local, length,
 
 def pv_stretch_sharded(mesh: Mesh, data, length, tempo: float, rate: int,
                        sp_axis: str = "sp", lock: bool = True,
-                       transient: bool = False):
+                       transient: bool = False,
+                       formant_ratio: float = 1.0):
     """Stretch [C, capacity] by ``tempo`` with the time axis sharded over
     ``sp_axis``; returns (out [C, out_capacity] sharded along time,
     out_len int32).
@@ -353,7 +360,8 @@ def pv_stretch_sharded(mesh: Mesh, data, length, tempo: float, rate: int,
 
     def local_fn(x_local, length_r):
         return pv_sharded_local_step(plan, x_local, length_r, sp_axis,
-                                     lock=lock, transient=transient)
+                                     lock=lock, transient=transient,
+                                     formant_ratio=formant_ratio)
 
     fn = shard_map(
         local_fn,

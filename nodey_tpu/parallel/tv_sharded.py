@@ -112,6 +112,7 @@ class _PvStage:
     tempo: float
     rate: int
     transient: bool = False              # onset phase reset (ops/pv.py)
+    formant_ratio: float = 1.0           # envelope pre-warp (ops/pv.py)
     plan: Optional[PvShardPlan] = None   # filled by the forward pass
 
 
@@ -226,6 +227,11 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                 stages.append(_PvStage(
                     tempo=eff_tempo, rate=rate,
                     transient=bool(getattr(proc, "pv_transient", False)),
+                    formant_ratio=(
+                        eff_rate
+                        if getattr(proc, "preserve_formants", False)
+                        else 1.0
+                    ),
                 ))
             if abs(eff_rate - 1.0) > _EPS:
                 num, den = _rational_factor(eff_rate)
@@ -397,6 +403,7 @@ def compile_chain_sp_tv(
                 x, ln = pv_sharded_local_step(
                     st.plan, x, ln, sp_axis, lock=lock,
                     transient=st.transient,
+                    formant_ratio=st.formant_ratio,
                 )
         return x, ln
 

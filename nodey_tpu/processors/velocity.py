@@ -85,6 +85,11 @@ class _SoundTouchStreamBase(Processor):
                 plan = pv_ops.pv_stream_plan(
                     eff_tempo, spec.rate, width,
                     transient=getattr(self, "pv_transient", False),
+                    formant_ratio=(
+                        eff_rate
+                        if getattr(self, "preserve_formants", False)
+                        else 1.0
+                    ),
                 )
                 self._pv_plan = plan
                 states["w"] = pv_ops.pv_stream_init(plan, spec.channels)
@@ -153,6 +158,9 @@ class VelocityModifier(_SoundTouchStreamBase):
         # PV-only: phase reset at detected onsets (ops/pv.py transient
         # preservation). Extension; serde-omitted when default.
         self.pv_transient: bool = False
+        # PV-only: formant-preserving transposition (cepstral envelope
+        # pre-warp, ops/pv._formant_correction). Extension.
+        self.preserve_formants: bool = False
 
     def _factors(self):
         # reference: audio-velocity.cpp:446-460.
@@ -205,6 +213,9 @@ class VelocityModifier(_SoundTouchStreamBase):
             {"key": "pv_transient", "label": "PV Transients",
              "kind": "bool", "value": self.pv_transient,
              "show_if": {"key": "algorithm", "value": "pv"}},
+            {"key": "preserve_formants", "label": "Keep Formants",
+             "kind": "bool", "value": self.preserve_formants,
+             "show_if": {"key": "algorithm", "value": "pv"}},
         ]
 
     # -- serde (reference: audio-velocity.cpp:479-493) -----------------------
@@ -215,6 +226,8 @@ class VelocityModifier(_SoundTouchStreamBase):
             out["algorithm"] = self.algorithm
         if self.pv_transient:
             out["pv_transient"] = True
+        if self.preserve_formants:
+            out["preserve_formants"] = True
         return out
 
     def deserialize(self, value: Any) -> None:
@@ -235,6 +248,9 @@ class VelocityModifier(_SoundTouchStreamBase):
             tr = value.get("pv_transient")
             if isinstance(tr, bool):
                 self.pv_transient = tr
+            pf = value.get("preserve_formants")
+            if isinstance(pf, bool):
+                self.preserve_formants = pf
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         stream = _require_input(inputs, "Velocity Modifier")
@@ -244,6 +260,7 @@ class VelocityModifier(_SoundTouchStreamBase):
         out = stretch_ops.soundtouch_like(
             ctx, stream, rate=self.velocity, pitch=pitch,
             algorithm=self.algorithm, pv_transient=self.pv_transient,
+            preserve_formants=self.preserve_formants,
         )
         return {"output": out}
 
@@ -254,6 +271,7 @@ class PitchModifier(_SoundTouchStreamBase):
         self.pitch: float = 0.0
         self.algorithm: str = "wsola"   # see VelocityModifier.algorithm
         self.pv_transient: bool = False
+        self.preserve_formants: bool = False
 
     def _factors(self):
         # reference: audio-velocity.cpp:463-477.
@@ -287,6 +305,9 @@ class PitchModifier(_SoundTouchStreamBase):
             {"key": "pv_transient", "label": "PV Transients",
              "kind": "bool", "value": self.pv_transient,
              "show_if": {"key": "algorithm", "value": "pv"}},
+            {"key": "preserve_formants", "label": "Keep Formants",
+             "kind": "bool", "value": self.preserve_formants,
+             "show_if": {"key": "algorithm", "value": "pv"}},
         ]
 
     # -- serde (reference: audio-velocity.cpp:495-505) -----------------------
@@ -297,6 +318,8 @@ class PitchModifier(_SoundTouchStreamBase):
             out["algorithm"] = self.algorithm
         if self.pv_transient:
             out["pv_transient"] = True
+        if self.preserve_formants:
+            out["preserve_formants"] = True
         return out
 
     def deserialize(self, value: Any) -> None:
@@ -310,6 +333,9 @@ class PitchModifier(_SoundTouchStreamBase):
             tr = value.get("pv_transient")
             if isinstance(tr, bool):
                 self.pv_transient = tr
+            pf = value.get("preserve_formants")
+            if isinstance(pf, bool):
+                self.preserve_formants = pf
 
     def lower(self, ctx, inputs: Dict[str, Any]) -> Dict[str, Any]:
         stream = _require_input(inputs, "Pitch Modifier")
@@ -318,5 +344,6 @@ class PitchModifier(_SoundTouchStreamBase):
         out = stretch_ops.soundtouch_like(
             ctx, stream, rate=1.0, pitch=2.0 ** (self.pitch / 12.0),
             algorithm=self.algorithm, pv_transient=self.pv_transient,
+            preserve_formants=self.preserve_formants,
         )
         return {"output": out}

@@ -452,3 +452,122 @@ def test_transient_stream_matches_offline():
     got = np.concatenate(outs, axis=1)
     assert got.shape[1] == int(off_n)
     assert snr_db(off, got) > 100.0
+
+
+# -- formant preservation (cepstral envelope pre-warp) ------------------------
+
+
+def _vowel(n=RATE, f0=150.0):
+    """Harmonics of f0 shaped by two formant resonances (700/1800 Hz)."""
+    t = np.arange(n) / RATE
+
+    def env(f):
+        return (
+            1.0 / (1 + ((f - 700) / 150) ** 2)
+            + 0.7 / (1 + ((f - 1800) / 250) ** 2)
+            + 0.01
+        )
+
+    sig = np.zeros(n)
+    amps = {}
+    for h in range(1, 54):
+        f = h * f0
+        if f > 8000:
+            break
+        amps[h] = env(f)
+        sig += amps[h] * np.sin(2 * np.pi * f * t + 0.7 * h)
+    scale = 0.45 / np.abs(sig).max()
+    return (scale * sig).astype(np.float32)[None, :], env, scale, f0
+
+
+def _harm_amp(y, f):
+    """Projection amplitude at frequency f over a windowed mid segment."""
+    m = y.shape[1]
+    seg = y[0, m // 4 : m // 4 + 2 ** 15].astype(np.float64)
+    t = np.arange(len(seg)) / RATE
+    w = np.hanning(len(seg))
+    return abs((seg * w * np.exp(-2j * np.pi * f * t)).sum() / (w.sum() / 2))
+
+
+def _envelope_fit(y, env, scale, f0, pitch):
+    """Log-amplitude residual sd of output harmonics against the two
+    competing models: formants KEPT (amp ~ env(f_out)) vs formants
+    SHIFTED with the pitch (amp ~ env(f_out / pitch))."""
+    keep, shift = [], []
+    for h in range(2, 30):
+        fout = h * f0 * pitch
+        if fout > 6000:
+            break
+        a = _harm_amp(y, fout)
+        if a < 1e-5:
+            continue
+        keep.append(np.log(a / (scale * env(fout))))
+        shift.append(np.log(a / (scale * env(h * f0))))
+    return float(np.std(keep)), float(np.std(shift))
+
+
+def test_formants_preserved_under_pitch_shift():
+    """preserve_formants holds the spectral envelope in place through the
+    PV-tempo + resample pitch shift: output harmonic amplitudes fit the
+    ORIGINAL envelope (sd ~0.2 nats measured) instead of the shifted one;
+    without the flag they fit the shifted envelope exactly (the chipmunk
+    baseline — also asserted, so this test would catch the correction
+    silently becoming a no-op OR being applied twice)."""
+    data, env, scale, f0 = _vowel()
+    n = data.shape[1]
+    pitch = 2 ** (7 / 12)
+
+    def run(pf):
+        out = soundtouch_like(
+            None, _stream_of(data), rate=1.0, pitch=pitch,
+            algorithm="pv", preserve_formants=pf,
+        )
+        return np.asarray(out.data)[:, : int(out.length)]
+
+    sd_keep_on, sd_shift_on = _envelope_fit(run(True), env, scale, f0, pitch)
+    sd_keep_off, sd_shift_off = _envelope_fit(
+        run(False), env, scale, f0, pitch
+    )
+    assert sd_keep_on < 0.35, sd_keep_on
+    assert sd_keep_on < 0.5 * sd_shift_on, (sd_keep_on, sd_shift_on)
+    assert sd_shift_off < 0.1, sd_shift_off
+
+
+def test_formant_stream_matches_offline():
+    """The envelope pre-warp is per-frame and stateless, so chunked
+    execution reproduces the offline render up to the usual per-chunk
+    phasor re-association — which the warp AMPLIFIES (bins scaled up to
+    ~8x where the envelope correction is steep): measured 53.7 dB plain
+    vs 35.6 dB warped on this 50-harmonic vowel at tempo 0.667. The
+    quality invariant that must survive chunking is the envelope fit,
+    asserted on the offline render it is tied to."""
+    data, _env, _scale, _f0 = _vowel()
+    n = data.shape[1]
+    tempo, ratio = 1.0 / 2 ** (7 / 12), 2 ** (7 / 12)
+    off, off_n = pv.pv_stretch_at_rate(
+        jnp.asarray(data), jnp.int32(n), tempo, RATE, formant_ratio=ratio
+    )
+    off = np.asarray(off)[:, : int(off_n)]
+
+    push = RATE // 4
+    plan = pv.pv_stream_plan(tempo, RATE, push, formant_ratio=ratio)
+    state = pv.pv_stream_init(plan, 1)
+    outs, fed = [], 0
+    while True:
+        m = min(push, n - fed)
+        chunk = np.zeros((1, push), np.float32)
+        chunk[:, :m] = data[:, fed:fed + m]
+        state, out, out_n, odone = pv.pv_stream_step(
+            plan, state, jnp.asarray(chunk), jnp.int32(m),
+            jnp.asarray(fed + m >= n),
+        )
+        outs.append(np.asarray(out)[:, : int(out_n)])
+        fed += m
+        if bool(odone):
+            break
+    got = np.concatenate(outs, axis=1)
+    assert got.shape[1] == int(off_n)
+    # 30 dB waveform agreement ties the streamed render to the offline
+    # one (whose envelope fit test_formants_preserved asserts directly);
+    # the residual is re-association noise, inaudible under the signal.
+    assert snr_db(off, got) > 30.0
