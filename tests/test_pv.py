@@ -532,6 +532,17 @@ def test_formants_preserved_under_pitch_shift():
     assert sd_keep_on < 0.5 * sd_shift_on, (sd_keep_on, sd_shift_on)
     assert sd_shift_off < 0.1, sd_shift_off
 
+    # Pitch DOWN exercises the r < 1 side of the envelope warp (stretch
+    # instead of compress): same model ordering must hold.
+    pitch = 2 ** (-5 / 12)
+    out = soundtouch_like(
+        None, _stream_of(data), rate=1.0, pitch=pitch,
+        algorithm="pv", preserve_formants=True,
+    )
+    y = np.asarray(out.data)[:, : int(out.length)]
+    sd_keep_dn, sd_shift_dn = _envelope_fit(y, env, scale, f0, pitch)
+    assert sd_keep_dn < 0.5 * sd_shift_dn, (sd_keep_dn, sd_shift_dn)
+
 
 def test_formant_stream_matches_offline():
     """The envelope pre-warp is per-frame and stateless, so chunked
