@@ -582,3 +582,27 @@ def test_formant_stream_matches_offline():
     # one (whose envelope fit test_formants_preserved asserts directly);
     # the residual is re-association noise, inaudible under the signal.
     assert snr_db(off, got) > 30.0
+
+
+def test_streamed_graph_pv_quality_flags():
+    """A velocity(pv) node with BOTH quality options (pv_transient +
+    preserve_formants) streams through the production chunk-flow
+    compiler and matches the offline graph render — pins the processor
+    plumbing (plan_stream formant_ratio / transient) end to end."""
+    from test_chunkflow import run_offline, run_streamed
+
+    data = _click_train(n=int(RATE * 1.5))
+    data = np.concatenate([data, 0.8 * data], axis=0)
+    g, src = _velocity_graph("pv")
+    vel = next(n for n in g.nodes.values()
+               if isinstance(n.processor, VelocityModifier))
+    vel.processor.pv_transient = True
+    vel.processor.preserve_formants = True
+    src_arrays = {(src, "output_0"): (data, RATE, "f32")}
+    outs, _meta = run_offline(g, src_arrays)
+    off_arr, off_n = outs["master"]
+    off = np.asarray(off_arr)[:, : int(off_n)]
+    streamed, _smeta = run_streamed(g, src_arrays, chunk=RATE // 4)
+    got = streamed["master"]
+    assert got.shape[1] == off.shape[1]
+    assert snr_db(off, got) > 30.0
