@@ -538,8 +538,14 @@ def pv_stretch_at_rate(data, length, tempo: float, rate: int,
     Same contract as stretch.wsola_stretch_at_rate — returns
     (out_data [C, M], out_length) with out_length = floor(length/tempo) via
     the shared exact integer scaling, so swapping algorithm never changes a
-    graph's timing math. Identity when tempo == 1. ``transient`` enables
-    onset phase reset (see _pv_impl)."""
+    graph's timing math. Identity when tempo == 1 — formant pre-warp
+    therefore needs a RUNNING tempo stage: pitch nodes and
+    keep_pitch velocity nodes always pair transposition with tempo, but
+    a keep_pitch=False velocity node (pure tape-speed) has tempo 1 and
+    the flag has no effect there (documented in the node's param help).
+    ``transient`` enables onset phase reset; ``formant_ratio`` pre-warps
+    magnitudes for a downstream resample by that ratio (see _pv_impl /
+    _formant_correction)."""
     if tempo == 1.0:
         return data, length
     from nodey_tpu.ops.stretch import _scale_length_exact
