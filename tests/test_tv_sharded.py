@@ -226,3 +226,19 @@ def test_pv_transient_chain_matches_single_device():
     # floor and the dense-onset 125 dB of test_pv_sharded (measured
     # 93.8 dB on this signal).
     assert snr_db(ref[:, :n], out[:, :n]) > 85.0
+
+
+def test_extract_stages_reads_quality_flags():
+    """The sp chain planner threads pv_transient and preserve_formants
+    from the node into its _PvStage (formant ratio = the node's
+    effective transposition)."""
+    p = _pitch(7)
+    p.pv_transient = True
+    p.preserve_formants = True
+    g, _src = _chain(p)
+    stages, _rate = tv_sharded._extract_stages(g, RATE)
+    pv_stages = [s for s in stages if isinstance(s, tv_sharded._PvStage)]
+    assert len(pv_stages) == 1
+    st = pv_stages[0]
+    assert st.transient is True
+    assert st.formant_ratio == pytest.approx(2 ** (7 / 12))
