@@ -6,10 +6,11 @@ The eight reference node types with exact identifiers, pin names and serde
     audio_input, audio_output, audio_volume_adjust, velocity_modifier,
     pitch_modifier, audio_amix, audio_bimix, audio_bimix_v2
 
-plus three target-spec extensions the reference promised but never shipped
-(BASELINE configs 2/4/5; FFTW declared-but-unused, reference xmake.lua:15):
+plus four target-spec extensions (three the reference promised but never
+shipped — BASELINE configs 2/4/5; FFTW declared-but-unused, reference
+xmake.lua:15 — and a master-bus dynamics stage):
 
-    audio_split, audio_resample, audio_spectrum
+    audio_split, audio_resample, audio_spectrum, audio_limiter
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.split import AudioSplit
     from nodey_tpu.processors.resample_node import AudioResample
     from nodey_tpu.processors.spectrum import AudioSpectrum
+    from nodey_tpu.processors.limiter import AudioLimiter
 
     for cls in (
         AudioInput,
@@ -41,5 +43,6 @@ def register_builtin_processors() -> None:
         AudioSplit,
         AudioResample,
         AudioSpectrum,
+        AudioLimiter,
     ):
         register_processor(cls)
