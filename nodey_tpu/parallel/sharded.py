@@ -111,9 +111,10 @@ def plan_sharded(
     if not supports_chunked(graph):
         raise ProcessorRuntimeError(
             "Graph not time-shardable",
-            "Time-variant nodes (velocity/pitch WSOLA) cannot shard the "
-            "sample axis; run them via the streaming carry path or "
-            "single-device rendering.",
+            "Non-LTI nodes (velocity/pitch WSOLA, audio_limiter) cannot "
+            "shard the sample axis via overlap-discard; run them via "
+            "compile_graph_dp, the streaming carry path, or single-device "
+            "rendering (PV tempo stages shard via compile_chain_sp_tv).",
             "plan_sharded",
         )
     from fractions import Fraction

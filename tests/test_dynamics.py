@@ -135,3 +135,25 @@ def test_serde_roundtrip_and_param_spec():
     # Clamps (hand-edited project files).
     q.deserialize({"threshold_db": 7.0, "release_ms": 1e9})
     assert q.threshold_db == 0.0 and q.release_ms == 1000.0
+
+
+def test_limiter_rejected_by_sp_planner():
+    """The limiter is nonlinear (its envelope is not LTI): the
+    overlap-discard sample-axis planner must reject it — halo'd local
+    programs would restart the envelope at shard edges and silently
+    break the sp path's bitwise contract. dp and streaming remain the
+    mesh/bounded-memory routes."""
+    import pytest
+
+    from nodey_tpu.core import compiler
+    from nodey_tpu.core.errors import ProcessorRuntimeError
+    from nodey_tpu.parallel import sharded
+    from nodey_tpu.parallel.mesh import make_mesh
+
+    g, src = _limiter_graph()
+    sources = {(src, "output_0"): compiler.SourceSpec(
+        rate=RATE, channels=2, fmt="flt", capacity=RATE
+    )}
+    mesh = make_mesh({"sp": 8})
+    with pytest.raises(ProcessorRuntimeError, match="Non-LTI"):
+        sharded.plan_sharded(g, sources, mesh)
