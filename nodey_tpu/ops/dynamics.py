@@ -128,6 +128,75 @@ def limiter_stream_step(threshold: float, c: float, state, data, n):
     return (new_carry,), out
 
 
+def limiter_sharded_local(x, threshold: float, c: float, axis_name: str,
+                          sp: int):
+    """Per-shard limiter body (runs under ``shard_map`` over ``axis_name``).
+
+    ``x`` is this shard's [C, chunk] time slice (equal static chunks across
+    shards; zero past the valid length, as every sharded stage guarantees).
+    The cross-shard coupling is the same max-plus prefix the streaming
+    carry uses, evaluated spatially: each shard reduces its chunk to one
+    scalar summary (its local end-envelope under a floor carry), a
+    log2(sp)-step Hillis-Steele ``ppermute`` doubling forms the exclusive
+    max-plus prefix across shards — the combine is
+    (m_l, L_l) . (m_r, L_r) = (max(m_l - c*L_r, m_r), L_l + L_r), and
+    because every shard's span at doubling step d is exactly d*chunk, the
+    length plane is static and only the scalar m rides ICI — then each
+    shard merges the incoming prefix into its local envelope exactly the
+    way ``limit_block`` merges a streaming carry. Same algebra, same
+    elements, different bracketing: agreement vs the offline scan is
+    f32-re-association-tight (the only re-associated term is c*L, one
+    multiply either way).
+
+    Zero samples cannot raise the envelope (their log-peak sits at the
+    floor), so running on the full padded chunk matches ``limit_stream``'s
+    full-capacity scan; masked output stays zero because 0 * g == 0.
+    """
+    from jax import lax as _lax  # local import keeps module import light
+
+    chunk = x.shape[-1]
+    peak = jnp.abs(x).max(axis=0)
+    a = jnp.maximum(
+        jnp.log(jnp.maximum(peak, np.float32(1e-26))), _LOG_FLOOR
+    )
+    env_local = envelope_log_scan(a, c)                    # [chunk]
+    c32 = np.float32(c)
+
+    # Inclusive Hillis-Steele max-plus scan over shard summaries. ppermute
+    # fills un-addressed shards with zeros — 0.0 is NOT the max-plus
+    # identity — so every step gates the combine on idx >= d, mirroring
+    # pv_sharded._cross_shard_exclusive_phasor.
+    idx = _lax.axis_index(axis_name)
+    v = env_local[-1]
+    d = 1
+    while d < sp:
+        perm = [(i, i + d) for i in range(sp - d)]
+        r = _lax.ppermute(v, axis_name, perm)
+        # The received summary is combined as the LEFT operand; this
+        # shard's running summary spans exactly d*chunk samples at step d
+        # (static — the left-edge shards that span less never combine).
+        nv = jnp.maximum(r - c32 * np.float32(d * chunk), v)
+        v = jnp.where(idx >= d, nv, v)
+        d *= 2
+    # Exclusive: shift right one shard; shard 0 starts from the floor
+    # (exactly limit_block's carry_log=None semantics — the floor minus
+    # any positive decrement can never beat a local a >= floor).
+    if sp > 1:
+        prefix = _lax.ppermute(
+            v, axis_name, [(i, i + 1) for i in range(sp - 1)]
+        )
+        prefix = jnp.where(idx == 0, _LOG_FLOOR, prefix)
+    else:
+        prefix = jnp.full_like(v, _LOG_FLOOR)
+
+    n_idx = jnp.arange(1, chunk + 1, dtype=jnp.float32)
+    env_log = jnp.maximum(env_local, prefix - c32 * n_idx)
+    g = jnp.minimum(
+        np.float32(1.0), np.float32(threshold) / jnp.exp(env_log)
+    )
+    return x * g[None, :]
+
+
 def limiter_reference(data: np.ndarray, threshold_db: float,
                       release_ms: float, rate: int) -> np.ndarray:
     """Sequential float64 mirror of the exact recurrence (the yardstick

@@ -114,7 +114,8 @@ def plan_sharded(
             "Non-LTI nodes (velocity/pitch WSOLA, audio_limiter) cannot "
             "shard the sample axis via overlap-discard; run them via "
             "compile_graph_dp, the streaming carry path, or single-device "
-            "rendering (PV tempo stages shard via compile_chain_sp_tv).",
+            "rendering (PV tempo stages and limiters shard via "
+            "compile_chain_sp_tv).",
             "plan_sharded",
         )
     from fractions import Fraction

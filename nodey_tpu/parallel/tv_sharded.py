@@ -27,7 +27,13 @@ each mapping (local chunk [C, c_in], global length) -> (local chunk
 * **pv tempo** (velocity/pitch with ``algorithm="pv"``) —
   parallel/pv_sharded.pv_sharded_local_step: frames split evenly over
   shards, cross-shard synthesis-phasor prefix via ppermute doubling, OLA
-  tail handoff to the right neighbor.
+  tail handoff to the right neighbor;
+* **limiter** (audio_limiter) — ops/dynamics.limiter_sharded_local: the
+  max-plus envelope recurrence is associative too, so each shard scans its
+  chunk locally and a log-depth ``ppermute`` doubling forms the exclusive
+  cross-shard max-plus prefix (ONE scalar per shard rides ICI per step —
+  the streaming carry evaluated spatially). Length/rate-preserving, so it
+  imposes no alignment on the planner.
 
 Alignment planning runs BACKWARD through the chain: each resample stage
 requires its input chunk divisible by M * lcm(R, req/gcd(L, req)) where
@@ -107,6 +113,17 @@ class _ResampleStage:
     rate_out: int         # nominal rate after this stage
 
 
+@dataclasses.dataclass(frozen=True)
+class _LimiterStage:
+    """audio_limiter: length/rate-preserving, but NOT LTI (the envelope is
+    a max-plus recurrence) — it shards via the cross-shard max-plus prefix
+    (ops/dynamics.limiter_sharded_local), the same spatialized-carry move
+    the PV stage makes for its phasor chain."""
+
+    threshold: float
+    c: float
+
+
 @dataclasses.dataclass
 class _PvStage:
     tempo: float
@@ -184,11 +201,13 @@ def _resample_stage(in_rate: int, out_rate: int, law_num: int,
 def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
     """Map chain nodes to stage descriptors; returns (stages, out_rate)."""
     from nodey_tpu.processors.audio_vol import AudioVol
+    from nodey_tpu.processors.limiter import AudioLimiter
     from nodey_tpu.processors.resample_node import AudioResample
     from nodey_tpu.processors.velocity import (
         PitchModifier,
         VelocityModifier,
     )
+    from nodey_tpu.ops import dynamics as dynamics_ops
     from nodey_tpu.ops.stretch import _rational_factor
 
     order = _linear_chain(graph)
@@ -197,6 +216,11 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
         proc = graph.nodes[nid].processor
         if isinstance(proc, AudioVol):
             stages.append(_GainStage(volume=float(proc.volume)))
+        elif isinstance(proc, AudioLimiter):
+            threshold, c = dynamics_ops.limiter_params(
+                float(proc.threshold_db), float(proc.release_ms), rate
+            )
+            stages.append(_LimiterStage(threshold=threshold, c=c))
         elif isinstance(proc, AudioResample):
             target = int(proc.target_rate)
             if target == rate:
@@ -243,9 +267,9 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
         else:
             raise ProcessorRuntimeError(
                 "Unsupported node in sharded chain",
-                "compile_chain_sp_tv supports audio_vol, audio_resample "
-                "and velocity/pitch (algorithm='pv') between input and "
-                "output.",
+                "compile_chain_sp_tv supports audio_vol, audio_limiter, "
+                "audio_resample and velocity/pitch (algorithm='pv') "
+                "between input and output.",
                 f"node {nid}: {type(proc).__name__}",
             )
     return stages, rate
@@ -397,6 +421,12 @@ def compile_chain_sp_tv(
         for st in plan.stages:
             if isinstance(st, _GainStage):
                 x = x * jnp.float32(st.volume)
+            elif isinstance(st, _LimiterStage):
+                from nodey_tpu.ops import dynamics as dynamics_ops
+
+                x = dynamics_ops.limiter_sharded_local(
+                    x, st.threshold, st.c, sp_axis, plan.sp
+                )
             elif isinstance(st, _ResampleStage):
                 x, ln = _resample_local(st, x, ln, sp_axis)
             else:
