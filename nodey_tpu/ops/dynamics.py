@@ -34,6 +34,7 @@ Semantics notes:
 
 from __future__ import annotations
 
+import dataclasses
 import math
 
 import numpy as np
@@ -152,49 +153,64 @@ def limiter_sharded_local(x, threshold: float, c: float, axis_name: str,
     floor), so running on the full padded chunk matches ``limit_stream``'s
     full-capacity scan; masked output stays zero because 0 * g == 0.
     """
+    env_log = _sharded_env_log(x, c, axis_name, sp)
+    g = jnp.minimum(
+        np.float32(1.0), np.float32(threshold) / jnp.exp(env_log)
+    )
+    return x * g[None, :]
+
+
+def _cross_shard_maxplus(m_end, chunk: int, c: float, axis_name: str,
+                         sp: int):
+    """Exclusive cross-shard max-plus prefix of per-shard envelope
+    summaries: shard i receives the envelope at the END of shard i-1
+    (the floor on shard 0 — exactly ``limit_block``'s carry_log=None
+    semantics, since floor minus a positive decrement can never beat a
+    local a >= floor).
+
+    Inclusive Hillis-Steele doubling first: ppermute fills un-addressed
+    shards with zeros — 0.0 is NOT the max-plus identity — so every step
+    gates the combine on idx >= d, mirroring
+    pv_sharded._cross_shard_exclusive_phasor. The received summary is the
+    LEFT operand of (m_l, L_l) . (m_r, L_r) = (max(m_l - c*L_r, m_r),
+    L_l + L_r); this shard's running span at step d is exactly d*chunk
+    samples (static — left-edge shards that span less never combine), so
+    only the scalar m rides ICI."""
     from jax import lax as _lax  # local import keeps module import light
 
+    c32 = np.float32(c)
+    idx = _lax.axis_index(axis_name)
+    v = m_end
+    d = 1
+    while d < sp:
+        perm = [(i, i + d) for i in range(sp - d)]
+        r = _lax.ppermute(v, axis_name, perm)
+        nv = jnp.maximum(r - c32 * np.float32(d * chunk), v)
+        v = jnp.where(idx >= d, nv, v)
+        d *= 2
+    if sp > 1:
+        prefix = _lax.ppermute(
+            v, axis_name, [(i, i + 1) for i in range(sp - 1)]
+        )
+        return jnp.where(idx == 0, _LOG_FLOOR, prefix)
+    return jnp.full_like(v, _LOG_FLOOR)
+
+
+def _sharded_env_log(x, c: float, axis_name: str, sp: int):
+    """This shard's exact global log envelope: local scan + cross-shard
+    max-plus prefix merged the way ``limit_block`` merges a streaming
+    carry. Zero samples cannot raise the envelope (their log-peak sits at
+    the floor), so running on the full padded chunk matches the offline
+    full-capacity scan."""
     chunk = x.shape[-1]
     peak = jnp.abs(x).max(axis=0)
     a = jnp.maximum(
         jnp.log(jnp.maximum(peak, np.float32(1e-26))), _LOG_FLOOR
     )
     env_local = envelope_log_scan(a, c)                    # [chunk]
-    c32 = np.float32(c)
-
-    # Inclusive Hillis-Steele max-plus scan over shard summaries. ppermute
-    # fills un-addressed shards with zeros — 0.0 is NOT the max-plus
-    # identity — so every step gates the combine on idx >= d, mirroring
-    # pv_sharded._cross_shard_exclusive_phasor.
-    idx = _lax.axis_index(axis_name)
-    v = env_local[-1]
-    d = 1
-    while d < sp:
-        perm = [(i, i + d) for i in range(sp - d)]
-        r = _lax.ppermute(v, axis_name, perm)
-        # The received summary is combined as the LEFT operand; this
-        # shard's running summary spans exactly d*chunk samples at step d
-        # (static — the left-edge shards that span less never combine).
-        nv = jnp.maximum(r - c32 * np.float32(d * chunk), v)
-        v = jnp.where(idx >= d, nv, v)
-        d *= 2
-    # Exclusive: shift right one shard; shard 0 starts from the floor
-    # (exactly limit_block's carry_log=None semantics — the floor minus
-    # any positive decrement can never beat a local a >= floor).
-    if sp > 1:
-        prefix = _lax.ppermute(
-            v, axis_name, [(i, i + 1) for i in range(sp - 1)]
-        )
-        prefix = jnp.where(idx == 0, _LOG_FLOOR, prefix)
-    else:
-        prefix = jnp.full_like(v, _LOG_FLOOR)
-
+    prefix = _cross_shard_maxplus(env_local[-1], chunk, c, axis_name, sp)
     n_idx = jnp.arange(1, chunk + 1, dtype=jnp.float32)
-    env_log = jnp.maximum(env_local, prefix - c32 * n_idx)
-    g = jnp.minimum(
-        np.float32(1.0), np.float32(threshold) / jnp.exp(env_log)
-    )
-    return x * g[None, :]
+    return jnp.maximum(env_local, prefix - np.float32(c) * n_idx)
 
 
 def limiter_reference(data: np.ndarray, threshold_db: float,
@@ -210,3 +226,254 @@ def limiter_reference(data: np.ndarray, threshold_db: float,
         env = max(float(peak[i]), env * d)
         g[i] = min(1.0, threshold / env) if env > 0 else 1.0
     return (data.astype(np.float64) * g[None, :]).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Compressor — downward compression with soft knee, attack and release.
+#
+# The detector is the DECOUPLED design (cf. Giannoulis, Massberg &
+# Reiss, "Digital Dynamic Range Compressor Design", JAES 2012): an
+# instant-attack / exponential-release peak envelope followed by a
+# one-pole attack smoother, both in the log domain. Each stage is an
+# associative scan on TPU:
+#
+#   release:  e[n] = max(a[n], e[n-1] - c)        — the limiter's
+#             max-plus prefix (envelope_log_scan);
+#   attack:   s[n] = alpha*s[n-1] + (1-alpha)*e[n] — a constant-
+#             coefficient affine recurrence whose combine
+#             (w1, v1) . (w2, v2) = (w1*w2, v1*w2 + v2) is associative
+#             (one_pole_log_scan), i.e. an exponential moving average
+#             evaluated at log depth.
+#
+# The static gain computer runs on the smoothed level in dB: hard knee
+# g_db = (1/R - 1) * max(0, L - T), or the standard quadratic soft knee
+# over [T - W/2, T + W/2]. Below the knee g_db is EXACTLY 0.0 (selected
+# by jnp.where, not computed), so with zero makeup the node is a bitwise
+# passthrough on quiet material — the same contract the limiter pins.
+#
+# Streaming carries two scalars (e, s at the previous chunk's last valid
+# sample); sharding runs both cross-shard prefixes spatially — the
+# limiter's max-plus doubling plus an affine doubling whose per-step
+# weight alpha^(d*chunk) is static (only the scalar v rides ICI).
+# ---------------------------------------------------------------------------
+
+_NAT_TO_DB = 20.0 / math.log(10.0)
+_DB_TO_NAT = math.log(10.0) / 20.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CompressorParams:
+    threshold_db: float
+    ratio: float
+    knee_db: float
+    alpha: float        # attack one-pole coefficient
+    c: float            # release per-sample log decrement
+    makeup: float       # linear makeup gain (exactly 1.0 for 0 dB)
+
+
+def compressor_params(threshold_db: float, ratio: float, knee_db: float,
+                      attack_ms: float, release_ms: float,
+                      makeup_db: float, rate: int) -> CompressorParams:
+    release_samples = max(1.0, float(release_ms) * 1e-3 * rate)
+    attack_samples = max(1e-3, float(attack_ms) * 1e-3 * rate)
+    return CompressorParams(
+        threshold_db=float(threshold_db),
+        ratio=max(1.0, float(ratio)),
+        knee_db=max(0.0, float(knee_db)),
+        alpha=math.exp(-1.0 / attack_samples),
+        c=1.0 / release_samples,
+        makeup=float(10.0 ** (float(makeup_db) / 20.0)),
+    )
+
+
+def one_pole_log_scan(e, alpha: float, init):
+    """s[n] = alpha*s[n-1] + (1-alpha)*e[n] with s[-1] = ``init``,
+    evaluated as a log-depth associative scan over affine maps: element
+    n is (w, v) = (alpha, (1-alpha)*e[n]); the inclusive prefix gives
+    s[n] = v_incl[n] + w_incl[n] * init with w_incl[n] = alpha^(n+1)
+    (which underflows to 0 for n >> the attack time — the init is
+    forgotten exactly as the recurrence forgets it)."""
+    a32 = np.float32(alpha)
+
+    def combine(x, y):
+        wx, vx = x
+        wy, vy = y
+        return (wx * wy, vx * wy + vy)
+
+    w0 = jnp.full(e.shape, a32)
+    v0 = (np.float32(1.0) - a32) * e
+    w, v = lax.associative_scan(combine, (w0, v0), axis=-1)
+    return v + w * init
+
+
+def compressor_gain_db(level_db, p: CompressorParams):
+    """Static gain computer (dB in, dB of gain out; <= 0). Below the
+    knee the result is EXACTLY 0.0 via jnp.where."""
+    slope = np.float32(1.0 / p.ratio - 1.0)
+    over = level_db - np.float32(p.threshold_db)
+    if p.knee_db > 0.0:
+        w = np.float32(p.knee_db)
+        knee = slope * jnp.square(over + w / 2) / (2 * w)
+        g = jnp.where(over >= w / 2, slope * over, knee)
+        return jnp.where(over <= -w / 2, np.float32(0.0), g)
+    return jnp.where(over > 0, slope * over, np.float32(0.0))
+
+
+def compress_block(data, p: CompressorParams, carry_env=None,
+                   carry_s=None):
+    """Compress [C, N] float32; returns (out, env_log, s_log).
+
+    ``carry_env``/``carry_s`` are the two detector states just before
+    this block's first sample (None = clip start: both at the floor)."""
+    peak = jnp.abs(data).max(axis=0)                       # stereo-linked
+    a = jnp.maximum(
+        jnp.log(jnp.maximum(peak, np.float32(1e-26))), _LOG_FLOOR
+    )
+    env_log = envelope_log_scan(a, p.c)
+    if carry_env is not None:
+        n_idx = jnp.arange(1, data.shape[1] + 1, dtype=jnp.float32)
+        env_log = jnp.maximum(
+            env_log, carry_env - np.float32(p.c) * n_idx
+        )
+    init = _LOG_FLOOR if carry_s is None else carry_s
+    s_log = one_pole_log_scan(env_log, p.alpha, init)
+    g_db = compressor_gain_db(s_log * np.float32(_NAT_TO_DB), p)
+    gain = np.float32(p.makeup) * jnp.exp(g_db * np.float32(_DB_TO_NAT))
+    return data * gain[None, :], env_log, s_log
+
+
+def compress_stream(stream: Stream, threshold_db: float, ratio: float,
+                    knee_db: float, attack_ms: float, release_ms: float,
+                    makeup_db: float) -> Stream:
+    """Offline compressor over a whole Stream (zero padding past
+    ``length`` never raises the detector; output stays masked because
+    0 * gain == 0)."""
+    p = compressor_params(threshold_db, ratio, knee_db, attack_ms,
+                          release_ms, makeup_db, stream.rate)
+    out, _env, _s = compress_block(stream.data, p)
+    return stream.with_data(out, fmt=FMT_FLT)
+
+
+def compressor_stream_init(channels: int):
+    """Streaming carry: (release envelope, attack smoother) at the
+    previous chunk's last valid sample — two scalars (stereo-linked)."""
+    return (jnp.float32(_LOG_FLOOR), jnp.float32(_LOG_FLOOR))
+
+
+def compressor_stream_step(p: CompressorParams, state, data, n):
+    """One chunk: data [C, W], n valid. Invalid trailing samples do not
+    advance either detector (carries gather at sample n-1), so streamed
+    output equals the offline render to scan re-association."""
+    carry_env, carry_s = state
+    idx = jnp.arange(data.shape[1], dtype=jnp.int32)
+    masked = jnp.where((idx < n)[None, :], data, 0.0)
+    out, env_log, s_log = compress_block(
+        masked, p, carry_env=carry_env, carry_s=carry_s
+    )
+    last = jnp.clip(n - 1, 0, data.shape[1] - 1)
+    new_env = jnp.where(n > 0, env_log[last], carry_env)
+    new_s = jnp.where(n > 0, s_log[last], carry_s)
+    return (new_env, new_s), out
+
+
+def compressor_sharded_local(x, p: CompressorParams, axis_name: str,
+                             sp: int):
+    """Per-shard compressor body (under ``shard_map`` over ``axis_name``).
+
+    Two cross-shard prefixes, one per detector stage, each one scalar
+    per shard riding ICI:
+
+    1. the limiter's exclusive max-plus prefix corrects the local
+       release envelope to the exact global one;
+    2. an affine Hillis-Steele doubling forms the exclusive prefix of
+       the attack smoother: combining at step d scales the received
+       partial sum by the static weight alpha^(d*chunk) (the right
+       operand's span — same static-span argument as the max-plus
+       doubling), and the global init contributes alpha^(i*chunk) *
+       floor, computed closed-form per shard.
+
+    The one-pole runs on the CORRECTED envelope, so the sharded smoother
+    sees exactly the offline input sequence; agreement vs the offline
+    scan is re-association-tight."""
+    from jax import lax as _lax
+
+    chunk = x.shape[-1]
+    env_log = _sharded_env_log(x, p.c, axis_name, sp)
+
+    a32 = np.float32(p.alpha)
+    # Local inclusive affine scan (init contribution added after the
+    # cross-shard prefix below).
+    def combine(u, y):
+        wu, vu = u
+        wy, vy = y
+        return (wu * wy, vu * wy + vy)
+
+    w0 = jnp.full(env_log.shape, a32)
+    v0 = (np.float32(1.0) - a32) * env_log
+    w_incl, v_incl = lax.associative_scan(combine, (w0, v0), axis=-1)
+
+    # Cross-shard exclusive prefix of the smoother value. ppermute fills
+    # un-addressed shards with zeros — here 0.0 IS the additive
+    # identity, but the idx >= d gate is still required so left-edge
+    # shards keep their exact spans.
+    idx = _lax.axis_index(axis_name)
+    v = v_incl[-1]
+    d = 1
+    while d < sp:
+        perm = [(i, i + d) for i in range(sp - d)]
+        r = _lax.ppermute(v, axis_name, perm)
+        nv = r * np.float32(p.alpha ** (d * chunk)) + v
+        v = jnp.where(idx >= d, nv, v)
+        d *= 2
+    if sp > 1:
+        prev = _lax.ppermute(
+            v, axis_name, [(i, i + 1) for i in range(sp - 1)]
+        )
+        prev = jnp.where(idx == 0, np.float32(0.0), prev)
+    else:
+        prev = jnp.zeros_like(v)
+    # s at the end of shard i-1 = its accumulated sum + the global
+    # floor-init decayed over i*chunk samples.
+    init_w = jnp.exp(
+        idx.astype(jnp.float32)
+        * np.float32(chunk * math.log(p.alpha))
+    )
+    s_prev = prev + init_w * _LOG_FLOOR
+    s_log = v_incl + w_incl * s_prev
+
+    g_db = compressor_gain_db(s_log * np.float32(_NAT_TO_DB), p)
+    gain = np.float32(p.makeup) * jnp.exp(g_db * np.float32(_DB_TO_NAT))
+    return x * gain[None, :]
+
+
+def compressor_reference(data: np.ndarray, threshold_db: float,
+                         ratio: float, knee_db: float, attack_ms: float,
+                         release_ms: float, makeup_db: float,
+                         rate: int) -> np.ndarray:
+    """Sequential float64 mirror of the exact two-stage recurrence (the
+    yardstick the log-depth scans are tested against)."""
+    p = compressor_params(threshold_db, ratio, knee_db, attack_ms,
+                          release_ms, makeup_db, rate)
+    peak = np.abs(data).max(axis=0).astype(np.float64)
+    a = np.maximum(np.log(np.maximum(peak, 1e-26)), float(_LOG_FLOOR))
+    e = float(_LOG_FLOOR)
+    s = float(_LOG_FLOOR)
+    gain = np.ones(data.shape[1])
+    slope = 1.0 / p.ratio - 1.0
+    for i in range(data.shape[1]):
+        e = max(float(a[i]), e - p.c)
+        s = p.alpha * s + (1.0 - p.alpha) * e
+        level_db = s * _NAT_TO_DB
+        over = level_db - p.threshold_db
+        if p.knee_db > 0.0:
+            w = p.knee_db
+            if over <= -w / 2:
+                g_db = 0.0
+            elif over >= w / 2:
+                g_db = slope * over
+            else:
+                g_db = slope * (over + w / 2) ** 2 / (2 * w)
+        else:
+            g_db = slope * over if over > 0 else 0.0
+        gain[i] = p.makeup * 10.0 ** (g_db / 20.0)
+    return (data.astype(np.float64) * gain[None, :]).astype(np.float32)

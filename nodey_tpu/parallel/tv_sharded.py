@@ -33,7 +33,12 @@ each mapping (local chunk [C, c_in], global length) -> (local chunk
   chunk locally and a log-depth ``ppermute`` doubling forms the exclusive
   cross-shard max-plus prefix (ONE scalar per shard rides ICI per step —
   the streaming carry evaluated spatially). Length/rate-preserving, so it
-  imposes no alignment on the planner.
+  imposes no alignment on the planner;
+* **compressor** (audio_compressor) —
+  ops/dynamics.compressor_sharded_local: the same move twice — the
+  max-plus release prefix plus an affine doubling for the one-pole attack
+  smoother (its per-step weight alpha^(d*chunk) is static, so again only
+  one scalar per shard rides ICI). Length/rate-preserving.
 
 Alignment planning runs BACKWARD through the chain: each resample stage
 requires its input chunk divisible by M * lcm(R, req/gcd(L, req)) where
@@ -124,6 +129,15 @@ class _LimiterStage:
     c: float
 
 
+@dataclasses.dataclass(frozen=True)
+class _CompressorStage:
+    """audio_compressor: like the limiter but with TWO cross-shard
+    prefixes (max-plus release + affine attack smoother,
+    ops/dynamics.compressor_sharded_local)."""
+
+    params: Any
+
+
 @dataclasses.dataclass
 class _PvStage:
     tempo: float
@@ -201,6 +215,7 @@ def _resample_stage(in_rate: int, out_rate: int, law_num: int,
 def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
     """Map chain nodes to stage descriptors; returns (stages, out_rate)."""
     from nodey_tpu.processors.audio_vol import AudioVol
+    from nodey_tpu.processors.compressor import AudioCompressor
     from nodey_tpu.processors.limiter import AudioLimiter
     from nodey_tpu.processors.resample_node import AudioResample
     from nodey_tpu.processors.velocity import (
@@ -221,6 +236,14 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                 float(proc.threshold_db), float(proc.release_ms), rate
             )
             stages.append(_LimiterStage(threshold=threshold, c=c))
+        elif isinstance(proc, AudioCompressor):
+            stages.append(_CompressorStage(
+                params=dynamics_ops.compressor_params(
+                    proc.threshold_db, proc.ratio, proc.knee_db,
+                    proc.attack_ms, proc.release_ms, proc.makeup_db,
+                    rate,
+                )
+            ))
         elif isinstance(proc, AudioResample):
             target = int(proc.target_rate)
             if target == rate:
@@ -268,8 +291,8 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
             raise ProcessorRuntimeError(
                 "Unsupported node in sharded chain",
                 "compile_chain_sp_tv supports audio_vol, audio_limiter, "
-                "audio_resample and velocity/pitch (algorithm='pv') "
-                "between input and output.",
+                "audio_compressor, audio_resample and velocity/pitch "
+                "(algorithm='pv') between input and output.",
                 f"node {nid}: {type(proc).__name__}",
             )
     return stages, rate
@@ -426,6 +449,12 @@ def compile_chain_sp_tv(
 
                 x = dynamics_ops.limiter_sharded_local(
                     x, st.threshold, st.c, sp_axis, plan.sp
+                )
+            elif isinstance(st, _CompressorStage):
+                from nodey_tpu.ops import dynamics as dynamics_ops
+
+                x = dynamics_ops.compressor_sharded_local(
+                    x, st.params, sp_axis, plan.sp
                 )
             elif isinstance(st, _ResampleStage):
                 x, ln = _resample_local(st, x, ln, sp_axis)

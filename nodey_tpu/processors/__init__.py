@@ -8,9 +8,10 @@ The eight reference node types with exact identifiers, pin names and serde
 
 plus four target-spec extensions (three the reference promised but never
 shipped — BASELINE configs 2/4/5; FFTW declared-but-unused, reference
-xmake.lua:15 — and a master-bus dynamics stage):
+xmake.lua:15 — and the master-bus dynamics stages):
 
-    audio_split, audio_resample, audio_spectrum, audio_limiter
+    audio_split, audio_resample, audio_spectrum, audio_limiter,
+    audio_compressor
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.resample_node import AudioResample
     from nodey_tpu.processors.spectrum import AudioSpectrum
     from nodey_tpu.processors.limiter import AudioLimiter
+    from nodey_tpu.processors.compressor import AudioCompressor
 
     for cls in (
         AudioInput,
@@ -44,5 +46,6 @@ def register_builtin_processors() -> None:
         AudioResample,
         AudioSpectrum,
         AudioLimiter,
+        AudioCompressor,
     ):
         register_processor(cls)

@@ -1,11 +1,13 @@
-"""Peak limiter (ops/dynamics.py + processors/limiter.py).
+"""Dynamics family (ops/dynamics.py + processors/limiter.py,
+processors/compressor.py).
 
-Contract under test: the log-depth max-plus scan computes the exact
-instant-attack / exponential-release recurrence (sequential float64
-mirror is the yardstick); below the threshold the node is a BITWISE
-passthrough; streamed execution continues the envelope across chunk
-boundaries exactly (last-ulp re-association only); the node rides the
-production offline and chunk-flow compilers.
+Contract under test: the log-depth scans compute the exact sequential
+recurrences (float64 mirrors are the yardstick — max-plus release for
+both nodes, plus the compressor's one-pole attack smoother as an affine
+scan); below threshold/knee each node is a BITWISE passthrough (at zero
+makeup for the compressor); streamed execution continues the detector
+state across chunk boundaries exactly (last-ulp re-association only);
+both nodes ride the production offline and chunk-flow compilers.
 """
 
 import numpy as np
@@ -135,6 +137,130 @@ def test_serde_roundtrip_and_param_spec():
     # Clamps (hand-edited project files).
     q.deserialize({"threshold_db": 7.0, "release_ms": 1e9})
     assert q.threshold_db == 0.0 and q.release_ms == 1000.0
+
+
+# -- compressor ---------------------------------------------------------
+
+
+def _comp_args(makeup_db=3.0):
+    return dict(threshold_db=-18.0, ratio=4.0, knee_db=6.0,
+                attack_ms=5.0, release_ms=100.0, makeup_db=makeup_db)
+
+
+def test_compressor_scans_match_sequential_recurrence():
+    """Both detector scans (max-plus release + affine attack) against
+    the sequential float64 mirror. The one-pole's re-association and
+    the dB-domain amplification put the bar at ~100 dB rather than the
+    limiter's last-ulp (measured 104.5 dB on this signal)."""
+    x = burst_signal()
+    a = _comp_args()
+    ref = dyn.compressor_reference(x, rate=RATE, **a)
+    p = dyn.compressor_params(rate=RATE, **a)
+    out, _env, _s = dyn.compress_block(jnp.asarray(x), p)
+    assert snr_db(ref, np.asarray(out)) > 95.0
+
+
+def test_compressor_below_knee_bitwise_passthrough():
+    """Below the knee g_db is EXACTLY 0.0 (selected, not computed), so
+    at zero makeup gain = 1.0 * exp(0.0) and x * 1.0 is exact."""
+    rng = np.random.default_rng(5)
+    x = (0.02 * rng.standard_normal((2, RATE // 4))).astype(np.float32)
+    p = dyn.compressor_params(rate=RATE, **_comp_args(makeup_db=0.0))
+    out, _env, _s = dyn.compress_block(jnp.asarray(x), p)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_compressor_ratio_engages():
+    """A steady sine 12 dB over threshold is reduced by ~9 dB at 4:1
+    (12 * (1 - 1/4)), measured after the attack settles."""
+    n = RATE
+    t = np.arange(n) / RATE
+    # -6 dBFS peak = 12 dB over the -18 dB threshold.
+    x = (0.501 * np.sin(2 * np.pi * 997 * t)).astype(np.float32)[None, :]
+    p = dyn.compressor_params(rate=RATE, **_comp_args(makeup_db=0.0))
+    out, _env, _s = dyn.compress_block(jnp.asarray(x), p)
+    tail = np.asarray(out)[0, n // 2:]
+    red_db = 20 * np.log10(np.abs(tail).max() / 0.501)
+    # Peak detector ripple between sine peaks keeps this approximate.
+    assert -10.5 < red_db < -7.5
+
+
+def test_compressor_streamed_equals_offline():
+    x = burst_signal(n=RATE)
+    a = _comp_args()
+    p = dyn.compressor_params(rate=RATE, **a)
+    full, _env, _s = dyn.compress_block(jnp.asarray(x), p)
+    st = dyn.compressor_stream_init(2)
+    outs = []
+    W = 4096
+    for i in range(0, x.shape[1], W):
+        chunk = np.zeros((2, W), np.float32)
+        m = min(W, x.shape[1] - i)
+        chunk[:, :m] = x[:, i:i + m]
+        st, o = dyn.compressor_stream_step(
+            p, st, jnp.asarray(chunk), jnp.int32(m)
+        )
+        outs.append(np.asarray(o)[:, :m])
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, np.asarray(full), rtol=0, atol=3e-7)
+
+
+def _compressor_graph(**kwargs):
+    from nodey_tpu.processors.compressor import AudioCompressor
+
+    registry.register_all_processors()
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = ["a.wav"]
+    g.update_node_pin(src)
+    comp = g.add_node(AudioCompressor())
+    proc = g.nodes[comp].processor
+    for k, v in kwargs.items():
+        getattr(proc, f"set_{k}")(v)
+    out = g.add_node(AudioOutput())
+    pin = lambda n, p: g.nodes[n].pin_name_map[p]  # noqa: E731
+    g.add_link(pin(src, "output_0"), pin(comp, "input"))
+    g.add_link(pin(comp, "output"), pin(out, "input"))
+    return g, src
+
+
+def test_compressor_graph_offline_and_streamed():
+    from test_chunkflow import run_offline, run_streamed
+
+    x = burst_signal(n=RATE)
+    g, src = _compressor_graph(threshold_db=-18.0, makeup_db=2.0)
+    src_arrays = {(src, "output_0"): (x, RATE, "f32")}
+    outs, _meta = run_offline(g, src_arrays)
+    off_arr, off_n = outs["master"]
+    off = np.asarray(off_arr)[:, : int(off_n)]
+    streamed, _smeta = run_streamed(g, src_arrays, chunk=RATE // 4)
+    got = streamed["master"]
+    assert got.shape[1] == off.shape[1]
+    assert snr_db(off, got) > 120.0
+
+
+def test_compressor_serde_roundtrip_param_spec_and_clamps():
+    import json
+
+    from nodey_tpu.processors.compressor import AudioCompressor
+
+    p = AudioCompressor()
+    p.set_threshold_db(-24.0)
+    p.set_ratio(8.0)
+    p.set_knee_db(3.0)
+    p.set_attack_ms(1.5)
+    p.set_release_ms(250.0)
+    p.set_makeup_db(4.0)
+    blob = json.loads(json.dumps(p.serialize()))
+    q = AudioCompressor()
+    q.deserialize(blob)
+    assert (q.threshold_db, q.ratio, q.knee_db) == (-24.0, 8.0, 3.0)
+    assert (q.attack_ms, q.release_ms, q.makeup_db) == (1.5, 250.0, 4.0)
+    keys = {f["key"] for f in q.param_spec()}
+    assert keys == {"threshold_db", "ratio", "knee_db", "attack_ms",
+                    "release_ms", "makeup_db"}
+    q.deserialize({"ratio": 1e9, "attack_ms": -5.0, "makeup_db": 100.0})
+    assert q.ratio == 20.0 and q.attack_ms == 0.1 and q.makeup_db == 24.0
 
 
 def test_limiter_rejected_by_sp_planner():

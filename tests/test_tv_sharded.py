@@ -172,6 +172,45 @@ def test_limiter_below_threshold_passthrough_on_mesh():
     assert np.array_equal(out[:, :m], plain[:, :m])
 
 
+def _compressor(threshold_db=-18.0, ratio=4.0, makeup_db=0.0):
+    from nodey_tpu.processors.compressor import AudioCompressor
+
+    p = AudioCompressor()
+    p.set_threshold_db(threshold_db)
+    p.set_ratio(ratio)
+    p.set_makeup_db(makeup_db)
+    return p
+
+
+def test_compressor_chain_matches_single_device():
+    """audio_compressor shards via TWO cross-shard prefixes (max-plus
+    release + affine attack smoother). The attack one-pole runs on the
+    CORRECTED envelope, so the sharded smoother sees exactly the offline
+    input sequence; the bar is re-association-tight."""
+    data = make_tone(rate=RATE, seconds=0.7, channels=2)
+    g, src = _chain(_vol(2.0), _compressor(-12.0, 6.0, 2.0))
+    ref, ref_len, out, out_len = _run_both(g, src, data)
+    assert out_len == ref_len
+    n = min(ref_len, ref.shape[1], out.shape[1])
+    assert snr_db(ref[:, :n], out[:, :n]) > 110.0
+
+
+def test_full_masterbus_chain():
+    """The complete master-bus shape: gain -> resample -> PV tempo ->
+    compressor -> limiter, time-sharded over 8 devices. Bar = the
+    single-PV 70 dB floor (both dynamics stages add only scalar-prefix
+    re-association)."""
+    data = make_tone(rate=RATE, seconds=0.8, channels=2)
+    g, src = _chain(
+        _vol(2.0), _resample(48_000), _velocity(1.25),
+        _compressor(-18.0, 4.0, 3.0), _limiter(-1.0),
+    )
+    ref, ref_len, out, out_len = _run_both(g, src, data)
+    assert out_len == ref_len
+    n = min(ref_len, ref.shape[1], out.shape[1])
+    assert snr_db(ref[:, :n], out[:, :n]) > 70.0
+
+
 def test_limiter_composes_with_pv_and_resample():
     """Master-bus shape: rate change -> PV tempo -> limiter. The limiter
     runs at the POST-resample rate on the PV stage's output chunks; the
