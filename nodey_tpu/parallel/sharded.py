@@ -111,11 +111,12 @@ def plan_sharded(
     if not supports_chunked(graph):
         raise ProcessorRuntimeError(
             "Graph not time-shardable",
-            "Non-LTI nodes (velocity/pitch WSOLA, audio_limiter) cannot "
+            "Non-LTI or infinite-impulse-response nodes (velocity/pitch "
+            "WSOLA, audio_limiter/compressor, audio_eq/filter) cannot "
             "shard the sample axis via overlap-discard; run them via "
             "compile_graph_dp, the streaming carry path, or single-device "
-            "rendering (PV tempo stages and limiters shard via "
-            "compile_chain_sp_tv).",
+            "rendering (PV tempo stages, dynamics and IIR nodes shard "
+            "via compile_chain_sp_tv).",
             "plan_sharded",
         )
     from fractions import Fraction

@@ -38,7 +38,12 @@ each mapping (local chunk [C, c_in], global length) -> (local chunk
   ops/dynamics.compressor_sharded_local: the same move twice — the
   max-plus release prefix plus an affine doubling for the one-pole attack
   smoother (its per-step weight alpha^(d*chunk) is static, so again only
-  one scalar per shard rides ICI). Length/rate-preserving.
+  one scalar per shard rides ICI). Length/rate-preserving;
+* **EQ / filter** (audio_eq, audio_filter) —
+  ops/biquad.cascade_sharded_local: IIR sections (infinite impulse
+  response — overlap-discard can never be exact) run their first-order
+  scans locally and cross shards via exact AR(1) state prefixes with
+  static pole-power weights. Length/rate-preserving.
 
 Alignment planning runs BACKWARD through the chain: each resample stage
 requires its input chunk divisible by M * lcm(R, req/gcd(L, req)) where
@@ -138,6 +143,16 @@ class _CompressorStage:
     params: Any
 
 
+@dataclasses.dataclass(frozen=True)
+class _BiquadStage:
+    """audio_eq / audio_filter: IIR sections (infinite impulse response,
+    so overlap-discard can never be exact) shard via exact cross-shard
+    state prefixes — first-order scalar doublings with static pole-power
+    weights (ops/biquad.cascade_sharded_local)."""
+
+    sections: Tuple[Any, ...]
+
+
 @dataclasses.dataclass
 class _PvStage:
     tempo: float
@@ -216,6 +231,7 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
     """Map chain nodes to stage descriptors; returns (stages, out_rate)."""
     from nodey_tpu.processors.audio_vol import AudioVol
     from nodey_tpu.processors.compressor import AudioCompressor
+    from nodey_tpu.processors.equalizer import AudioEq, AudioFilter
     from nodey_tpu.processors.limiter import AudioLimiter
     from nodey_tpu.processors.resample_node import AudioResample
     from nodey_tpu.processors.velocity import (
@@ -244,6 +260,10 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                     rate,
                 )
             ))
+        elif isinstance(proc, (AudioEq, AudioFilter)):
+            sections = proc._sections(rate)
+            if sections:                    # all-flat EQ = passthrough
+                stages.append(_BiquadStage(sections=tuple(sections)))
         elif isinstance(proc, AudioResample):
             target = int(proc.target_rate)
             if target == rate:
@@ -291,8 +311,9 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
             raise ProcessorRuntimeError(
                 "Unsupported node in sharded chain",
                 "compile_chain_sp_tv supports audio_vol, audio_limiter, "
-                "audio_compressor, audio_resample and velocity/pitch "
-                "(algorithm='pv') between input and output.",
+                "audio_compressor, audio_eq, audio_filter, "
+                "audio_resample and velocity/pitch (algorithm='pv') "
+                "between input and output.",
                 f"node {nid}: {type(proc).__name__}",
             )
     return stages, rate
@@ -456,6 +477,18 @@ def compile_chain_sp_tv(
                 x = dynamics_ops.compressor_sharded_local(
                     x, st.params, sp_axis, plan.sp
                 )
+            elif isinstance(st, _BiquadStage):
+                from nodey_tpu.ops import biquad as biquad_ops
+
+                x = biquad_ops.cascade_sharded_local(
+                    x, list(st.sections), sp_axis, plan.sp
+                )
+                # IIR tails ring past the valid length; re-mask so the
+                # zero-padding invariant survives the stage.
+                gidx = lax.axis_index(sp_axis) * x.shape[-1] + jnp.arange(
+                    x.shape[-1], dtype=jnp.int32
+                )
+                x = jnp.where(gidx[None, :] < ln, x, 0.0)
             elif isinstance(st, _ResampleStage):
                 x, ln = _resample_local(st, x, ln, sp_axis)
             else:

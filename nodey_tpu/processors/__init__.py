@@ -11,7 +11,7 @@ shipped — BASELINE configs 2/4/5; FFTW declared-but-unused, reference
 xmake.lua:15 — and the master-bus dynamics stages):
 
     audio_split, audio_resample, audio_spectrum, audio_limiter,
-    audio_compressor
+    audio_compressor, audio_eq, audio_filter
 """
 
 from __future__ import annotations
@@ -32,6 +32,7 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.spectrum import AudioSpectrum
     from nodey_tpu.processors.limiter import AudioLimiter
     from nodey_tpu.processors.compressor import AudioCompressor
+    from nodey_tpu.processors.equalizer import AudioEq, AudioFilter
 
     for cls in (
         AudioInput,
@@ -47,5 +48,7 @@ def register_builtin_processors() -> None:
         AudioSpectrum,
         AudioLimiter,
         AudioCompressor,
+        AudioEq,
+        AudioFilter,
     ):
         register_processor(cls)

@@ -195,15 +195,40 @@ def test_compressor_chain_matches_single_device():
     assert snr_db(ref[:, :n], out[:, :n]) > 110.0
 
 
+def _eq(**gains):
+    from nodey_tpu.processors.equalizer import AudioEq
+
+    p = AudioEq()
+    for k, v in gains.items():
+        p.set_param(k, v)
+    return p
+
+
+def test_eq_chain_matches_single_device():
+    """audio_eq shards via exact AR(1) state prefixes (ops/biquad.py):
+    each section's first-order scans run locally, carries cross shards
+    with static pole-power weights. Floor = carry re-association
+    (~85 dB measured on a mixed conj/real cascade)."""
+    data = make_tone(rate=RATE, seconds=0.7, channels=2)
+    g, src = _chain(
+        _eq(ls_gain_db=4.0, p2_gain_db=-6.0, hs_gain_db=-3.0)
+    )
+    ref, ref_len, out, out_len = _run_both(g, src, data)
+    assert out_len == ref_len
+    n = min(ref_len, ref.shape[1], out.shape[1])
+    assert snr_db(ref[:, :n], out[:, :n]) > 80.0
+
+
 def test_full_masterbus_chain():
     """The complete master-bus shape: gain -> resample -> PV tempo ->
-    compressor -> limiter, time-sharded over 8 devices. Bar = the
-    single-PV 70 dB floor (both dynamics stages add only scalar-prefix
-    re-association)."""
+    EQ -> compressor -> limiter, time-sharded over 8 devices. Bar = the
+    single-PV 70 dB floor (the EQ and dynamics stages add only
+    state-prefix re-association)."""
     data = make_tone(rate=RATE, seconds=0.8, channels=2)
     g, src = _chain(
         _vol(2.0), _resample(48_000), _velocity(1.25),
-        _compressor(-18.0, 4.0, 3.0), _limiter(-1.0),
+        _eq(p2_gain_db=-3.0), _compressor(-18.0, 4.0, 3.0),
+        _limiter(-1.0),
     )
     ref, ref_len, out, out_len = _run_both(g, src, data)
     assert out_len == ref_len
