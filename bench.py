@@ -194,6 +194,37 @@ def config4_pv(tmp, seconds):
     return g, mode
 
 
+def config6_masterbus(tmp, seconds):
+    """Extension metric: the full master-bus chain — 5-band EQ (three
+    active biquad sections as first-order scans) -> compressor
+    (decoupled detector: max-plus release prefix + one-pole attack
+    doubling) -> limiter (max-plus envelope scan). Every stage is a
+    log-depth associative scan over the whole clip; tracks the on-chip
+    cost of the dynamics/EQ family (ops/biquad.py, ops/dynamics.py)."""
+    from nodey_tpu.processors.audio_output import AudioOutput
+    from nodey_tpu.processors.compressor import AudioCompressor
+    from nodey_tpu.processors.equalizer import AudioEq
+    from nodey_tpu.processors.limiter import AudioLimiter
+
+    paths = _write_tracks(tmp, 1, seconds, 48_000, 2)
+    g, src = _new_graph(paths)
+    eq = g.add_node(AudioEq())
+    g.nodes[eq].processor.set_param("ls_gain_db", 3.0)
+    g.nodes[eq].processor.set_param("p2_gain_db", -4.0)
+    g.nodes[eq].processor.set_param("hs_gain_db", 2.0)
+    comp = g.add_node(AudioCompressor())
+    g.nodes[comp].processor.set_threshold_db(-18.0)
+    g.nodes[comp].processor.set_ratio(4.0)
+    lim = g.add_node(AudioLimiter())
+    g.nodes[lim].processor.set_threshold_db(-1.0)
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, eq, "input"))
+    g.add_link(_pin(g, eq, "output"), _pin(g, comp, "input"))
+    g.add_link(_pin(g, comp, "output"), _pin(g, lim, "input"))
+    g.add_link(_pin(g, lim, "output"), _pin(g, out, "input"))
+    return g, "export"
+
+
 def config5_full_editor(tmp, seconds):
     """4 tracks -> split/mix/pitch + STFT spectrum tap, preview stream."""
     from nodey_tpu.processors.amix import AudioAmix
@@ -644,6 +675,9 @@ def main() -> int:
         # Extension metric (not a BASELINE config): config 4 with the
         # tempo stages flipped to the phase vocoder.
         ("rtf_config4_pv", config4_pv, config_seconds, iters),
+        # Extension metric: EQ -> compressor -> limiter master-bus chain
+        # (biquad + dynamics scans).
+        ("rtf_config6_masterbus", config6_masterbus, config_seconds, iters),
     ]
 
     # Optional subset (e.g. NODEY_BENCH_ONLY="1,4" or "headline") — lets the
@@ -655,7 +689,7 @@ def main() -> int:
         configs = [
             c for i, c in enumerate(configs, start=1) if str(i) in wanted
         ]
-        run_headline = "headline" in wanted or not wanted.isdisjoint({"7"})
+        run_headline = "headline" in wanted or not wanted.isdisjoint({"8"})
         run_pallas_ab = "pallas" in wanted
     else:
         run_headline = True
