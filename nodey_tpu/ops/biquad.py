@@ -206,61 +206,16 @@ def prepare_all(coeffs: List[BiquadCoef]) -> List[Section]:
 # -- first-order scans ---------------------------------------------------------
 
 
-def _ar1_scan(x, pole):
-    """Inclusive t[n] = pole * t[n-1] + x[n] with zero init, along the
-    last axis (real ``pole``, real f32 ``x``).
-
-    Hillis-Steele doubling with HOST-computed scalar step weights p^d:
-    t += p^d * shift_right(t, d). Mathematically the standard inclusive
-    scan; practically it beats ``lax.associative_scan`` over a constant
-    weight leaf two ways — XLA constant-folds the O(N) weight-product
-    chain at compile time (measured 20+ s per section on a 3 s clip),
-    and the p^d scalars are exact host float64/complex128 powers instead
-    of device-chained f32 products. Contiguous shifts instead of
-    odd/even stride slices is also the formulation measured faster on
-    this backend (ROUND4.md section 11, the PV lock scans)."""
-    N = x.shape[-1]
-    p = np.complex128(complex(pole))
-    t = x
-    d = 1
-    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
-    while d < N:
-        w = np.float32((p ** d).real)
-        pad[-1] = (d, 0)
-        t = t + w * jnp.pad(t[..., :-d], pad)
-        d *= 2
-    return t
-
-
-def _rot_scan(xr, xi, pole):
-    """The complex modal scan m[n] = p m[n-1] + x[n] on SPLIT re/im f32
-    arrays (complex dtypes are unimplemented on this TPU backend). Same
-    Hillis-Steele doubling as ``_ar1_scan``; the host complex128 step
-    weight p^d applies as a real rotation-scale per round."""
-    N = xr.shape[-1]
-    p = np.complex128(complex(pole))
-    tr, ti = xr, xi
-    d = 1
-    pad = [(0, 0)] * (xr.ndim - 1) + [(d, 0)]
-    while d < N:
-        w = p ** d
-        wr = np.float32(w.real)
-        wi = np.float32(w.imag)
-        pad[-1] = (d, 0)
-        sr = jnp.pad(tr[..., :-d], pad)
-        si = jnp.pad(ti[..., :-d], pad)
-        tr, ti = tr + wr * sr - wi * si, ti + wi * sr + wr * si
-        d *= 2
-    return tr, ti
-
-
-def _pole_powers(p: complex, n: int):
-    """[p^1, ..., p^n] on host in complex128 (static; exact-ish — the
-    init-carry decay curve), split into (re, im) f32 arrays."""
-    with np.errstate(under="ignore"):
-        vals = np.power(np.complex128(complex(p)),
-                        np.arange(1, n + 1, dtype=np.float64))
-    return vals.real.astype(np.float32), vals.imag.astype(np.float32)
+# The scan engines live in ops/scans.py (shared with ops/dynamics.py):
+# Hillis-Steele doubling with host-exact step weights for short arrays,
+# blocked MXU pole-power GEMMs (~3 HBM passes instead of log2(N) rounds)
+# for long ones. The docstring formulations above describe the math;
+# scans.py owns the device shapes.
+from nodey_tpu.ops.scans import (  # noqa: E402
+    ar1_scan as _ar1_scan,
+    pole_powers as _pole_powers,
+    rot_scan as _rot_scan,
+)
 
 
 def _fir3(x, b0: float, b1: float, b2: float, h=None):

@@ -16,8 +16,9 @@ length,
 
     (m1, L1) . (m2, L2) = (max(m1 - c*L2, m2), L1 + L2)
 
-so ``lax.associative_scan`` evaluates the whole clip in O(log N) depth
-of elementwise VPU work — no lax.scan, no sequential dependence, and the
+so the scan engine (ops/scans.maxplus_scan — doubling or two-level
+blocked) evaluates the whole clip in O(log N) depth of elementwise VPU
+work — no lax.scan, no sequential dependence, and the
 chunked streaming carry is one scalar per channel-link (the envelope at
 the previous chunk's last valid sample), combined with exactly the same
 algebra.
@@ -39,7 +40,6 @@ import math
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 from nodey_tpu.core.stream import FMT_FLT, Stream
 
@@ -54,20 +54,13 @@ def envelope_log_scan(a, c: float):
 
     Returns env_log with env_log[..., n] = max_{k<=n} (a[..., k] -
     c*(n-k)) — the log-domain instant-attack / exponential-release
-    envelope. Log-depth associative scan; see module docstring."""
-    c32 = np.float32(c)
+    envelope. Evaluated by ops/scans.maxplus_scan: single-plane
+    Hillis-Steele doubling with host-exact c*d decrements (the span
+    plane is static, so no length leaf rides the scan), switching to the
+    two-level blocked form for long arrays."""
+    from nodey_tpu.ops.scans import maxplus_scan
 
-    def combine(x, y):
-        mx, lx = x
-        my, ly = y
-        return (
-            jnp.maximum(mx - c32 * ly.astype(jnp.float32), my),
-            lx + ly,
-        )
-
-    lens = jnp.ones(a.shape, dtype=jnp.int32)
-    m, _l = lax.associative_scan(combine, (a, lens), axis=-1)
-    return m
+    return maxplus_scan(a, c)
 
 
 def limiter_params(threshold_db: float, release_ms: float, rate: int):
@@ -287,22 +280,19 @@ def compressor_params(threshold_db: float, ratio: float, knee_db: float,
 
 
 def one_pole_log_scan(e, alpha: float, init):
-    """s[n] = alpha*s[n-1] + (1-alpha)*e[n] with s[-1] = ``init``,
-    evaluated as a log-depth associative scan over affine maps: element
-    n is (w, v) = (alpha, (1-alpha)*e[n]); the inclusive prefix gives
-    s[n] = v_incl[n] + w_incl[n] * init with w_incl[n] = alpha^(n+1)
-    (which underflows to 0 for n >> the attack time — the init is
-    forgotten exactly as the recurrence forgets it)."""
+    """s[n] = alpha*s[n-1] + (1-alpha)*e[n] with s[-1] = ``init``.
+
+    The affine recurrence IS an AR(1) with pole alpha on input
+    (1-alpha)*e — evaluated by ops/scans.ar1_scan (blocked MXU GEMM for
+    long arrays) — plus the init's contribution w[n] = alpha^(n+1),
+    which is a STATIC decay curve computed on host in float64 (it
+    underflows to 0 for n >> the attack time — the init is forgotten
+    exactly as the recurrence forgets it)."""
+    from nodey_tpu.ops.scans import ar1_scan, pole_powers
+
     a32 = np.float32(alpha)
-
-    def combine(x, y):
-        wx, vx = x
-        wy, vy = y
-        return (wx * wy, vx * wy + vy)
-
-    w0 = jnp.full(e.shape, a32)
-    v0 = (np.float32(1.0) - a32) * e
-    w, v = lax.associative_scan(combine, (w0, v0), axis=-1)
+    v = ar1_scan((np.float32(1.0) - a32) * e, alpha)
+    w = pole_powers(alpha, e.shape[-1])[0]
     return v + w * init
 
 
@@ -400,17 +390,14 @@ def compressor_sharded_local(x, p: CompressorParams, axis_name: str,
     chunk = x.shape[-1]
     env_log = _sharded_env_log(x, p.c, axis_name, sp)
 
+    from nodey_tpu.ops.scans import ar1_scan, pole_powers
+
     a32 = np.float32(p.alpha)
     # Local inclusive affine scan (init contribution added after the
-    # cross-shard prefix below).
-    def combine(u, y):
-        wu, vu = u
-        wy, vy = y
-        return (wu * wy, vu * wy + vy)
-
-    w0 = jnp.full(env_log.shape, a32)
-    v0 = (np.float32(1.0) - a32) * env_log
-    w_incl, v_incl = lax.associative_scan(combine, (w0, v0), axis=-1)
+    # cross-shard prefix below); the weight plane alpha^(n+1) is a
+    # static host decay curve.
+    v_incl = ar1_scan((np.float32(1.0) - a32) * env_log, p.alpha)
+    w_incl = pole_powers(p.alpha, env_log.shape[-1])[0]
 
     # Cross-shard exclusive prefix of the smoother value. ppermute fills
     # un-addressed shards with zeros — here 0.0 IS the additive
