@@ -48,7 +48,7 @@ from nodey_tpu.host.streamio import BoundedBlockQueue, RealtimePacer
 _LTI_NODES = {
     "audio_input", "audio_output", "audio_volume_adjust", "audio_amix",
     "audio_bimix", "audio_bimix_v2", "audio_split", "audio_resample",
-    "audio_spectrum",
+    "audio_spectrum", "audio_reverb",
 }
 
 
@@ -340,10 +340,22 @@ def render_chunked(
 
     quantum = _chunk_quantum(graph, in_rate)
     chunk = max(1, int(chunk_seconds * in_rate) // quantum) * quantum
-    halo = -(-int(halo_seconds * in_rate) // quantum) * quantum
+    # The halo must cover every node's receptive field; tail-growing
+    # nodes (convolution reverb) declare theirs via ``receptive_seconds``
+    # (processors/reverb.py) — same contract the sp mesh planner uses.
+    max_receptive_s = max(
+        [float(getattr(n.processor, "receptive_seconds", 0.0))
+         for n in graph.nodes.values()]
+        + [0.0]
+    )
+    halo_s = max(halo_seconds, max_receptive_s)
+    halo = -(-int(halo_s * in_rate) // quantum) * quantum
 
     total = max(lengths.values())
-    n_chunks = max(1, -(-total // chunk))
+    # Tail-growing nodes emit past the input end: render enough chunks
+    # to cover the grown output.
+    tail_in = int(max_receptive_s * in_rate)
+    n_chunks = max(1, -(-(total + tail_in) // chunk))
 
     # Window = left halo + chunk + right halo; both halos are discarded from
     # the output (the right halo covers the resampler taps reading past the
@@ -359,6 +371,7 @@ def render_chunked(
     spectra_pieces: Dict[str, list] = {}
     spectra_dropped = []
     out_meta = None
+    out_len_total = 0
     for c in range(n_chunks):
         start = c * chunk - halo
         cargs: Dict[str, np.ndarray] = {}
@@ -393,6 +406,10 @@ def render_chunked(
         chunk_out = chunk * out_rate // in_rate
         piece = np.asarray(data)[:, halo_out : halo_out + chunk_out]
         pieces.append(piece)
+        # This chunk's contribution to the global output length — the
+        # same clip algebra the sp mesh psums (parallel/sharded.py), so
+        # tail-growing nodes (reverb) report their grown length exactly.
+        out_len_total += max(0, min(int(length) - halo_out, chunk_out))
         # Spectrum taps: keep the frames whose hop-aligned starts fall in
         # this chunk's own region (same trim the sharded executor applies;
         # frames that don't align to the chunk grid are dropped, recorded).
@@ -421,8 +438,7 @@ def render_chunked(
             progress(min(total, (c + 1) * chunk) / in_rate)
 
     master = np.concatenate(pieces, axis=1)
-    total_out_len = _ceil_div_mul(total, out_meta["rate"], in_rate)
-    master = master[:, :total_out_len]
+    master = master[:, :out_len_total]
     spectra = {}
     for key, parts in spectra_pieces.items():
         m = compiled.output_meta[key]
@@ -434,5 +450,3 @@ def render_chunked(
     return master, out_meta["rate"], out_meta["fmt"], spectra
 
 
-def _ceil_div_mul(n: int, num: int, den: int) -> int:
-    return -(-n * num // den)

@@ -159,11 +159,18 @@ def plan_sharded(
         )
 
     # Halo >= every receptive field: resampler taps stretch by at most M/L
-    # (<= a few hundred input samples) and STFT windows need n_fft samples
-    # at the node's (possibly resampled) rate; cover both with margin.
+    # (<= a few hundred input samples), STFT windows need n_fft samples
+    # at the node's (possibly resampled) rate, and convolution-reverb
+    # IRs declare their full partitioned length via ``receptive_seconds``
+    # (processors/reverb.py); cover all with margin.
     max_n_fft = max(
         [getattr(n.processor, "n_fft", 0) for n in graph.nodes.values()]
         + [0]
+    )
+    max_receptive_s = max(
+        [float(getattr(n.processor, "receptive_seconds", 0.0))
+         for n in graph.nodes.values()]
+        + [0.0]
     )
     min_rate = rates[0]
     # Nonzero t0_us (pts start offsets feeding bimix_v2's t0-placed
@@ -182,6 +189,7 @@ def plan_sharded(
         Fraction(halo_seconds).limit_denominator(10**6),
         Fraction(2 * max_n_fft, min_rate),
         Fraction(1024, min_rate),
+        Fraction(max_receptive_s).limit_denominator(10**6),
     )
     halo_time_min = receptive + Fraction(t0_spread_s).limit_denominator(
         10**6

@@ -11,7 +11,7 @@ shipped — BASELINE configs 2/4/5; FFTW declared-but-unused, reference
 xmake.lua:15 — and the master-bus dynamics stages):
 
     audio_split, audio_resample, audio_spectrum, audio_limiter,
-    audio_compressor, audio_eq, audio_filter
+    audio_compressor, audio_eq, audio_filter, audio_reverb
 """
 
 from __future__ import annotations
@@ -33,6 +33,7 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.limiter import AudioLimiter
     from nodey_tpu.processors.compressor import AudioCompressor
     from nodey_tpu.processors.equalizer import AudioEq, AudioFilter
+    from nodey_tpu.processors.reverb import AudioReverb
 
     for cls in (
         AudioInput,
@@ -50,5 +51,6 @@ def register_builtin_processors() -> None:
         AudioCompressor,
         AudioEq,
         AudioFilter,
+        AudioReverb,
     ):
         register_processor(cls)
