@@ -225,6 +225,24 @@ def config6_masterbus(tmp, seconds):
     return g, "export"
 
 
+def config7_reverb(tmp, seconds):
+    """Extension metric: convolution reverb (1.8 s RT60 IR, ~43k taps at
+    48 kHz) — uniform-partition overlap-save real-DFT GEMMs with a
+    frequency-domain delay line (ops/reverb.py)."""
+    from nodey_tpu.processors.audio_output import AudioOutput
+    from nodey_tpu.processors.reverb import AudioReverb
+
+    paths = _write_tracks(tmp, 1, seconds, 48_000, 2)
+    g, src = _new_graph(paths)
+    rev = g.add_node(AudioReverb())
+    g.nodes[rev].processor.set_param("decay_s", 1.8)
+    g.nodes[rev].processor.set_param("wet", 0.35)
+    out = g.add_node(AudioOutput())
+    g.add_link(_pin(g, src, "output_0"), _pin(g, rev, "input"))
+    g.add_link(_pin(g, rev, "output"), _pin(g, out, "input"))
+    return g, "export"
+
+
 def config5_full_editor(tmp, seconds):
     """4 tracks -> split/mix/pitch + STFT spectrum tap, preview stream."""
     from nodey_tpu.processors.amix import AudioAmix
@@ -678,6 +696,8 @@ def main() -> int:
         # Extension metric: EQ -> compressor -> limiter master-bus chain
         # (biquad + dynamics scans).
         ("rtf_config6_masterbus", config6_masterbus, config_seconds, iters),
+        # Extension metric: convolution reverb (partitioned real-DFT conv).
+        ("rtf_config7_reverb", config7_reverb, config_seconds, iters),
     ]
 
     # Optional subset (e.g. NODEY_BENCH_ONLY="1,4" or "headline") — lets the
@@ -689,7 +709,7 @@ def main() -> int:
         configs = [
             c for i, c in enumerate(configs, start=1) if str(i) in wanted
         ]
-        run_headline = "headline" in wanted or not wanted.isdisjoint({"8"})
+        run_headline = "headline" in wanted or not wanted.isdisjoint({"9"})
         run_pallas_ab = "pallas" in wanted
     else:
         run_headline = True
