@@ -385,19 +385,30 @@ def compressor_sharded_local(x, p: CompressorParams, axis_name: str,
     The one-pole runs on the CORRECTED envelope, so the sharded smoother
     sees exactly the offline input sequence; agreement vs the offline
     scan is re-association-tight."""
+    s_log = _sharded_s_log(x, p.alpha, p.c, axis_name, sp)
+    g_db = compressor_gain_db(s_log * np.float32(_NAT_TO_DB), p)
+    gain = np.float32(p.makeup) * jnp.exp(g_db * np.float32(_DB_TO_NAT))
+    return x * gain[None, :]
+
+
+def _sharded_s_log(x, alpha: float, c: float, axis_name: str, sp: int):
+    """This shard's exact global SMOOTHED log level: the sharded release
+    envelope (_sharded_env_log) fed through the one-pole attack smoother
+    with an affine cross-shard prefix — the detector both the compressor
+    and the gate share, spatialized."""
     from jax import lax as _lax
 
     chunk = x.shape[-1]
-    env_log = _sharded_env_log(x, p.c, axis_name, sp)
+    env_log = _sharded_env_log(x, c, axis_name, sp)
 
     from nodey_tpu.ops.scans import ar1_scan, pole_powers
 
-    a32 = np.float32(p.alpha)
+    a32 = np.float32(alpha)
     # Local inclusive affine scan (init contribution added after the
     # cross-shard prefix below); the weight plane alpha^(n+1) is a
     # static host decay curve.
-    v_incl = ar1_scan((np.float32(1.0) - a32) * env_log, p.alpha)
-    w_incl = pole_powers(p.alpha, env_log.shape[-1])[0]
+    v_incl = ar1_scan((np.float32(1.0) - a32) * env_log, alpha)
+    w_incl = pole_powers(alpha, env_log.shape[-1])[0]
 
     # Cross-shard exclusive prefix of the smoother value. ppermute fills
     # un-addressed shards with zeros — here 0.0 IS the additive
@@ -409,7 +420,7 @@ def compressor_sharded_local(x, p: CompressorParams, axis_name: str,
     while d < sp:
         perm = [(i, i + d) for i in range(sp - d)]
         r = _lax.ppermute(v, axis_name, perm)
-        nv = r * np.float32(p.alpha ** (d * chunk)) + v
+        nv = r * np.float32(alpha ** (d * chunk)) + v
         v = jnp.where(idx >= d, nv, v)
         d *= 2
     if sp > 1:
@@ -423,14 +434,10 @@ def compressor_sharded_local(x, p: CompressorParams, axis_name: str,
     # floor-init decayed over i*chunk samples.
     init_w = jnp.exp(
         idx.astype(jnp.float32)
-        * np.float32(chunk * math.log(p.alpha))
+        * np.float32(chunk * math.log(alpha))
     )
     s_prev = prev + init_w * _LOG_FLOOR
-    s_log = v_incl + w_incl * s_prev
-
-    g_db = compressor_gain_db(s_log * np.float32(_NAT_TO_DB), p)
-    gain = np.float32(p.makeup) * jnp.exp(g_db * np.float32(_DB_TO_NAT))
-    return x * gain[None, :]
+    return v_incl + w_incl * s_prev
 
 
 def compressor_reference(data: np.ndarray, threshold_db: float,
@@ -463,4 +470,141 @@ def compressor_reference(data: np.ndarray, threshold_db: float,
         else:
             g_db = slope * over if over > 0 else 0.0
         gain[i] = p.makeup * 10.0 ** (g_db / 20.0)
+    return (data.astype(np.float64) * gain[None, :]).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Noise gate — downward expansion below a threshold.
+#
+# Same decoupled detector as the compressor (instant-attack / exponential-
+# release max-plus envelope + one-pole smoother, both log-domain
+# associative scans), different static curve: at or above threshold the
+# gain is EXACTLY 0 dB via jnp.where (bitwise passthrough on loud
+# material — the standing transparency contract); below it the gain
+# falls at (ratio - 1) dB per dB, floored at -range_db. The detector's
+# instant attack means the gate OPENS within the attack smoother's time
+# constant and CLOSES at the release rate — the musical convention.
+#
+# Streaming carries the same two scalars as the compressor; sharding
+# reuses the spatialized detector (_sharded_s_log) verbatim.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GateParams:
+    threshold_db: float
+    ratio: float        # expansion ratio (>= 1); gain slope = ratio - 1
+    range_db: float     # maximum attenuation
+    alpha: float        # attack one-pole coefficient
+    c: float            # release per-sample log decrement
+
+
+def gate_params(threshold_db: float, ratio: float, range_db: float,
+                attack_ms: float, release_ms: float,
+                rate: int) -> GateParams:
+    release_samples = max(1.0, float(release_ms) * 1e-3 * rate)
+    attack_samples = max(1e-3, float(attack_ms) * 1e-3 * rate)
+    return GateParams(
+        threshold_db=float(threshold_db),
+        ratio=max(1.0, float(ratio)),
+        range_db=max(0.0, float(range_db)),
+        alpha=math.exp(-1.0 / attack_samples),
+        c=1.0 / release_samples,
+    )
+
+
+def gate_gain_db(level_db, p: GateParams):
+    """Static gate curve (dB in, dB of gain out; <= 0). At or above the
+    threshold the result is EXACTLY 0.0 via jnp.where."""
+    slope = np.float32(p.ratio - 1.0)
+    under = level_db - np.float32(p.threshold_db)
+    g = jnp.maximum(slope * under, -np.float32(p.range_db))
+    return jnp.where(under >= 0, np.float32(0.0), g)
+
+
+def gate_block(data, p: GateParams, carry_env=None, carry_s=None):
+    """Gate [C, N] float32; returns (out, env_log, s_log) — the same
+    detector plumbing as compress_block with the gate's curve."""
+    peak = jnp.abs(data).max(axis=0)                       # stereo-linked
+    a = jnp.maximum(
+        jnp.log(jnp.maximum(peak, np.float32(1e-26))), _LOG_FLOOR
+    )
+    env_log = envelope_log_scan(a, p.c)
+    if carry_env is not None:
+        n_idx = jnp.arange(1, data.shape[1] + 1, dtype=jnp.float32)
+        env_log = jnp.maximum(
+            env_log, carry_env - np.float32(p.c) * n_idx
+        )
+    init = _LOG_FLOOR if carry_s is None else carry_s
+    s_log = one_pole_log_scan(env_log, p.alpha, init)
+    g_db = gate_gain_db(s_log * np.float32(_NAT_TO_DB), p)
+    gain = jnp.exp(g_db * np.float32(_DB_TO_NAT))
+    return data * gain[None, :], env_log, s_log
+
+
+def gate_stream(stream: Stream, threshold_db: float, ratio: float,
+                range_db: float, attack_ms: float,
+                release_ms: float) -> Stream:
+    """Offline gate over a whole Stream (zero padding past ``length``
+    never raises the detector; output stays masked since 0 * gain == 0)."""
+    p = gate_params(threshold_db, ratio, range_db, attack_ms,
+                    release_ms, stream.rate)
+    out, _env, _s = gate_block(stream.data, p)
+    return stream.with_data(out, fmt=FMT_FLT)
+
+
+def gate_stream_init(channels: int):
+    """Streaming carry: (release envelope, attack smoother) at the
+    previous chunk's last valid sample — two scalars (stereo-linked)."""
+    return (jnp.float32(_LOG_FLOOR), jnp.float32(_LOG_FLOOR))
+
+
+def gate_stream_step(p: GateParams, state, data, n):
+    """One chunk: data [C, W], n valid — compressor_stream_step with the
+    gate's curve (invalid trailing samples do not advance the detector)."""
+    carry_env, carry_s = state
+    idx = jnp.arange(data.shape[1], dtype=jnp.int32)
+    masked = jnp.where((idx < n)[None, :], data, 0.0)
+    out, env_log, s_log = gate_block(
+        masked, p, carry_env=carry_env, carry_s=carry_s
+    )
+    last = jnp.clip(n - 1, 0, data.shape[1] - 1)
+    new_env = jnp.where(n > 0, env_log[last], carry_env)
+    new_s = jnp.where(n > 0, s_log[last], carry_s)
+    return (new_env, new_s), out
+
+
+def gate_sharded_local(x, p: GateParams, axis_name: str, sp: int):
+    """Per-shard gate body (under ``shard_map``): the compressor's
+    spatialized two-stage detector (_sharded_s_log) with the gate's
+    static curve."""
+    s_log = _sharded_s_log(x, p.alpha, p.c, axis_name, sp)
+    g_db = gate_gain_db(s_log * np.float32(_NAT_TO_DB), p)
+    gain = jnp.exp(g_db * np.float32(_DB_TO_NAT))
+    return x * gain[None, :]
+
+
+def gate_reference(data: np.ndarray, threshold_db: float, ratio: float,
+                   range_db: float, attack_ms: float, release_ms: float,
+                   rate: int) -> np.ndarray:
+    """Sequential float64 mirror of the exact two-stage recurrence + gate
+    curve (the yardstick the log-depth scans are tested against)."""
+    p = gate_params(threshold_db, ratio, range_db, attack_ms,
+                    release_ms, rate)
+    peak = np.abs(data).max(axis=0).astype(np.float64)
+    a = np.maximum(np.log(np.maximum(peak, 1e-26)), float(_LOG_FLOOR))
+    e = float(_LOG_FLOOR)
+    s = float(_LOG_FLOOR)
+    gain = np.ones(data.shape[1])
+    slope = p.ratio - 1.0
+    for i in range(data.shape[1]):
+        e = max(float(a[i]), e - p.c)
+        s = p.alpha * s + (1.0 - p.alpha) * e
+        level_db = s * _NAT_TO_DB
+        under = level_db - p.threshold_db
+        if under >= 0.0:
+            g_db = 0.0
+        else:
+            g_db = max(slope * under, -p.range_db)
+        gain[i] = 10.0 ** (g_db / 20.0)
     return (data.astype(np.float64) * gain[None, :]).astype(np.float32)

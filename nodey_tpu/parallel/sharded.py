@@ -112,7 +112,7 @@ def plan_sharded(
         raise ProcessorRuntimeError(
             "Graph not time-shardable",
             "Non-LTI or infinite-impulse-response nodes (velocity/pitch "
-            "WSOLA, audio_limiter/compressor, audio_eq/filter) cannot "
+            "WSOLA, audio_limiter/compressor/gate, audio_eq/filter) cannot "
             "shard the sample axis via overlap-discard; run them via "
             "compile_graph_dp, the streaming carry path, or single-device "
             "rendering (PV tempo stages, dynamics and IIR nodes shard "

@@ -39,6 +39,9 @@ each mapping (local chunk [C, c_in], global length) -> (local chunk
   max-plus release prefix plus an affine doubling for the one-pole attack
   smoother (its per-step weight alpha^(d*chunk) is static, so again only
   one scalar per shard rides ICI). Length/rate-preserving;
+* **gate** (audio_gate) — ops/dynamics.gate_sharded_local: the
+  compressor's spatialized detector with the gate's static expansion
+  curve. Length/rate-preserving;
 * **EQ / filter** (audio_eq, audio_filter) —
   ops/biquad.cascade_sharded_local: IIR sections (infinite impulse
   response — overlap-discard can never be exact) run their first-order
@@ -144,6 +147,14 @@ class _CompressorStage:
 
 
 @dataclasses.dataclass(frozen=True)
+class _GateStage:
+    """audio_gate: the compressor's spatialized two-prefix detector with
+    the gate's static curve (ops/dynamics.gate_sharded_local)."""
+
+    params: Any
+
+
+@dataclasses.dataclass(frozen=True)
 class _BiquadStage:
     """audio_eq / audio_filter: IIR sections (infinite impulse response,
     so overlap-discard can never be exact) shard via exact cross-shard
@@ -232,6 +243,7 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
     from nodey_tpu.processors.audio_vol import AudioVol
     from nodey_tpu.processors.compressor import AudioCompressor
     from nodey_tpu.processors.equalizer import AudioEq, AudioFilter
+    from nodey_tpu.processors.gate import AudioGate
     from nodey_tpu.processors.limiter import AudioLimiter
     from nodey_tpu.processors.resample_node import AudioResample
     from nodey_tpu.processors.velocity import (
@@ -258,6 +270,13 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                     proc.threshold_db, proc.ratio, proc.knee_db,
                     proc.attack_ms, proc.release_ms, proc.makeup_db,
                     rate,
+                )
+            ))
+        elif isinstance(proc, AudioGate):
+            stages.append(_GateStage(
+                params=dynamics_ops.gate_params(
+                    proc.threshold_db, proc.ratio, proc.range_db,
+                    proc.attack_ms, proc.release_ms, rate,
                 )
             ))
         elif isinstance(proc, (AudioEq, AudioFilter)):
@@ -311,7 +330,7 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
             raise ProcessorRuntimeError(
                 "Unsupported node in sharded chain",
                 "compile_chain_sp_tv supports audio_vol, audio_limiter, "
-                "audio_compressor, audio_eq, audio_filter, "
+                "audio_compressor, audio_gate, audio_eq, audio_filter, "
                 "audio_resample and velocity/pitch (algorithm='pv') "
                 "between input and output.",
                 f"node {nid}: {type(proc).__name__}",
@@ -475,6 +494,12 @@ def compile_chain_sp_tv(
                 from nodey_tpu.ops import dynamics as dynamics_ops
 
                 x = dynamics_ops.compressor_sharded_local(
+                    x, st.params, sp_axis, plan.sp
+                )
+            elif isinstance(st, _GateStage):
+                from nodey_tpu.ops import dynamics as dynamics_ops
+
+                x = dynamics_ops.gate_sharded_local(
                     x, st.params, sp_axis, plan.sp
                 )
             elif isinstance(st, _BiquadStage):

@@ -11,7 +11,8 @@ shipped — BASELINE configs 2/4/5; FFTW declared-but-unused, reference
 xmake.lua:15 — and the master-bus dynamics stages):
 
     audio_split, audio_resample, audio_spectrum, audio_limiter,
-    audio_compressor, audio_eq, audio_filter, audio_reverb
+    audio_compressor, audio_eq, audio_filter, audio_reverb,
+    audio_delay, audio_gate
 """
 
 from __future__ import annotations
@@ -34,6 +35,8 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.compressor import AudioCompressor
     from nodey_tpu.processors.equalizer import AudioEq, AudioFilter
     from nodey_tpu.processors.reverb import AudioReverb
+    from nodey_tpu.processors.delay import AudioDelay
+    from nodey_tpu.processors.gate import AudioGate
 
     for cls in (
         AudioInput,
@@ -52,5 +55,7 @@ def register_builtin_processors() -> None:
         AudioEq,
         AudioFilter,
         AudioReverb,
+        AudioDelay,
+        AudioGate,
     ):
         register_processor(cls)

@@ -58,6 +58,16 @@ def test_pitch_shift_streamed_example(tmp_path):
     assert "pitch +3" in r.stdout
 
 
+def test_channel_strip_example(tmp_path):
+    """Full extension-node chain (gate -> EQ -> compressor -> delay ->
+    reverb -> limiter), chunk-streamed with growing tails."""
+    out = tmp_path / "strip.mp3"
+    r = _run("channel_strip.py", "-o", str(out), cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 10_000
+    assert "exported" in r.stdout
+
+
 def test_pv_transients_example(tmp_path):
     """PV tempo stage with onset phase reset, plus the plain comparison
     render."""
