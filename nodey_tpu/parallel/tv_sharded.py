@@ -42,6 +42,12 @@ each mapping (local chunk [C, c_in], global length) -> (local chunk
 * **gate** (audio_gate) — ops/dynamics.gate_sharded_local: the
   compressor's spatialized detector with the gate's static expansion
   curve. Length/rate-preserving;
+* **tremolo / chorus** (audio_tremolo, audio_chorus) —
+  ops/modfx.{tremolo,chorus}_sharded_local: ANALYTIC time variance —
+  the LFO phase at global sample t is an exact modular-integer residue
+  each shard derives from its axis offset, so the tremolo needs zero
+  communication and the chorus only a finite-receptive-field halo
+  exchange. Length/rate-preserving;
 * **EQ / filter** (audio_eq, audio_filter) —
   ops/biquad.cascade_sharded_local: IIR sections (infinite impulse
   response — overlap-discard can never be exact) run their first-order
@@ -147,6 +153,33 @@ class _CompressorStage:
 
 
 @dataclasses.dataclass(frozen=True)
+class _TremoloStage:
+    """audio_tremolo: analytic time variance — the LFO gain at sample t
+    is a pure function of the global index, which each shard derives
+    from its axis offset (ops/modfx.tremolo_sharded_local). ZERO
+    communication. Length/rate-preserving."""
+
+    rate_hz: float
+    depth: float
+    sample_rate: int
+
+
+@dataclasses.dataclass(frozen=True)
+class _ChorusStage:
+    """audio_chorus: LFO-modulated FIR delay — finite receptive field
+    via halo exchange plus the same shard-offset phase derivation
+    (ops/modfx.chorus_sharded_local). Length/rate-preserving."""
+
+    rate_hz: float
+    base_ms: float
+    depth_ms: float
+    voices: int
+    wet: float
+    dry: float
+    sample_rate: int
+
+
+@dataclasses.dataclass(frozen=True)
 class _GateStage:
     """audio_gate: the compressor's spatialized two-prefix detector with
     the gate's static curve (ops/dynamics.gate_sharded_local)."""
@@ -244,6 +277,7 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
     from nodey_tpu.processors.compressor import AudioCompressor
     from nodey_tpu.processors.equalizer import AudioEq, AudioFilter
     from nodey_tpu.processors.gate import AudioGate
+    from nodey_tpu.processors.modulation import AudioChorus, AudioTremolo
     from nodey_tpu.processors.limiter import AudioLimiter
     from nodey_tpu.processors.resample_node import AudioResample
     from nodey_tpu.processors.velocity import (
@@ -272,6 +306,21 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                     rate,
                 )
             ))
+        elif isinstance(proc, AudioTremolo):
+            if proc.depth > 0.0:               # depth 0 = passthrough
+                stages.append(_TremoloStage(
+                    rate_hz=float(proc.rate_hz),
+                    depth=float(proc.depth), sample_rate=rate,
+                ))
+        elif isinstance(proc, AudioChorus):
+            if not (proc.wet == 0.0 and proc.dry == 1.0):
+                stages.append(_ChorusStage(
+                    rate_hz=float(proc.rate_hz),
+                    base_ms=float(proc.base_ms),
+                    depth_ms=float(proc.depth_ms),
+                    voices=int(proc.voices), wet=float(proc.wet),
+                    dry=float(proc.dry), sample_rate=rate,
+                ))
         elif isinstance(proc, AudioGate):
             stages.append(_GateStage(
                 params=dynamics_ops.gate_params(
@@ -330,7 +379,8 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
             raise ProcessorRuntimeError(
                 "Unsupported node in sharded chain",
                 "compile_chain_sp_tv supports audio_vol, audio_limiter, "
-                "audio_compressor, audio_gate, audio_eq, audio_filter, "
+                "audio_compressor, audio_gate, audio_tremolo, "
+                "audio_chorus, audio_eq, audio_filter, "
                 "audio_resample and velocity/pitch (algorithm='pv') "
                 "between input and output.",
                 f"node {nid}: {type(proc).__name__}",
@@ -495,6 +545,19 @@ def compile_chain_sp_tv(
 
                 x = dynamics_ops.compressor_sharded_local(
                     x, st.params, sp_axis, plan.sp
+                )
+            elif isinstance(st, _TremoloStage):
+                from nodey_tpu.ops import modfx as modfx_ops
+
+                x = modfx_ops.tremolo_sharded_local(
+                    x, st.rate_hz, st.depth, st.sample_rate, sp_axis
+                )
+            elif isinstance(st, _ChorusStage):
+                from nodey_tpu.ops import modfx as modfx_ops
+
+                x = modfx_ops.chorus_sharded_local(
+                    x, ln, st.rate_hz, st.base_ms, st.depth_ms,
+                    st.voices, st.wet, st.dry, st.sample_rate, sp_axis
                 )
             elif isinstance(st, _GateStage):
                 from nodey_tpu.ops import dynamics as dynamics_ops

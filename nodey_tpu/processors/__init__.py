@@ -12,7 +12,7 @@ xmake.lua:15 — and the master-bus dynamics stages):
 
     audio_split, audio_resample, audio_spectrum, audio_limiter,
     audio_compressor, audio_eq, audio_filter, audio_reverb,
-    audio_delay, audio_gate
+    audio_delay, audio_gate, audio_tremolo, audio_chorus
 """
 
 from __future__ import annotations
@@ -37,6 +37,7 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.reverb import AudioReverb
     from nodey_tpu.processors.delay import AudioDelay
     from nodey_tpu.processors.gate import AudioGate
+    from nodey_tpu.processors.modulation import AudioChorus, AudioTremolo
 
     for cls in (
         AudioInput,
@@ -57,5 +58,7 @@ def register_builtin_processors() -> None:
         AudioReverb,
         AudioDelay,
         AudioGate,
+        AudioTremolo,
+        AudioChorus,
     ):
         register_processor(cls)
