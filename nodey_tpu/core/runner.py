@@ -357,9 +357,17 @@ class Runner:
 
         self.state = RunnerState.RUNNING
         self.error = None
+        # Batch 4 chunk steps per device dispatch (lax.scan over the same
+        # traced step, byte-identical output): one h2d/execute/d2h per
+        # 48 s of audio instead of per 12 s — ~12% faster export wall on
+        # the relay rig (RSS-neutral; measured ROUND4.md §21).
+        # NODEY_STREAM_BATCH overrides (1 disables).
+        import os as _os
+
+        batch = max(1, int(_os.environ.get("NODEY_STREAM_BATCH", "4")))
         executor = StreamExecutor(
             self.graph, mode="export", chunk_seconds=chunk_seconds,
-            master_wire="s16", collect_frames=False,
+            master_wire="s16", collect_frames=False, batch_steps=batch,
         )
         # Exposed for cooperative cancellation (Runner.stop_streaming).
         self._active_executor = executor

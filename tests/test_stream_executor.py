@@ -357,3 +357,100 @@ def test_streamed_preview_falls_back_for_mismatched_cadence(tmp_path):
     ref = Runner(g).render(mode="preview").master
     assert got.shape == ref.shape
     np.testing.assert_array_equal(got, ref)
+
+
+def test_batched_dispatch_bitwise_equals_unbatched(tmp_path, monkeypatch):
+    """batch_steps scans k chunk steps into one device dispatch
+    (chunkflow.compile_stream_graph batch_steps): the scan body is the
+    same traced step, so the exported MP3 is BYTE-identical to the
+    k=1 pipeline — including a mid-batch source EOF (tracks of unequal
+    length) and a growing delay tail whose flush crosses batch
+    boundaries."""
+    import subprocess  # noqa: F401  (parity with other tests' imports)
+
+    from nodey_tpu.processors.delay import AudioDelay
+
+    paths = _write_fixtures(tmp_path, seconds=3.0)
+    # Unequal lengths: track 1 ends mid-batch relative to track 0.
+    short = make_tone(rate=44_100, seconds=1.3, freq=550.0, channels=2)
+    host_decode.write_wav_s16(paths[1], short, 44_100)
+
+    def build():
+        g = _two_track_graph(paths)
+        # Insert a delay before the output: grows the master by the echo
+        # tail, so the post-EOF flush phase spans multiple batches.
+        out_node = next(
+            nid for nid, n in g.nodes.items()
+            if n.processor.info().identifier == "audio_output"
+        )
+        amix = next(
+            nid for nid, n in g.nodes.items()
+            if n.processor.info().identifier == "audio_amix"
+        )
+        link = next(
+            lid for lid, l in g.links.items()
+            if g.pins[l.to_pin].parent == out_node
+        )
+        g.remove_link(link)
+        dly = g.add_node(AudioDelay())
+        g.nodes[dly].processor.set_param("delay_ms", 180.0)
+        g.nodes[dly].processor.set_param("feedback", 0.5)
+        g.add_link(_pin(g, amix, "output"), _pin(g, dly, "input"))
+        g.add_link(_pin(g, dly, "output"), _pin(g, out_node, "input"))
+        return g
+
+    p1 = str(tmp_path / "k1.mp3")
+    pk = str(tmp_path / "k3.mp3")
+    monkeypatch.setenv("NODEY_STREAM_BATCH", "1")
+    m1 = Runner(build()).export_streamed(p1, kbps=192, chunk_seconds=0.4)
+    monkeypatch.setenv("NODEY_STREAM_BATCH", "3")
+    mk = Runner(build()).export_streamed(pk, kbps=192, chunk_seconds=0.4)
+    assert abs(m1.audio_seconds - mk.audio_seconds) < 1e-6
+    with open(p1, "rb") as f1, open(pk, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_batched_dispatch_collects_spectra(tmp_path, monkeypatch):
+    """Frame-tap outputs (spectrum) stack per batch and unstack at the
+    final bulk fetch; batched == unbatched spectra."""
+    import numpy as np
+
+    from nodey_tpu.core.stream_executor import StreamExecutor
+    from nodey_tpu.processors.spectrum import AudioSpectrum
+
+    paths = _write_fixtures(tmp_path, seconds=2.0)
+    def build():
+        g = _two_track_graph(paths)
+        out_node = next(
+            nid for nid, n in g.nodes.items()
+            if n.processor.info().identifier == "audio_output"
+        )
+        amix = next(
+            nid for nid, n in g.nodes.items()
+            if n.processor.info().identifier == "audio_amix"
+        )
+        link = next(
+            lid for lid, l in g.links.items()
+            if g.pins[l.to_pin].parent == out_node
+        )
+        g.remove_link(link)
+        spec = g.add_node(AudioSpectrum())
+        g.add_link(_pin(g, amix, "output"), _pin(g, spec, "input"))
+        g.add_link(_pin(g, spec, "output"), _pin(g, out_node, "input"))
+        return g
+
+    def run(batch):
+        ex = StreamExecutor(
+            build(), mode="export", chunk_seconds=0.5,
+            master_wire="f32", collect_frames=True, batch_steps=batch,
+        )
+        blocks = []
+        ex.run(lambda b: blocks.append(b.copy()))
+        return np.concatenate(blocks, axis=1), dict(ex.spectra)
+
+    m1, s1 = run(1)
+    mk, sk = run(3)
+    np.testing.assert_array_equal(m1, mk)
+    assert set(s1) == set(sk) and s1
+    for key in s1:
+        np.testing.assert_array_equal(s1[key], sk[key])
