@@ -180,6 +180,23 @@ class _ChorusStage:
 
 
 @dataclasses.dataclass(frozen=True)
+class _PanStage:
+    """audio_pan: memoryless per-channel gain (ops/fadepan.pan_array) —
+    zero communication; may widen mono to stereo."""
+
+    pan: float
+
+
+@dataclasses.dataclass(frozen=True)
+class _FadeStage:
+    """audio_fade: analytic time variance — the envelope gain at sample
+    t is a pure function of the global index, derived from the shard's
+    axis offset (ops/fadepan.fade_sharded_local). ZERO communication."""
+
+    spec: Any
+
+
+@dataclasses.dataclass(frozen=True)
 class _GateStage:
     """audio_gate: the compressor's spatialized two-prefix detector with
     the gate's static curve (ops/dynamics.gate_sharded_local)."""
@@ -278,6 +295,8 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
     from nodey_tpu.processors.equalizer import AudioEq, AudioFilter
     from nodey_tpu.processors.gate import AudioGate
     from nodey_tpu.processors.modulation import AudioChorus, AudioTremolo
+    from nodey_tpu.processors.pan import AudioPan
+    from nodey_tpu.processors.fade import AudioFade
     from nodey_tpu.processors.limiter import AudioLimiter
     from nodey_tpu.processors.resample_node import AudioResample
     from nodey_tpu.processors.velocity import (
@@ -321,6 +340,12 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                     voices=int(proc.voices), wet=float(proc.wet),
                     dry=float(proc.dry), sample_rate=rate,
                 ))
+        elif isinstance(proc, AudioPan):
+            stages.append(_PanStage(pan=float(proc.pan)))
+        elif isinstance(proc, AudioFade):
+            fspec = proc._spec(rate)
+            if not fspec.is_noop:
+                stages.append(_FadeStage(spec=fspec))
         elif isinstance(proc, AudioGate):
             stages.append(_GateStage(
                 params=dynamics_ops.gate_params(
@@ -380,9 +405,9 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                 "Unsupported node in sharded chain",
                 "compile_chain_sp_tv supports audio_vol, audio_limiter, "
                 "audio_compressor, audio_gate, audio_tremolo, "
-                "audio_chorus, audio_eq, audio_filter, "
-                "audio_resample and velocity/pitch (algorithm='pv') "
-                "between input and output.",
+                "audio_chorus, audio_pan, audio_fade, audio_eq, "
+                "audio_filter, audio_resample and velocity/pitch "
+                "(algorithm='pv') between input and output.",
                 f"node {nid}: {type(proc).__name__}",
             )
     return stages, rate
@@ -559,6 +584,14 @@ def compile_chain_sp_tv(
                     x, ln, st.rate_hz, st.base_ms, st.depth_ms,
                     st.voices, st.wet, st.dry, st.sample_rate, sp_axis
                 )
+            elif isinstance(st, _PanStage):
+                from nodey_tpu.ops import fadepan as fadepan_ops
+
+                x = fadepan_ops.pan_sharded_local(x, st.pan)
+            elif isinstance(st, _FadeStage):
+                from nodey_tpu.ops import fadepan as fadepan_ops
+
+                x = fadepan_ops.fade_sharded_local(x, st.spec, sp_axis)
             elif isinstance(st, _GateStage):
                 from nodey_tpu.ops import dynamics as dynamics_ops
 

@@ -12,7 +12,8 @@ xmake.lua:15 — and the master-bus dynamics stages):
 
     audio_split, audio_resample, audio_spectrum, audio_limiter,
     audio_compressor, audio_eq, audio_filter, audio_reverb,
-    audio_delay, audio_gate, audio_tremolo, audio_chorus
+    audio_delay, audio_gate, audio_tremolo, audio_chorus,
+    audio_pan, audio_fade
 """
 
 from __future__ import annotations
@@ -38,6 +39,8 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.delay import AudioDelay
     from nodey_tpu.processors.gate import AudioGate
     from nodey_tpu.processors.modulation import AudioChorus, AudioTremolo
+    from nodey_tpu.processors.pan import AudioPan
+    from nodey_tpu.processors.fade import AudioFade
 
     for cls in (
         AudioInput,
@@ -60,5 +63,7 @@ def register_builtin_processors() -> None:
         AudioGate,
         AudioTremolo,
         AudioChorus,
+        AudioPan,
+        AudioFade,
     ):
         register_processor(cls)
