@@ -537,7 +537,11 @@ def main(argv=None) -> int:
 
     p_run = sub.add_parser("run", help="execute a project graph")
     p_run.add_argument("project")
-    p_run.add_argument("--export", help="MP3 output path")
+    p_run.add_argument(
+        "--export",
+        help="output path: .mp3 (LAME CBR) or .wav (lossless, no encode "
+             "bottleneck)",
+    )
     p_run.add_argument("--kbps", type=int, default=320,
                        choices=[64, 96, 128, 160, 192, 256, 320])
     p_run.add_argument("--stream", action="store_true",

@@ -271,8 +271,9 @@ class Runner:
         progress: Optional[Callable[[float], None]] = None,
         block_seconds: float = 4.0,
     ) -> RunMetrics:
-        """Render + MP3-encode (reference: create_export_runner,
-        app.cpp:2042-2094, and do_export, audio-io.cpp:640-844).
+        """Render + encode (reference: create_export_runner,
+        app.cpp:2042-2094, and do_export, audio-io.cpp:640-844). ``.wav``
+        paths take the lossless WavWriter sink instead of LAME.
 
         The master stays device-resident; egress streams block-by-block
         through a bounded queue while LAME encodes — HBM->host transfer and
@@ -304,7 +305,7 @@ class Runner:
         )
         try:
             written = 0
-            with host_encode.Mp3Encoder(
+            with host_encode.open_sink(
                 path, result.rate, channels, kbps, result.fmt
             ) as enc:
                 while True:
@@ -380,7 +381,7 @@ class Runner:
                 # audio-io.cpp:656-658); the executor publishes master_meta
                 # after compile, before any sink call.
                 meta = executor.master_meta
-                enc_holder["enc"] = host_encode.Mp3Encoder(
+                enc_holder["enc"] = host_encode.open_sink(
                     path, meta["rate"], meta["channels"], kbps, meta["fmt"]
                 )
             enc_holder["enc"].write(block)

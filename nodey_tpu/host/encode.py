@@ -125,6 +125,105 @@ class Mp3Encoder:
                 self._handle = None
 
 
+class WavWriter:
+    """Incremental WAV writer with the Mp3Encoder block interface.
+
+    An extension past the reference (whose export sink is MP3-only,
+    audio-io.cpp:640-844): a lossless sink that also removes the export
+    pipeline's LAME bottleneck (~16x realtime on a 1-CPU host — the WAV
+    path is pure memcpy, so streamed export becomes device/transfer
+    bound). Header format follows the master's origin fmt: integer-origin
+    masters write PCM16 (bit-exact with the device's s16 wire
+    quantization and the MP3 path's trunc semantics), float masters write
+    IEEE-float32. RIFF/data sizes are patched on close."""
+
+    def __init__(self, path: str, rate: int, channels: int,
+                 fmt: str = "flt"):
+        import struct
+
+        self._struct = struct
+        self._path = path
+        self._pcm16 = fmt == FMT_S16
+        self._channels = int(channels)
+        self._frames = 0
+        try:
+            self._f = open(path, "wb")
+        except OSError as exc:
+            raise ProcessorRuntimeError(
+                "Failed to open output file",
+                "Cannot open the output file for writing. Check if the "
+                "path is valid and writable.",
+                f"Output path: {path} ({exc})",
+            ) from exc
+        bps = 2 if self._pcm16 else 4
+        tag = 1 if self._pcm16 else 3
+        hdr = b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        hdr += b"fmt " + struct.pack(
+            "<IHHIIHH", 16, tag, self._channels, int(rate),
+            int(rate) * self._channels * bps, self._channels * bps,
+            bps * 8,
+        )
+        hdr += b"data" + struct.pack("<I", 0)
+        self._f.write(hdr)
+
+    def write(self, block: np.ndarray) -> None:
+        """Append a planar [channels, n] float32 block — or an int16
+        block already quantized upstream (the s16 master wire)."""
+        if self._f is None:
+            raise ProcessorRuntimeError(
+                "Encoder already closed", "WavWriter.write after close.",
+                self._path,
+            )
+        if self._pcm16:
+            if block.dtype == np.int16:
+                ints = np.ascontiguousarray(block.T, dtype="<i2")
+            else:
+                # Integer-origin samples are exact multiples of 1/32768;
+                # trunc re-quantization is lossless (same semantics as the
+                # Mp3Encoder S16 path).
+                ints = np.clip(
+                    np.trunc(block.T.astype(np.float32) * 32768.0),
+                    -32768, 32767,
+                ).astype("<i2")
+            payload = np.ascontiguousarray(ints).tobytes()
+        else:
+            if block.dtype == np.int16:
+                block = block.astype(np.float32) * np.float32(1.0 / 32768.0)
+            payload = np.ascontiguousarray(
+                block.T, dtype="<f4"
+            ).tobytes()
+        self._f.write(payload)
+        self._frames += block.shape[1]
+
+    def close(self) -> None:
+        if self._f is not None:
+            f, self._f = self._f, None
+            try:
+                bps = 2 if self._pcm16 else 4
+                nbytes = self._frames * self._channels * bps
+                f.seek(4)
+                f.write(self._struct.pack("<I", 36 + nbytes))
+                f.seek(40)
+                f.write(self._struct.pack("<I", nbytes))
+            finally:
+                f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *rest):
+        self.close()
+
+
+def open_sink(path: str, rate: int, channels: int, kbps: int,
+              fmt: str = "flt"):
+    """Export sink factory: ``.wav`` paths get the lossless incremental
+    WavWriter, everything else the reference-parity Mp3Encoder."""
+    if path.lower().endswith((".wav", ".wave")):
+        return WavWriter(path, rate, channels, fmt)
+    return Mp3Encoder(path, rate, channels, kbps, fmt)
+
+
 def encode_mp3(
     path: str,
     data: np.ndarray,
