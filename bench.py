@@ -826,6 +826,22 @@ def main() -> int:
                 f"relay bound, not the device)"
             )
 
+            # Same pipeline, lossless WAV sink (host/encode.WavWriter):
+            # no LAME stage, so the wall clock shows the framework's own
+            # bound (device + d2h + decode) — the number a production
+            # serving deployment with a PCM sink would see.
+            runner = _Runner(graph)
+            em = runner.export_streamed(
+                f"{tmp}/e2e.wav", chunk_seconds=8.0
+            )
+            log(
+                f"e2e_streamed_wav: {em.audio_seconds:.1f} audio-s in "
+                f"{em.wall_seconds:.2f} s wall (RTF {em.rtf:.0f}x, "
+                f"compile {em.compile_seconds:.1f}s; lossless sink — "
+                f"no encode stage)"
+            )
+            results.append(("e2e_streamed_wav", em.rtf))
+
         if run_headline:
             # Streamed TIME-VARIANT export (VERDICT r1 item 1 'done'
             # criterion): the config-4 pitch/tempo graph through the
