@@ -86,11 +86,18 @@ _RAMP_MAX_MS = 60_000.0       # keeps ramp sample counts < 2^24 at 192 kHz
 
 @dataclasses.dataclass(frozen=True)
 class FadeSpec:
-    """Host-resolved integer anchors (exact; see module docstring)."""
+    """Host-resolved integer anchors (exact; see module docstring).
+
+    ``anchor_end`` switches the fade-out from the absolute
+    ``out_start`` anchor to "ends at the stream's traced length" —
+    available offline/dp/sp where the length is known at trace time;
+    the streaming planner rejects it (a causal stream cannot anchor at
+    its own end)."""
 
     n_in: int                 # fade-in ramp length in samples (0 = none)
     out_start: int            # fade-out ramp start sample (0 = none)
     n_out: int                # fade-out ramp length in samples
+    anchor_end: bool = False
 
     @property
     def out_end(self) -> int:
@@ -98,11 +105,13 @@ class FadeSpec:
 
     @property
     def is_noop(self) -> bool:
+        if self.anchor_end:
+            return self.n_in == 0 and self.n_out == 0
         return self.n_in == 0 and self.out_start == 0
 
 
 def fade_spec(rate: int, in_ms: float, out_start_s: float,
-              out_ms: float) -> FadeSpec:
+              out_ms: float, anchor_end: bool = False) -> FadeSpec:
     in_ms = min(max(float(in_ms), 0.0), _RAMP_MAX_MS)
     out_ms = min(max(float(out_ms), 0.0), _RAMP_MAX_MS)
     out_start_s = max(float(out_start_s), 0.0)
@@ -110,6 +119,9 @@ def fade_spec(rate: int, in_ms: float, out_start_s: float,
     # int32 position arithmetic: keep out_end + any chunk width < 2^31.
     out_start = min(int(round(out_start_s * rate)), 1 << 30)
     n_out = int(round(out_ms * 1e-3 * rate))
+    if anchor_end:
+        return FadeSpec(n_in=n_in, out_start=0, n_out=n_out,
+                        anchor_end=True)
     if out_start == 0:
         n_out = 0                     # out_start_s == 0 disables fade-out
     return FadeSpec(n_in=n_in, out_start=out_start, n_out=n_out)
@@ -141,23 +153,56 @@ def fade_gain(spec: FadeSpec, pos0, width: int, xp=jnp):
     return g
 
 
+def fade_gain_end(spec: FadeSpec, pos0, width: int, length, xp=jnp):
+    """[width] f32 gain with the fade-out anchored to END at the traced
+    stream ``length`` (spec.n_out is the ramp length; spec.out_start is
+    ignored). Only available where the length is known at trace time —
+    offline/dp/sp renders; a causal stream cannot anchor at its end."""
+    p = pos0 + xp.arange(width, dtype=xp.int32)
+    if spec.n_in > 0:
+        ramp = xp.minimum(p, xp.int32(spec.n_in)).astype(xp.float32) \
+            * xp.float32(1.0 / spec.n_in)
+        g = xp.where(p >= xp.int32(spec.n_in), xp.float32(1.0), ramp)
+    else:
+        g = xp.ones(width, dtype=xp.float32)
+    if spec.n_out > 0:
+        length = length.astype(xp.int32) if hasattr(length, "astype") \
+            else xp.int32(length)
+        diff = xp.clip(length - p, xp.int32(0), xp.int32(spec.n_out))
+        ramp = diff.astype(xp.float32) * xp.float32(1.0 / spec.n_out)
+        g_out = xp.where(p < length - xp.int32(spec.n_out),
+                         xp.float32(1.0),
+                         xp.where(p >= length, xp.float32(0.0), ramp))
+        g = g * g_out if spec.n_in > 0 else g_out
+    return g
+
+
 def fade_stream(stream: Stream, spec: FadeSpec) -> Stream:
     if spec.is_noop:
         return stream                      # bitwise passthrough
-    g = fade_gain(spec, jnp.int32(0), stream.capacity)
+    if spec.anchor_end:
+        g = fade_gain_end(spec, jnp.int32(0), stream.capacity,
+                          stream.length)
+    else:
+        g = fade_gain(spec, jnp.int32(0), stream.capacity)
     return stream.with_data(stream.data * g[None, :], fmt=FMT_FLT)
 
 
 def fade_reference(data: np.ndarray, rate: int, in_ms: float,
-                   out_start_s: float, out_ms: float) -> np.ndarray:
+                   out_start_s: float, out_ms: float,
+                   anchor_end: bool = False) -> np.ndarray:
     """Float64 mirror with the same integer anchors."""
-    spec = fade_spec(rate, in_ms, out_start_s, out_ms)
+    spec = fade_spec(rate, in_ms, out_start_s, out_ms, anchor_end)
     n = data.shape[1]
     p = np.arange(n, dtype=np.int64)
     g = np.ones(n, dtype=np.float64)
     if spec.n_in > 0:
         g *= np.minimum(p, spec.n_in) / spec.n_in
-    if spec.out_start > 0:
+    if spec.anchor_end:
+        if spec.n_out > 0:
+            ramp = np.clip(n - p, 0, spec.n_out) / spec.n_out
+            g *= np.where(p < n - spec.n_out, 1.0, ramp)
+    elif spec.out_start > 0:
         if spec.n_out > 0:
             ramp = np.clip(spec.out_end - p, 0, spec.n_out) / spec.n_out
         else:
@@ -189,12 +234,16 @@ def pan_sharded_local(x, pan: float):
     return pan_array(x, pan)
 
 
-def fade_sharded_local(x, spec: FadeSpec, axis_name: str):
+def fade_sharded_local(x, spec: FadeSpec, axis_name: str, length=None):
     """Gain from the shard's global offset — zero communication (the
-    same move as ops/modfx.tremolo_sharded_local)."""
+    same move as ops/modfx.tremolo_sharded_local). ``length`` is the
+    traced GLOBAL valid length, required for anchor_end specs."""
     from jax import lax
 
     pos0 = lax.axis_index(axis_name).astype(jnp.int32) \
         * jnp.int32(x.shape[-1])
-    g = fade_gain(spec, pos0, x.shape[-1])
+    if spec.anchor_end:
+        g = fade_gain_end(spec, pos0, x.shape[-1], length)
+    else:
+        g = fade_gain(spec, pos0, x.shape[-1])
     return x * g[None, :]

@@ -591,7 +591,9 @@ def compile_chain_sp_tv(
             elif isinstance(st, _FadeStage):
                 from nodey_tpu.ops import fadepan as fadepan_ops
 
-                x = fadepan_ops.fade_sharded_local(x, st.spec, sp_axis)
+                x = fadepan_ops.fade_sharded_local(
+                    x, st.spec, sp_axis, length=ln
+                )
             elif isinstance(st, _GateStage):
                 from nodey_tpu.ops import dynamics as dynamics_ops
 

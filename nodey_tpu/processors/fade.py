@@ -9,6 +9,13 @@ at ``out_start_s``), making the law identical offline, chunk-streamed
 (no total-length lookahead, which streaming cannot have) and
 sp-sharded. ``out_start_s`` 0 disables the fade-out; ``out_ms`` 0 with
 a nonzero ``out_start_s`` is a hard cut to silence at that instant.
+
+``anchor_end`` instead ends the fade-out exactly at the stream's traced
+length (ignoring ``out_start_s``) — available in offline, dp and sp
+renders, where the length is known at trace time. The streaming planner
+rejects it with UnstreamableGraphError (a causal stream cannot anchor
+at its own end), which Runner.export_streamed already catches to fall
+back to the offline export.
 """
 
 from __future__ import annotations
@@ -46,6 +53,7 @@ class AudioFade(Processor):
         self.in_ms: float = 0.0
         self.out_start_s: float = 0.0
         self.out_ms: float = 0.0
+        self.anchor_end: bool = False
 
     def info(self) -> ProcessorInfo:
         return ProcessorInfo(
@@ -78,10 +86,15 @@ class AudioFade(Processor):
             {"key": "out_ms", "label": "Fade Out (ms)", "kind": "float",
              "min": 0.0, "max": 60_000.0, "step": 10.0,
              "value": self.out_ms},
+            {"key": "anchor_end", "label": "Anchor Out at Clip End",
+             "kind": "bool", "value": self.anchor_end},
         ]
 
     def serialize(self) -> Any:
-        return {k: getattr(self, k) for k in self._CLAMPS}
+        out = {k: getattr(self, k) for k in self._CLAMPS}
+        if self.anchor_end:
+            out["anchor_end"] = True
+        return out
 
     def deserialize(self, value: Any) -> None:
         if isinstance(value, dict):
@@ -89,12 +102,16 @@ class AudioFade(Processor):
                 if (isinstance(v, (int, float))
                         and not isinstance(v, bool)):
                     self.set_param(k, float(v))
+            ae = value.get("anchor_end")
+            if isinstance(ae, bool):
+                self.anchor_end = ae
 
     def _spec(self, rate: int):
         from nodey_tpu.ops import fadepan
 
         return fadepan.fade_spec(
-            rate, self.in_ms, self.out_start_s, self.out_ms
+            rate, self.in_ms, self.out_start_s, self.out_ms,
+            self.anchor_end,
         )
 
     def _require(self, inputs):
@@ -123,6 +140,17 @@ class AudioFade(Processor):
         if fspec.is_noop:
             self._stream_spec = None
             return {"output": spec}, {}
+        if fspec.anchor_end:
+            from nodey_tpu.core.errors import UnstreamableGraphError
+
+            raise UnstreamableGraphError(
+                "End-anchored fade cannot stream",
+                "A fade-out anchored at the clip end needs the total "
+                "length, which a causal stream only learns at EOF; use "
+                "the offline render/export path, or give the fade an "
+                "absolute 'Out Start' time instead.",
+                "audio_fade anchor_end",
+            )
         from nodey_tpu.ops import fadepan
 
         self._stream_spec = fspec

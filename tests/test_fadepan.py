@@ -160,6 +160,19 @@ def test_fade_streamed_equals_offline_bitwise():
         np.testing.assert_array_equal(got, off)
 
 
+def test_fade_anchor_end_matches_float64():
+    x = noise(30000, seed=7)
+    ref = fp.fade_reference(x, RATE, 60.0, 0.0, 500.0, anchor_end=True)
+    spec = fp.fade_spec(RATE, 60.0, 0.0, 500.0, anchor_end=True)
+    out = np.asarray(fp.fade_stream(_stream(x), spec).data)
+    assert snr_db(ref, out) > 130.0
+    # the ramp actually ends at the clip end: last sample ~0, and the
+    # region before the ramp is a bitwise passthrough
+    n, n_out = x.shape[1], spec.n_out
+    assert abs(out[0, -1]) <= abs(x[0, -1]) / n_out * 2
+    np.testing.assert_array_equal(out[:, :n - n_out], x[:, :n - n_out])
+
+
 # -- graph-level -------------------------------------------------------------
 
 
@@ -186,7 +199,10 @@ def _pan(p):
 def _fade(**params):
     node = AudioFade()
     for k, v in params.items():
-        node.set_param(k, v)
+        if k == "anchor_end":
+            node.anchor_end = bool(v)
+        else:
+            node.set_param(k, v)
     return node
 
 
@@ -252,6 +268,36 @@ def test_sp_chain_pan_and_fade_match_single_device():
         assert out_len == ref_len
         n = min(ref_len, ref.shape[1], out.shape[1])
         assert snr_db(ref[:, :n], out[:, :n]) > 120.0
+
+
+def test_sp_chain_fade_anchor_end_matches_single_device():
+    """anchor_end on the mesh: the global traced length reaches every
+    shard, so the end-anchored envelope is evaluated identically."""
+    from test_tv_sharded import _chain, _run_both
+
+    x = noise(44_100 // 2, seed=16)
+    g, src = _chain(_fade(in_ms=20.0, out_ms=200.0, anchor_end=True))
+    ref, ref_len, out, out_len = _run_both(g, src, x)
+    assert out_len == ref_len
+    n = min(ref_len, ref.shape[1], out.shape[1])
+    assert snr_db(ref[:, :n], out[:, :n]) > 120.0
+
+
+def test_fade_anchor_end_streaming_rejected_with_fallback():
+    """The streaming planner rejects anchor_end (causal streams cannot
+    see their own end) with UnstreamableGraphError — the subclass
+    Runner.export_streamed dispatches its offline fallback on."""
+    import pytest
+
+    from nodey_tpu.core import chunkflow
+    from nodey_tpu.core.errors import UnstreamableGraphError
+
+    g, src = _node_graph(_fade(out_ms=200.0, anchor_end=True))
+    sources = {(src, "output_0"): compiler.SourceSpec(
+        rate=RATE, channels=2, fmt="flt", capacity=2048,
+    )}
+    with pytest.raises(UnstreamableGraphError):
+        chunkflow.compile_stream_graph(g, sources, mode="export")
 
 
 def test_sp_chain_fadepan_composes_with_masterbus():
