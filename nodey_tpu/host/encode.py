@@ -174,6 +174,20 @@ class WavWriter:
                 "Encoder already closed", "WavWriter.write after close.",
                 self._path,
             )
+        # RIFF sizes are u32: refuse before the data chunk crosses
+        # 4 GiB - 36 so close() can always patch a valid header
+        # (instead of struct.error leaving the sizes zeroed).
+        bps = 2 if self._pcm16 else 4
+        nbytes_after = (self._frames + block.shape[1]) \
+            * self._channels * bps
+        if nbytes_after + 36 > 0xFFFFFFFF:
+            raise ProcessorRuntimeError(
+                "WAV output exceeds the 4 GiB RIFF limit",
+                "The WAV container's 32-bit sizes cap a file at 4 GiB "
+                "(about 3.1 hours of float32 stereo at 48 kHz). Export "
+                "to MP3, or split the project into shorter exports.",
+                f"{self._path}: data would reach {nbytes_after} bytes",
+            )
         if self._pcm16:
             if block.dtype == np.int16:
                 ints = np.ascontiguousarray(block.T, dtype="<i2")

@@ -70,7 +70,10 @@ class AudioFade(Processor):
             PinAttribute("input", "Input", AudioStreamType, is_input=True),
         ]
 
-    def set_param(self, key: str, value: float) -> None:
+    def set_param(self, key: str, value) -> None:
+        if key == "anchor_end":
+            self.anchor_end = bool(value)
+            return
         lohi = self._CLAMPS.get(key)
         if lohi is not None:
             setattr(self, key, min(max(float(value), lohi[0]), lohi[1]))
@@ -91,9 +94,10 @@ class AudioFade(Processor):
         ]
 
     def serialize(self) -> Any:
+        # anchor_end is always present so the editor's param merge
+        # (app/session.py apply_params) can toggle it both ways.
         out = {k: getattr(self, k) for k in self._CLAMPS}
-        if self.anchor_end:
-            out["anchor_end"] = True
+        out["anchor_end"] = self.anchor_end
         return out
 
     def deserialize(self, value: Any) -> None:
@@ -109,6 +113,21 @@ class AudioFade(Processor):
     def _spec(self, rate: int):
         from nodey_tpu.ops import fadepan
 
+        # int32 position arithmetic caps the fade-out anchor at 2^30
+        # samples (ops/fadepan.py fade_spec); refusing loudly beats
+        # silently relocating a cut hours earlier than requested.
+        if (not self.anchor_end
+                and round(self.out_start_s * rate) > (1 << 30)):
+            limit_s = (1 << 30) / rate
+            raise ProcessorRuntimeError(
+                "Fade-out start is too late for this sample rate",
+                f"'Out Start' of {self.out_start_s:.0f} s exceeds the "
+                f"engine's position limit of {limit_s:.0f} s at "
+                f"{rate} Hz; move the fade-out earlier or use "
+                "'Anchor Out at Clip End'.",
+                f"out_start_s={self.out_start_s} rate={rate} "
+                f"exceeds 2^30 samples",
+            )
         return fadepan.fade_spec(
             rate, self.in_ms, self.out_start_s, self.out_ms,
             self.anchor_end,
@@ -140,7 +159,7 @@ class AudioFade(Processor):
         if fspec.is_noop:
             self._stream_spec = None
             return {"output": spec}, {}
-        if fspec.anchor_end:
+        if fspec.anchor_end and fspec.n_out > 0:
             from nodey_tpu.core.errors import UnstreamableGraphError
 
             raise UnstreamableGraphError(

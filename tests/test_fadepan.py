@@ -170,7 +170,11 @@ def test_fade_anchor_end_matches_float64():
     # region before the ramp is a bitwise passthrough
     n, n_out = x.shape[1], spec.n_out
     assert abs(out[0, -1]) <= abs(x[0, -1]) / n_out * 2
-    np.testing.assert_array_equal(out[:, :n - n_out], x[:, :n - n_out])
+    # passthrough is bitwise only BETWEEN the ramps: the fade-in covers
+    # [0, n_in) and the end-anchored fade-out covers [n - n_out, n)
+    np.testing.assert_array_equal(
+        out[:, spec.n_in:n - n_out], x[:, spec.n_in:n - n_out]
+    )
 
 
 # -- graph-level -------------------------------------------------------------
@@ -335,5 +339,71 @@ def test_serde_clamps_and_param_spec():
     g.deserialize({"in_ms": -5.0, "out_ms": 1e9})
     assert g.in_ms == 0.0 and g.out_ms == 60_000.0
     assert {s["key"] for s in g.param_spec()} == {
-        "in_ms", "out_start_s", "out_ms"
+        "in_ms", "out_start_s", "out_ms", "anchor_end"
     }
+    (ae_spec,) = [s for s in g.param_spec() if s["key"] == "anchor_end"]
+    assert ae_spec["kind"] == "bool"
+    # anchor_end round-trips through serialize/deserialize
+    g.anchor_end = True
+    h = AudioFade()
+    h.deserialize(json.loads(json.dumps(g.serialize())))
+    assert h.anchor_end is True
+
+
+def test_fade_anchor_end_editable_via_param_paths():
+    """The editor's param merge (apply_params) and set_param must both
+    toggle anchor_end in BOTH directions — serialize() therefore always
+    carries the key (regression: it was omitted when False, so
+    apply_params rejected it as unknown and the editor could never
+    enable the option)."""
+    from nodey_tpu.app.session import apply_params
+
+    f = AudioFade()
+    assert apply_params(f, {"anchor_end": True}) == {"anchor_end": True}
+    assert f.anchor_end is True
+    apply_params(f, {"anchor_end": False})
+    assert f.anchor_end is False
+    f.set_param("anchor_end", True)
+    assert f.anchor_end is True
+
+
+def test_fade_anchor_end_without_out_ramp_streams():
+    """anchor_end with out_ms=0 degenerates to a plain fade-in, which is
+    fully causal — the streaming planner must accept it (ADVICE r2)."""
+    from nodey_tpu.core import chunkflow
+
+    g, src = _node_graph(_fade(in_ms=50.0, out_ms=0.0, anchor_end=True))
+    sources = {(src, "output_0"): compiler.SourceSpec(
+        rate=RATE, channels=2, fmt="flt", capacity=2048,
+    )}
+    chunkflow.compile_stream_graph(g, sources, mode="export")
+
+    # and the streamed output equals the offline render
+    from test_chunkflow import run_offline, run_streamed
+
+    x = noise(12000, seed=21)
+    g, src = _node_graph(_fade(in_ms=50.0, out_ms=0.0, anchor_end=True))
+    src_arrays = {(src, "output_0"): (x, RATE, "flt")}
+    outs, _ = run_offline(g, src_arrays)
+    off_arr, off_n = outs["master"]
+    off = np.asarray(off_arr)[:, :int(off_n)]
+    streamed, _ = run_streamed(g, src_arrays, chunk=2048)
+    np.testing.assert_allclose(streamed["master"], off, rtol=0.0,
+                               atol=3e-7)
+
+
+def test_fade_out_start_past_int32_ceiling_is_structured_error():
+    """out_start_s beyond 2^30 samples raises the 3-part error instead of
+    silently relocating the cut (ADVICE r2, ops/fadepan.py:120)."""
+    import pytest
+
+    from nodey_tpu.core.errors import ProcessorRuntimeError
+
+    f = AudioFade()
+    f.set_param("out_start_s", 80_000.0)  # > 2^30 samples at 48 kHz
+    f.set_param("out_ms", 100.0)
+    with pytest.raises(ProcessorRuntimeError) as ei:
+        f._spec(48_000)
+    assert "position limit" in ei.value.explanation
+    # at a lower rate the same anchor is representable — no error
+    f._spec(8_000)

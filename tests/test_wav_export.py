@@ -113,3 +113,28 @@ def test_streamed_wav_export_matches_offline(tone_wav, tmp_path):
     b = host_decode.decode_file(st)
     assert a.rate == b.rate
     np.testing.assert_array_equal(a.data, b.data)
+
+
+def test_wav_writer_refuses_past_riff_limit(tmp_path):
+    """A write that would push the data chunk past 4 GiB raises the
+    structured error up front, leaving close() able to patch a valid
+    header (ADVICE r2, host/encode.py WavWriter.close)."""
+    from nodey_tpu.core.errors import ProcessorRuntimeError
+
+    path = str(tmp_path / "big.wav")
+    w = host_encode.WavWriter(path, 48_000, 2, "flt")
+    # pretend ~4 GiB already written; the next block must be refused
+    w._frames = (0xFFFFFFFF - 36) // (2 * 4)
+    block = np.zeros((2, 64), np.float32)
+    with pytest.raises(ProcessorRuntimeError) as ei:
+        w.write(block)
+    assert "4 GiB" in ei.value.message
+    w.close()
+    # header still valid (sizes patched with the pre-refusal count)
+    import struct
+
+    with open(path, "rb") as f:
+        hdr = f.read(44)
+    assert hdr[:4] == b"RIFF" and hdr[8:12] == b"WAVE"
+    (riff_size,) = struct.unpack("<I", hdr[4:8])
+    assert riff_size == 36 + w._frames * 2 * 4
