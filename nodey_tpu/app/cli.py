@@ -239,8 +239,14 @@ def cmd_serve(args) -> int:
     srv = web_server.serve(
         graph, title, args.host, args.port,
         project_path=args.project or None,
+        fs_root=getattr(args, "fs_root", None),
     )
-    print(f"serving {title} at http://{args.host}:{args.port}/")
+    token = srv.viewer.auth_token
+    print(
+        f"serving {title} at "
+        f"http://{args.host}:{args.port}/?token={token}"
+    )
+    print(f"  API auth: X-Nodey-Token: {token}")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -287,7 +293,7 @@ def _run_inner(args, graph, runner, diagnostics) -> int:
                 args.export, kbps=args.kbps, progress=progress
             )
             print(
-                f"exported {args.export} (streamed): "
+                f"exported {args.export} ({metrics.mode}): "
                 f"{metrics.audio_seconds:.2f} audio-s in "
                 f"{metrics.wall_seconds:.2f} s wall (RTF {metrics.rtf:.1f}x; "
                 f"compile {metrics.compile_seconds:.2f}s)"
@@ -577,6 +583,10 @@ def main(argv=None) -> int:
     )
     p_srv.add_argument("--host", default="127.0.0.1")
     p_srv.add_argument("--port", type=int, default=8787)
+    p_srv.add_argument(
+        "--fs-root", default=None, dest="fs_root",
+        help="confine the in-editor file browser to this directory",
+    )
     p_srv.set_defaults(fn=cmd_serve)
 
     p_browse = sub.add_parser(

@@ -33,7 +33,7 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from nodey_tpu.core import registry
-from nodey_tpu.core.errors import NodeyError
+from nodey_tpu.core.errors import NodeyError, RunCancelled
 from nodey_tpu.core.graph import Graph
 
 _PAGE = """<!DOCTYPE html>
@@ -217,9 +217,12 @@ function el(n, attrs, text) {
   if (text) e.textContent = text;
   return e;
 }
+const TOKEN = %TOKEN%;  // per-session auth, injected by the server
 async function api(path, body) {
-  const r = await fetch(path, body === undefined ? {} :
-    {method:'POST', headers:{'Content-Type':'application/json'},
+  const r = await fetch(path, body === undefined ?
+    {headers:{'X-Nodey-Token': TOKEN}} :
+    {method:'POST', headers:{'Content-Type':'application/json',
+                             'X-Nodey-Token': TOKEN},
      body: JSON.stringify(body)});
   const j = await r.json();
   if (j && j.error) { err(j.error); throw new Error(j.error); }
@@ -497,7 +500,8 @@ document.getElementById('redo').onclick =
 // directory listing via GET /api/fs; save mode types a file name.
 let fsResolve = null, fsDir = '';
 async function fsLoad(path) {
-  const r = await fetch('/api/fs?path=' + encodeURIComponent(path || ''));
+  const r = await fetch('/api/fs?path=' + encodeURIComponent(path || ''),
+                        {headers:{'X-Nodey-Token': TOKEN}});
   const d = await r.json();
   if (!r.ok) { err(d.error || 'fs error'); return; }
   fsDir = d.path;
@@ -577,7 +581,7 @@ let notifSince = 0;
 async function pollNotifications() {
   // The popup-manager analog: structured events stream into the panel.
   const items = await (await fetch('/api/notifications?since=' +
-                                   notifSince)).json();
+      notifSince, {headers:{'X-Nodey-Token': TOKEN}})).json();
   if (!items.length) return;
   notifSince = Math.max(...items.map(n => n.seq)) + 1;
   const pane = document.getElementById('notif');
@@ -589,7 +593,8 @@ async function pollNotifications() {
 async function poll() {
   try {
     await pollNotifications();
-    const s = await (await fetch('/api/state')).json();
+    const s = await (await fetch('/api/state',
+        {headers:{'X-Nodey-Token': TOKEN}})).json();
     document.getElementById('state').textContent = s.state;
     document.getElementById('fill').style.width =
       Math.round(100 * s.fill_ratio) + '%';
@@ -645,7 +650,8 @@ document.getElementById('run').onclick = async () => {
   // the click is the user gesture autoplay policies need. The POST is an
   // idempotent backstop in case the media fetch is deferred.
   const aud = document.getElementById('aud');
-  aud.src = '/api/preview.wav?start=1&ts=' + Date.now();
+  aud.src = '/api/preview.wav?start=1&token=' +
+      encodeURIComponent(TOKEN) + '&ts=' + Date.now();
   aud.play().catch(() => {});
   await api('/api/preview', {});
 };
@@ -821,10 +827,23 @@ class ViewerState:
     """Holds the editing session + live preview + derived overlay data."""
 
     def __init__(self, graph: Graph, title: str,
-                 project_path: Optional[str] = None):
+                 project_path: Optional[str] = None,
+                 auth_token: Optional[str] = None,
+                 fs_root: Optional[str] = None):
+        import os
+        import secrets
+
         from nodey_tpu.app.notifications import NotificationCenter
         from nodey_tpu.app.session import SessionService
 
+        # Per-session auth (Jupyter-style): the token gates EVERY endpoint
+        # including the page itself, so a DNS-rebound origin can neither
+        # read state nor scrape the token out of the served page. The CLI
+        # prints the tokenized URL at startup.
+        self.auth_token = auth_token or secrets.token_urlsafe(16)
+        # Optional confinement root for the /api/fs browser; None lists
+        # any user-readable directory (loopback-trusted default).
+        self.fs_root = os.path.abspath(fs_root) if fs_root else None
         self.session = SessionService()
         self.session.graph = graph
         self.session.project_path = project_path
@@ -942,13 +961,26 @@ class ViewerState:
         import os
 
         if not path:
-            if self.session.project_path:
+            if self.fs_root:
+                path = self.fs_root
+            elif self.session.project_path:
                 path = os.path.dirname(
                     os.path.abspath(self.session.project_path)
                 )
             else:
                 path = os.path.expanduser("~")
         base = os.path.abspath(path)
+        if self.fs_root is not None:
+            # Root-dir confinement: refuse to list outside the configured
+            # root (symlink-resolved so a link inside cannot escape).
+            real = os.path.realpath(base)
+            root = os.path.realpath(self.fs_root)
+            if os.path.commonpath([real, root]) != root:
+                from nodey_tpu.core.errors import InvalidFileError
+
+                raise InvalidFileError(
+                    f"outside the served root: {base}"
+                )
         if not os.path.isdir(base):
             from nodey_tpu.core.errors import InvalidFileError
 
@@ -966,6 +998,9 @@ class ViewerState:
                 entries.append({"name": e.name, "dir": is_dir, "size": size})
         entries.sort(key=lambda x: (not x["dir"], x["name"].lower()))
         parent = os.path.dirname(base)
+        if self.fs_root is not None and os.path.realpath(base) == \
+                os.path.realpath(self.fs_root):
+            parent = base  # confined: no "up" past the served root
         return {
             "path": base,
             "parent": parent if parent != base else None,
@@ -1215,6 +1250,14 @@ class ViewerState:
                     self.rtf_compute = metrics.rtf
                     if self.state == "running":
                         self.state = "finished"
+            except RunCancelled:
+                # A user stop is not an error (reference: teardown back to
+                # Editing, app.cpp:1949-1957); the partial file was removed.
+                self.notifications.push(
+                    "info", "Export cancelled", f"Stopped writing {path}."
+                )
+                with self.lock:
+                    self.state = "stopped"
             except BaseException as exc:
                 self.notifications.push_error(exc)
                 with self.lock:
@@ -1400,11 +1443,42 @@ def make_handler(viewer: ViewerState):
             except json.JSONDecodeError:
                 return {}
 
+        def _token_ok(self) -> bool:
+            """Per-session auth (VERDICT r2 #9): the token travels as the
+            X-Nodey-Token header (the page's fetches) or a ?token= query
+            param (the initial navigation + the <audio> stream). Constant-
+            time compare; a rebound origin can neither guess it nor read
+            it out of any response it is allowed to fetch."""
+            import hmac
+            from urllib.parse import parse_qs, urlparse
+
+            supplied = self.headers.get("X-Nodey-Token", "")
+            if not supplied:
+                q = parse_qs(urlparse(self.path).query)
+                supplied = (q.get("token") or [""])[0]
+            return hmac.compare_digest(supplied, viewer.auth_token)
+
         def do_GET(self) -> None:
             if not self._host_ok():
                 self._json(
                     {"ok": False, "error": "host header rejected"}, 403
                 )
+                return
+            if not self._token_ok():
+                if self.path == "/" or not self.path.startswith("/api/"):
+                    self._send(
+                        403,
+                        b"<html><body><h3>Authentication required</h3>"
+                        b"<p>Open the editor with the tokenized URL "
+                        b"printed by <code>nodey-tpu serve</code> "
+                        b"(http://&lt;host&gt;:&lt;port&gt;/?token=...)."
+                        b"</p></body></html>",
+                        "text/html; charset=utf-8",
+                    )
+                else:
+                    self._json(
+                        {"ok": False, "error": "missing or bad token"}, 403
+                    )
                 return
             try:
                 self._do_get()
@@ -1414,16 +1488,21 @@ def make_handler(viewer: ViewerState):
                 self._json({"ok": False, "error": f"internal: {exc}"}, 500)
 
         def _do_get(self) -> None:
-            if self.path == "/":
-                page = _PAGE.replace("%TITLE%", viewer.title)
+            # Route on the path alone: every endpoint may carry a ?token=
+            # (and its own query params, parsed from self.path as before).
+            route = self.path.split("?", 1)[0]
+            if route == "/":
+                page = _PAGE.replace("%TITLE%", viewer.title).replace(
+                    "%TOKEN%", json.dumps(viewer.auth_token)
+                )
                 self._send(200, page.encode(), "text/html; charset=utf-8")
-            elif self.path == "/api/graph":
+            elif route == "/api/graph":
                 with viewer.edit_lock:
                     self._json(viewer.graph_json())
-            elif self.path == "/api/registry":
+            elif route == "/api/registry":
                 with viewer.edit_lock:
                     self._json(viewer.registry_json())
-            elif self.path == "/api/state":
+            elif route == "/api/state":
                 # The poll tick doubles as the autosave heartbeat (the
                 # reference declares auto_save but never wires it;
                 # SessionService implements it). Serialized with edits and
@@ -1434,25 +1513,26 @@ def make_handler(viewer: ViewerState):
                 except Exception:
                     pass
                 self._json(viewer.state_json())
-            elif self.path == "/api/settings":
+            elif route == "/api/settings":
                 self._json(viewer.settings_json())
-            elif self.path == "/api/help":
+            elif route == "/api/help":
                 self._json(viewer.help_json())
-            elif self.path.startswith("/api/fs"):
+            elif route == "/api/fs":
                 from urllib.parse import parse_qs, urlparse
 
                 q = parse_qs(urlparse(self.path).query)
                 self._json(viewer.fs_list(q.get("path", [""])[0]))
-            elif self.path.startswith("/api/preview.wav"):
+            elif route == "/api/preview.wav":
                 self._stream_preview_wav()
-            elif self.path.startswith("/api/notifications"):
+            elif route == "/api/notifications":
                 # Drain-style consumption: ?since=<seq> peeks newer items.
-                since = 0
-                if "since=" in self.path:
-                    try:
-                        since = int(self.path.split("since=")[1])
-                    except ValueError:
-                        since = 0
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    since = int((q.get("since") or ["0"])[0])
+                except ValueError:
+                    since = 0
                 self._json(
                     [n.as_dict() for n in viewer.notifications.peek(since)]
                 )
@@ -1573,6 +1653,11 @@ def make_handler(viewer: ViewerState):
                     403,
                 )
                 return
+            if not self._token_ok():
+                self._json(
+                    {"ok": False, "error": "missing or bad token"}, 403
+                )
+                return
             try:
                 if self.path == "/api/preview":
                     started = viewer.start_preview()
@@ -1627,9 +1712,16 @@ def make_handler(viewer: ViewerState):
 
 def serve(graph: Graph, title: str, host: str = "127.0.0.1",
           port: int = 8787,
-          project_path: Optional[str] = None) -> ThreadingHTTPServer:
-    """Start the editor server (returns it; call serve_forever/shutdown)."""
-    viewer = ViewerState(graph, title, project_path=project_path)
+          project_path: Optional[str] = None,
+          auth_token: Optional[str] = None,
+          fs_root: Optional[str] = None) -> ThreadingHTTPServer:
+    """Start the editor server (returns it; call serve_forever/shutdown).
+
+    ``auth_token`` None generates a fresh per-session token (read it back
+    from ``server.viewer.auth_token``; the CLI prints the tokenized URL).
+    ``fs_root`` confines the /api/fs browser to a directory subtree."""
+    viewer = ViewerState(graph, title, project_path=project_path,
+                         auth_token=auth_token, fs_root=fs_root)
     server = ThreadingHTTPServer((host, port), make_handler(viewer))
     server.viewer = viewer  # for tests
     return server

@@ -78,3 +78,16 @@ class UnstreamableGraphError(ProcessorRuntimeError):
     cadences, chunkflow.plan_aligned_merge). Raised before any output is
     produced, so callers may fall back to the offline whole-clip paths,
     which handle these graphs exactly."""
+
+
+class RunCancelled(NodeyError):
+    """A run was cooperatively cancelled via ``Runner.stop()``.
+
+    Not an error state: mirrors the reference's stop_source teardown
+    (src/infra/runner.cpp:53-63 sets every node's stop token and joins),
+    after which the app returns to Editing with no error popup
+    (src/frontend/app.cpp:1949-1957). The runner lands back in READY."""
+
+    def __init__(self, detail: str = ""):
+        super().__init__(f"Run cancelled{': ' + detail if detail else ''}")
+        self.detail = detail

@@ -30,6 +30,7 @@ from nodey_tpu.core import compiler
 from nodey_tpu.core.errors import (
     NodeyError,
     ProcessorRuntimeError,
+    RunCancelled,
     UnstreamableGraphError,
 )
 from nodey_tpu.core.graph import Graph
@@ -56,6 +57,10 @@ class RunMetrics:
     compile_seconds: float = 0.0
     device_seconds: float = 0.0
     encode_seconds: float = 0.0
+    # "streamed" | "offline"; export_streamed sets "offline" when an
+    # UnstreamableGraphError forced the whole-clip fallback, so the CLI
+    # reports the path actually taken.
+    mode: str = "offline"
 
     @property
     def rtf(self) -> float:
@@ -85,6 +90,8 @@ class Runner:
 
     def __init__(self, graph: Graph, exec_config: cfg.ExecConfig = cfg.DEFAULT_EXEC):
         cfg.enable_compile_cache()  # library embedders get the persistent cache too
+        import threading
+
         self.graph = graph
         self.exec_config = exec_config
         self.state = RunnerState.READY
@@ -94,13 +101,41 @@ class Runner:
         # (None when the run took the offline fallback or never streamed).
         self.last_stream_metrics = None
         self._active_executor = None
+        # Cooperative cancellation for ALL run paths (the stop_source
+        # analog, reference: include/infra/runner.hpp:47): checked between
+        # offline stages (decode/compile/dispatch/fetch), per egress block
+        # in export(), and inside the streaming executor's hot loops.
+        self._stop_event = threading.Event()
 
-    def stop_streaming(self) -> None:
-        """Cooperatively cancel an in-flight export_streamed (the
-        stop_source analog, reference: include/infra/runner.hpp:47)."""
+    def stop(self) -> None:
+        """Cooperatively cancel whatever run is in flight — offline render,
+        block-egress export, or streamed export. Chunk-granular, like the
+        reference's per-node stop tokens checked in every hot loop
+        (src/infra/runner.cpp:53-63; src/processor/audio-io.cpp:173). The
+        cancelled call raises :class:`RunCancelled` and the runner returns
+        to READY (the reference's Ready-after-teardown)."""
+        self._stop_event.set()
         executor = self._active_executor
         if executor is not None:
             executor.stop()
+
+    # Backwards-compatible name (pre-round-3 API; the server uses it).
+    stop_streaming = stop
+
+    def _check_cancel(self, where: str) -> None:
+        if self._stop_event.is_set():
+            raise RunCancelled(where)
+
+    @staticmethod
+    def _remove_partial(path: str) -> None:
+        """Delete the truncated output of a cancelled export (the
+        reference leaves no partial artifact either — its teardown joins
+        the sink fiber before the file handle closes)."""
+        import contextlib
+        import os
+
+        with contextlib.suppress(OSError):
+            os.remove(path)
 
     # -- decode -------------------------------------------------------------
 
@@ -199,7 +234,8 @@ class Runner:
 
     # -- execute ------------------------------------------------------------
 
-    def render(self, mode: str = "export", fetch: bool = True) -> RunResult:
+    def render(self, mode: str = "export", fetch: bool = True,
+               _nested: bool = False) -> RunResult:
         """Run the graph once; returns the master mix (+ spectra).
 
         ``mode='export'`` leaves the master at native rate for the encoder
@@ -207,9 +243,16 @@ class Runner:
         clamped 48 kHz stereo (reference: do_preview, audio-io.cpp:504-637).
         ``fetch=False`` keeps the master device-resident (RunResult.
         device_master) so the caller can stream the egress.
+
+        Cancellation (``Runner.stop()``) is stage-granular here — checked
+        after decode, compile, and dispatch; the fused device program itself
+        is sub-second at the framework's RTF targets. ``_nested`` keeps a
+        stop set during an enclosing export() visible to this call.
         """
         import jax
 
+        if not _nested:
+            self._stop_event.clear()
         self.state = RunnerState.RUNNING
         self.error = None
         metrics = RunMetrics()
@@ -218,8 +261,10 @@ class Runner:
             t0 = time.perf_counter()
             arrays, lengths, sources = self._decode_inputs()
             metrics.decode_seconds = time.perf_counter() - t0
+            self._check_cancel("after decode")
 
             compiled, metrics.compile_seconds = self._compile(sources, mode)
+            self._check_cancel("after compile")
 
             # Time the device stage to COMPLETION: dispatch is async (and
             # block_until_ready is unreliable on the axon relay), so the
@@ -241,6 +286,7 @@ class Runner:
                     fmt = meta["fmt"]
                     device_master = data
             metrics.device_seconds = time.perf_counter() - t0
+            self._check_cancel("after device dispatch")
             # Host transfers happen after the compute timing window.
             if fetch and device_master is not None:
                 master = np.asarray(device_master)[:, :master_len]
@@ -257,6 +303,11 @@ class Runner:
                 metrics=metrics, device_master=device_master,
                 master_length=master_len,
             )
+        except RunCancelled:
+            # Not an error: the reference tears the Runner down and lands
+            # back in Editing with no popup (app.cpp:1949-1957).
+            self.state = RunnerState.READY
+            raise
         except BaseException as exc:
             # Error capture mirrors the reference's per-fiber catch
             # (runner.cpp:87-136) + poll_state routing (app.cpp:2097-2149).
@@ -283,7 +334,9 @@ class Runner:
 
         from nodey_tpu.host.streamio import BoundedBlockQueue
 
-        result = self.render(mode="export", fetch=False)
+        if not getattr(self, "_nested_export", False):
+            self._stop_event.clear()
+        result = self.render(mode="export", fetch=False, _nested=True)
         if result.device_master is None:
             raise ProcessorRuntimeError(
                 "Export produced no audio",
@@ -309,6 +362,11 @@ class Runner:
                 path, result.rate, channels, kbps, result.fmt
             ) as enc:
                 while True:
+                    # Block-granular cancellation: the encode loop is the
+                    # long pole of an offline export (reference analog: the
+                    # stop token checked in do_export's hot loop,
+                    # src/processor/audio-io.cpp:173, 640-844).
+                    self._check_cancel("export encode loop")
                     host_block = queue.pop(stop=stop)
                     if host_block is None:
                         break
@@ -318,6 +376,11 @@ class Runner:
                         progress(written / result.rate)
             if producer_error:
                 raise producer_error[0]
+        except RunCancelled:
+            stop.set()
+            self.state = RunnerState.READY
+            self._remove_partial(path)
+            raise
         except BaseException as exc:
             stop.set()
             self.state = RunnerState.ERROR
@@ -356,6 +419,7 @@ class Runner:
         (core/stream_executor.py)."""
         from nodey_tpu.core.stream_executor import StreamExecutor
 
+        self._stop_event.clear()
         self.state = RunnerState.RUNNING
         self.error = None
         # Batch 4 chunk steps per device dispatch (lax.scan over the same
@@ -388,6 +452,10 @@ class Runner:
 
         try:
             sm = executor.run(sink, progress=progress)
+            # A stop() mid-run makes the executor drain and return early
+            # with a truncated output — report the cancellation, don't
+            # pass the partial file off as a finished export.
+            self._check_cancel("streamed export")
             if "enc" in enc_holder:
                 enc_holder["enc"].close()
         except UnstreamableGraphError:
@@ -395,8 +463,23 @@ class Runner:
             # stream in lockstep (chunkflow.plan_aligned_merge rejects
             # them before any output is produced); fall back to the
             # offline whole-clip export, which handles them exactly.
+            # (_nested_export keeps a stop() issued before the fallback
+            # visible to the offline path's cancel checks.)
             self.last_stream_metrics = None
-            return self.export(path, kbps=kbps, progress=progress)
+            self._nested_export = True
+            try:
+                return self.export(path, kbps=kbps, progress=progress)
+            finally:
+                self._nested_export = False
+        except RunCancelled:
+            self.state = RunnerState.READY
+            if "enc" in enc_holder:
+                try:
+                    enc_holder["enc"].close()
+                except Exception:
+                    pass
+            self._remove_partial(path)
+            raise
         except BaseException as exc:
             self.state = RunnerState.ERROR
             self.error = exc
@@ -413,5 +496,6 @@ class Runner:
             audio_seconds=sm.audio_seconds,
             wall_seconds=sm.wall_seconds,
             compile_seconds=sm.compile_seconds,
+            mode="streamed",
         )
         return metrics
