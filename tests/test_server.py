@@ -41,6 +41,8 @@ def running_server(tmp_path):
     srv = web_server.serve(g, "test-project", port=0)  # ephemeral port
     import threading
 
+    global TOKEN
+    TOKEN = srv.viewer.auth_token
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     yield srv, srv.server_address[1]
@@ -48,16 +50,26 @@ def running_server(tmp_path):
     srv.shutdown()
 
 
+# Per-session auth token (set by the running_server fixture); every
+# helper attaches it, mirroring the served page's fetch wrapper.
+TOKEN = ""
+
+
+def _auth(headers=None):
+    return {"X-Nodey-Token": TOKEN, **(headers or {})}
+
+
 def _get(port, path):
-    with urllib.request.urlopen(
-        f"http://127.0.0.1:{port}{path}", timeout=10
-    ) as r:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", headers=_auth()
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
         return r.status, r.read()
 
 
 def _post(port, path):
     req = urllib.request.Request(
-        f"http://127.0.0.1:{port}{path}", method="POST"
+        f"http://127.0.0.1:{port}{path}", method="POST", headers=_auth()
     )
     with urllib.request.urlopen(req, timeout=10) as r:
         return r.status, json.loads(r.read())
@@ -127,7 +139,8 @@ def test_preview_wav_live_stream(running_server):
 
     srv, port = running_server
     with urllib.request.urlopen(
-        f"http://127.0.0.1:{port}/api/preview.wav?start=1", timeout=90
+        f"http://127.0.0.1:{port}/api/preview.wav?start=1&token={TOKEN}",
+        timeout=90
     ) as r:
         assert r.status == 200
         assert r.headers["Content-Type"] == "audio/wav"
@@ -168,14 +181,15 @@ def test_preview_wav_multiple_listeners(running_server):
             results[name] = r.read()
 
     t1 = threading.Thread(
-        target=listen, args=("a", f"http://127.0.0.1:{port}/api/preview.wav"),
+        target=listen, args=("a", f"http://127.0.0.1:{port}/api/preview.wav?token={TOKEN}"),
         daemon=True,
     )
     t1.start()
     time.sleep(0.3)  # listener a attaches before the preview starts
     t2 = threading.Thread(
         target=listen,
-        args=("b", f"http://127.0.0.1:{port}/api/preview.wav?start=1"),
+        args=("b",
+              f"http://127.0.0.1:{port}/api/preview.wav?start=1&token={TOKEN}"),
         daemon=True,
     )
     t2.start()
@@ -195,7 +209,7 @@ def test_preview_wav_idle_stream_closes(running_server, monkeypatch):
     monkeypatch.setattr(web_server, "AUDIO_STREAM_IDLE_GRACE_S", 1.0)
     t0 = time.time()
     with urllib.request.urlopen(
-        f"http://127.0.0.1:{port}/api/preview.wav", timeout=30
+        f"http://127.0.0.1:{port}/api/preview.wav?token={TOKEN}", timeout=30
     ) as r:
         raw = r.read()
     assert time.time() - t0 < 10.0
@@ -206,7 +220,7 @@ def _post_json(port, path, obj):
     data = json.dumps(obj).encode()
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}", data=data, method="POST",
-        headers={"Content-Type": "application/json"},
+        headers=_auth({"Content-Type": "application/json"}),
     )
     try:
         with urllib.request.urlopen(req, timeout=10) as r:
@@ -584,7 +598,8 @@ def test_cross_origin_post_rejected(running_server, tmp_path):
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}{path}",
             data=json.dumps(obj).encode(),
-            headers={"Content-Type": "application/json", **headers},
+            headers=_auth({"Content-Type": "application/json",
+                           **headers}),
             method="POST",
         )
         try:
@@ -610,7 +625,7 @@ def test_cross_origin_post_rejected(running_server, tmp_path):
     # Rebinding also blocks READS (fs listings, graph state) on GETs.
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/api/graph",
-        headers={"Host": "evil.example:80"},
+        headers=_auth({"Host": "evil.example:80"}),
     )
     try:
         with urllib.request.urlopen(req, timeout=10) as resp:
@@ -804,3 +819,104 @@ def test_param_spec_conditional_visibility():
         tr = next(f for f in spec if f["key"] == "pv_transient")
         assert tr["show_if"] == {"key": "algorithm", "value": "pv"}
     assert "show_if" in web_server._PAGE
+
+
+def test_auth_token_required(running_server, tmp_path):
+    """Per-session auth (VERDICT r2 #9, Jupyter-style): without the token
+    the page, every API GET (fs listings above all), and every POST are
+    403 — so a DNS-rebound origin can neither read state nor scrape the
+    token out of the page. Query-param and header transport both work."""
+    srv, port = running_server
+
+    def raw_get(path, headers=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", headers=headers or {}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as exc:
+            return exc.code, exc.read()
+
+    # No token: page refused with instructions, APIs 403.
+    status, body = raw_get("/")
+    assert status == 403 and b"token" in body.lower()
+    for path in ("/api/graph", "/api/fs", "/api/state"):
+        status, _ = raw_get(path)
+        assert status == 403, path
+    # Wrong token: still refused.
+    status, _ = raw_get("/api/fs", {"X-Nodey-Token": "nope"})
+    assert status == 403
+    # POST without token: refused even same-origin.
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/save",
+        data=json.dumps({"path": str(tmp_path / "x.json")}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            status = r.status
+    except urllib.error.HTTPError as exc:
+        status = exc.code
+    assert status == 403
+    assert not (tmp_path / "x.json").exists()
+    # Query-param transport (the tokenized URL the CLI prints).
+    status, body = raw_get(f"/?token={TOKEN}")
+    assert status == 200 and b"<svg" in body
+    # The served page embeds the token for its own fetches.
+    assert TOKEN.encode() in body
+    status, _ = raw_get(f"/api/graph?token={TOKEN}")
+    assert status == 200
+
+
+def test_fs_root_confinement(tmp_path):
+    """--fs-root confines /api/fs to a subtree: listings outside (and
+    symlink escapes) are refused, and 'up' stops at the root."""
+    import os
+    import threading
+
+    registry.register_all_processors()
+    root = tmp_path / "media"
+    root.mkdir()
+    (root / "clip.txt").write_text("x")
+    outside = tmp_path / "secret"
+    outside.mkdir()
+    link = root / "escape"
+    os.symlink(outside, link)
+
+    srv = web_server.serve(Graph(), "t", port=0, fs_root=str(root))
+    token = srv.viewer.auth_token
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = srv.server_address[1]
+
+        def fs(path):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/fs?path=" +
+                urllib.parse.quote(path),
+                headers={"X-Nodey-Token": token},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=10) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as exc:
+                return exc.code, json.loads(exc.read())
+
+        # Default listing starts at the root; no parent escape offered.
+        status, d = fs("")
+        assert status == 200 and d["path"] == str(root)
+        assert d["parent"] is None
+        names = {e["name"] for e in d["entries"]}
+        assert "clip.txt" in names
+        # Outside the root: refused.
+        status, d = fs(str(outside))
+        assert status == 400 and "outside" in d["error"]
+        status, d = fs(str(tmp_path))
+        assert status == 400
+        # Symlink escape resolves outside the root: refused.
+        status, d = fs(str(link))
+        assert status == 400
+    finally:
+        srv.shutdown()
