@@ -47,6 +47,13 @@ struct LameApi {
                                               unsigned char*, int);
   int (*encode_flush)(lame_t, unsigned char*, int);
   int (*close)(lame_t);
+  // Optional symbols (present in every lame >= 3.98; checked before use):
+  // segmented parallel encode needs frame-independent output (reservoir
+  // off) and tag-less interior segments.
+  int (*set_bWriteVbrTag)(lame_t, int) = nullptr;
+  int (*set_disable_reservoir)(lame_t, int) = nullptr;
+  int (*get_encoder_delay)(lame_t) = nullptr;
+  size_t (*get_lametag_frame)(lame_t, unsigned char*, size_t) = nullptr;
   void* handle = nullptr;
   bool ok = false;
 };
@@ -87,6 +94,15 @@ LameApi load_lame() {
   api.encode_flush =
       reinterpret_cast<decltype(api.encode_flush)>(sym("lame_encode_flush"));
   api.close = reinterpret_cast<decltype(api.close)>(sym("lame_close"));
+  api.set_bWriteVbrTag = reinterpret_cast<decltype(api.set_bWriteVbrTag)>(
+      sym("lame_set_bWriteVbrTag"));
+  api.set_disable_reservoir =
+      reinterpret_cast<decltype(api.set_disable_reservoir)>(
+          sym("lame_set_disable_reservoir"));
+  api.get_encoder_delay = reinterpret_cast<decltype(api.get_encoder_delay)>(
+      sym("lame_get_encoder_delay"));
+  api.get_lametag_frame = reinterpret_cast<decltype(api.get_lametag_frame)>(
+      sym("lame_get_lametag_frame"));
   api.ok = api.init && api.set_in_samplerate && api.set_num_channels &&
            api.set_quality && api.set_mode && api.set_out_samplerate &&
            api.set_VBR && api.set_brate && api.init_params &&
@@ -113,9 +129,15 @@ struct na_mp3 {
   std::vector<short> short_l, short_r;
 };
 
-extern "C" na_mp3* na_mp3_open(const char* path, int in_rate, int channels,
-                               int kbps, int out_rate, char* errbuf,
-                               int errbuf_len) {
+// flags for na_mp3_open_ex (combinable):
+//   1 = NO_TAG: suppress the Xing/Info header frame (interior segments of
+//       a segmented parallel encode must splice without it)
+//   2 = NO_RESERVOIR: frame-independent output — retained frames of a
+//       segmented encode must not back-reference bits in dropped warmup
+//       frames (main_data_begin stays 0)
+extern "C" na_mp3* na_mp3_open_ex(const char* path, int in_rate, int channels,
+                                  int kbps, int out_rate, int flags,
+                                  char* errbuf, int errbuf_len) {
   LameApi& api = lame_api();
   if (!api.ok) {
     set_err(errbuf, errbuf_len, "libmp3lame not available");
@@ -144,6 +166,17 @@ extern "C" na_mp3* na_mp3_open(const char* path, int in_rate, int channels,
   api.set_out_samplerate(lame, out_rate);
   api.set_VBR(lame, 0 /*vbr_off*/);
   api.set_brate(lame, kbps);
+  if ((flags & 1) || (flags & 2)) {
+    if (!api.set_bWriteVbrTag || !api.set_disable_reservoir) {
+      api.close(lame);
+      std::fclose(f);
+      set_err(errbuf, errbuf_len,
+              "libmp3lame lacks segmented-encode entry points");
+      return nullptr;
+    }
+    if (flags & 1) api.set_bWriteVbrTag(lame, 0);
+    if (flags & 2) api.set_disable_reservoir(lame, 1);
+  }
   if (api.init_params(lame) == -1) {
     api.close(lame);
     std::fclose(f);
@@ -155,6 +188,22 @@ extern "C" na_mp3* na_mp3_open(const char* path, int in_rate, int channels,
   h->file = f;
   h->channels = channels;
   return h;
+}
+
+extern "C" na_mp3* na_mp3_open(const char* path, int in_rate, int channels,
+                               int kbps, int out_rate, char* errbuf,
+                               int errbuf_len) {
+  return na_mp3_open_ex(path, in_rate, channels, kbps, out_rate, 0, errbuf,
+                        errbuf_len);
+}
+
+// Encoder delay in samples (lame_get_encoder_delay; -1 when the symbol is
+// unavailable) — segmented encode uses it only for documentation/tests;
+// the splice itself is frame-aligned and delay-invariant.
+extern "C" int na_mp3_encoder_delay(na_mp3* h) {
+  LameApi& api = lame_api();
+  if (!h || !h->lame || !api.get_encoder_delay) return -1;
+  return api.get_encoder_delay(h->lame);
 }
 
 namespace {
@@ -216,6 +265,21 @@ extern "C" int na_mp3_close(na_mp3* h) {
   const int written =
       api.encode_flush(h->lame, h->buf.data(), static_cast<int>(h->buf.size()));
   if (write_out(h, written) != 0) rc = -1;
+  // Finalize the Xing/Info header: LAME emits a zeroed placeholder frame
+  // at stream start and fills it only through this call — without it the
+  // export carries no duration/gapless (delay+padding) metadata and the
+  // placeholder decodes as 1152 samples of silence. (When the tag was
+  // disabled via open flags, get_lametag_frame returns 0 bytes.)
+  if (rc == 0 && api.get_lametag_frame) {
+    const size_t tag =
+        api.get_lametag_frame(h->lame, h->buf.data(), h->buf.size());
+    if (tag > 0 && tag <= h->buf.size()) {
+      if (std::fseek(h->file, 0, SEEK_SET) != 0 ||
+          std::fwrite(h->buf.data(), 1, tag, h->file) != tag) {
+        rc = -1;
+      }
+    }
+  }
   api.close(h->lame);
   if (std::fclose(h->file) != 0) rc = -1;
   delete h;

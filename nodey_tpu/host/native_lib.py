@@ -81,6 +81,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
     ]
     lib.na_mp3_open.restype = ctypes.c_void_p
+    lib.na_mp3_open_ex.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.na_mp3_open_ex.restype = ctypes.c_void_p
+    lib.na_mp3_encoder_delay.argtypes = [ctypes.c_void_p]
+    lib.na_mp3_encoder_delay.restype = ctypes.c_int
     lib.na_mp3_write_flt.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
     ]
@@ -104,6 +111,20 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     return lib
 
 
+def _stale(so_path: pathlib.Path) -> bool:
+    """True when any native source is newer than the built library —
+    keeps the lazy build honest across source edits (a stale .so would
+    silently miss newly added entry points)."""
+    try:
+        built = so_path.stat().st_mtime
+    except OSError:
+        return True
+    for src in _NATIVE_DIR.glob("*"):
+        if src.is_file() and src.stat().st_mtime > built:
+            return True
+    return False
+
+
 def load() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None if unavailable."""
     global _lib, _load_failed
@@ -113,6 +134,8 @@ def load() -> Optional[ctypes.CDLL]:
         return None
     for path in _candidate_paths():
         if path.exists():
+            if path == _BUILD_DIR / "libnodey_host.so" and _stale(path):
+                break  # fall through to the rebuild
             _lib = _bind(ctypes.CDLL(str(path)))
             return _lib
     try:
