@@ -266,11 +266,14 @@ async function loadGraph() {
     });
     content.appendChild(g);
   }
+  const pinNode = {};
+  for (const n of graph.nodes) for (const p of n.pins) pinNode[p.id] = n.id;
   for (const l of graph.links) {
     const a = pinPos[l.from], b = pinPos[l.to];
     if (!a || !b) continue;
     const mx = (a[0] + b[0]) / 2;
     const path = el('path', {class:'link',
+      'data-tonode': pinNode[l.to],
       d:`M${a[0]},${a[1]} C${mx},${a[1]} ${mx},${b[1]} ${b[0]},${b[1]}`});
     path.addEventListener('click', async () => {
       await api('/api/edit/unlink', {from_pin: l.from, to_pin: l.to});
@@ -626,6 +629,23 @@ async function poll() {
       // highlight for selected nodes.
       r.style.stroke =
         doneNodes.has(id) && !selected.has(id) ? '#7fd962' : '';
+    }
+    // Per-edge chunk-flow FIFO fill coloring (the reference's per-link
+    // occupancy gauges, app.cpp:1574-1595: green/yellow/red by fill).
+    const nodeFill = {};
+    if (s.stages && s.stages.edges)
+      for (const k in s.stages.edges) {
+        const nid = parseInt(k.split('/')[0]);
+        nodeFill[nid] = Math.max(nodeFill[nid] || 0, s.stages.edges[k]);
+      }
+    for (const p of svg.querySelectorAll('path[data-tonode]')) {
+      const f = nodeFill[parseInt(p.getAttribute('data-tonode'))];
+      if (f === undefined) { p.style.stroke = ''; p.style.strokeWidth = ''; }
+      else {
+        p.style.stroke = f < 0.5 ? '#7fd962' : f < 0.85 ? '#e5c07b'
+                                             : '#e06c75';
+        p.style.strokeWidth = '3';
+      }
     }
     if (s.spectrum) drawSpec(s.spectrum);
   } catch (e) {}

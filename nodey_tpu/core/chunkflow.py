@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from nodey_tpu.core.compiler import SourceSpec, external_key, topo_order
 from nodey_tpu.core.errors import LogicError, ProcessorRuntimeError
 from nodey_tpu.core.graph import Graph
+from nodey_tpu.ops import chunkops
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,6 +182,32 @@ class StreamCompiled:
     mode: str
     chunk_in: Dict[str, int]        # input key -> chunk width
     batch_steps: int = 1            # chunks per device dispatch
+    # Stable labels for the per-step "__gauges__" output: one entry per
+    # FifoState found in the state tree, "<node_id>/<state path>". The
+    # executor surfaces these as per-edge fill ratios (the reference's
+    # per-link occupancy overlay, app.cpp:1574-1595).
+    gauge_keys: Tuple[str, ...] = ()
+
+
+GAUGES_KEY = "__gauges__"
+
+
+def _find_fifos(states: Dict[str, Any]):
+    """(label, FifoState) pairs in deterministic order; labels are
+    '<node_id>/<pytree path>'."""
+    from jax import tree_util
+
+    found = []
+    for nid in sorted(states, key=lambda s: int(s)):
+        flat = tree_util.tree_flatten_with_path(
+            states[nid],
+            is_leaf=lambda x: isinstance(x, chunkops.FifoState),
+        )[0]
+        for path, leaf in flat:
+            if isinstance(leaf, chunkops.FifoState):
+                label = nid + "/" + "".join(str(k) for k in path)
+                found.append((label, leaf))
+    return found
 
 
 def compile_stream_graph(
@@ -248,6 +275,18 @@ def compile_stream_graph(
                 raise LogicError(f"Node {nid} planned unknown pin '{pin_name}'")
             pin_specs[pin_id] = spec
     output_meta = dict(plan_ctx.output_specs)
+    # Per-edge occupancy gauges: every FifoState in the state tree gets a
+    # fill-ratio slot in a tiny "__gauges__" output vector (one f32 per
+    # FIFO). Keys/caps are static (same tree structure every step).
+    gauge_keys = tuple(
+        label for label, _ in _find_fifos(init_states)
+    )
+    gauge_caps = jnp.asarray(
+        [leaf.buf.shape[1] for _, leaf in _find_fifos(init_states)],
+        dtype=jnp.float32,
+    ) if gauge_keys else None
+    if gauge_keys:
+        output_meta[GAUGES_KEY] = {"kind": "gauges", "keys": gauge_keys}
 
     # -- trace pass: the chunk step ------------------------------------------
     def step(states: Dict[str, Any], args: Dict[str, Any]):
@@ -282,6 +321,12 @@ def compile_stream_graph(
                         f"Node {nid} lowered unknown pin '{pin_name}'"
                     )
                 pin_values[pin_id] = value
+        if gauge_keys:
+            levels = jnp.stack([
+                leaf.level.astype(jnp.float32)
+                for _, leaf in _find_fifos(new_states)
+            ])
+            ctx.outputs[GAUGES_KEY] = levels / gauge_caps
         return new_states, ctx.outputs
 
     if batch_steps > 1:
@@ -311,6 +356,7 @@ def compile_stream_graph(
         mode=mode,
         chunk_in=chunk_in,
         batch_steps=max(1, int(batch_steps)),
+        gauge_keys=gauge_keys,
     )
 
 

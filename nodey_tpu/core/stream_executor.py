@@ -202,6 +202,11 @@ class StreamExecutor:
         # mid-run via live_stats().
         self._feeds: Dict[str, "_SourceFeed"] = {}
         self._stage_queues: Dict[str, BoundedBlockQueue] = {}
+        # Latest per-FIFO fill vector (tiny device array) + its labels —
+        # the chunk-flow counterpart of the reference's per-LINK channel
+        # fill (audio-stream.cpp:63,75): resolved only when a UI polls.
+        self._latest_gauges = None
+        self._gauge_keys: Tuple[str, ...] = ()
 
     def _open_feeds(self):
         import math
@@ -258,6 +263,7 @@ class StreamExecutor:
             batch_steps=self.batch_steps,
         )
         self.metrics.compile_seconds = time.perf_counter() - t0
+        self._gauge_keys = compiled.gauge_keys
         master_key = "master" if self.mode == "export" else "preview"
         if master_key not in compiled.output_meta:
             raise ProcessorRuntimeError(
@@ -434,6 +440,13 @@ class StreamExecutor:
                     )
                 states, outs = compiled.step(states, args)
                 self.metrics.steps += kb
+                # Per-edge FIFO gauges: keep only the latest (tiny) device
+                # vector; live_stats resolves it lazily when a UI polls,
+                # so the hot loop never fetches it.
+                if compiled.gauge_keys:
+                    g = outs.get("__gauges__")
+                    if g is not None:
+                        self._latest_gauges = g[-1] if kb > 1 else g
                 data, n, odone = outs[master_key]
                 # Device-resident hand-off: the egress thread resolves
                 # (data, n) in one d2h round trip while the next step
@@ -549,4 +562,17 @@ class StreamExecutor:
             }
         for name, q in self._stage_queues.items():
             stats[f"{name}_fill"] = q.stats.fill_ratio
+        # Per-edge chunk-flow FIFO fills (the reference's per-link channel
+        # gauges, app.cpp:1574-1595 / audio-stream.cpp:63,75): one lazy
+        # d2h fetch of a few floats, only on poll — never in the hot loop.
+        g = self._latest_gauges
+        if g is not None and self._gauge_keys:
+            try:
+                vals = np.asarray(g)
+                stats["edges"] = {
+                    key: round(float(v), 4)
+                    for key, v in zip(self._gauge_keys, vals)
+                }
+            except Exception:
+                pass  # a mid-teardown fetch must not kill the poll
         return stats

@@ -25,7 +25,7 @@ tested in tests/test_chunkops.py.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -38,15 +38,29 @@ from nodey_tpu.ops import stretch as stretch_ops
 # -- FIFO ---------------------------------------------------------------------
 
 
+class FifoState(NamedTuple):
+    """Device-resident FIFO carry (buf [C, cap] f32, level int32).
+
+    A NamedTuple (not a bare tuple) so the streaming compiler can find
+    every FIFO in a node's state tree and surface its fill level as a
+    per-edge gauge (the reference's per-link channel occupancy overlay,
+    src/frontend/app.cpp:1574-1595) without touching node code."""
+
+    buf: Any
+    level: Any
+
+
 def fifo_init(channels: int, cap: int):
     """Empty FIFO. ``cap`` must statically bound level + any single push."""
-    return (jnp.zeros((channels, cap), dtype=jnp.float32), jnp.int32(0))
+    return FifoState(jnp.zeros((channels, cap), dtype=jnp.float32),
+                     jnp.int32(0))
 
 
 def fifo_prefill(channels: int, cap: int, zeros: int):
     """FIFO pre-loaded with ``zeros`` silence samples (left-context padding
     or bimix_v2 placement offsets)."""
-    return (jnp.zeros((channels, cap), dtype=jnp.float32), jnp.int32(zeros))
+    return FifoState(jnp.zeros((channels, cap), dtype=jnp.float32),
+                     jnp.int32(zeros))
 
 
 def fifo_push(state, data, n):
@@ -62,7 +76,7 @@ def fifo_push(state, data, n):
     # receive zeros, preserving the zero-tail invariant since the buffer
     # was zero there too.
     buf = lax.dynamic_update_slice(buf, data, (0, level))
-    return (buf, level + jnp.int32(n))
+    return FifoState(buf, level + jnp.int32(n))
 
 
 def fifo_window(state, width: int):
@@ -79,7 +93,7 @@ def fifo_advance(state, take):
     new_level = jnp.maximum(level - take, 0)
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
     buf = jnp.where(idx < new_level, rolled, 0.0)
-    return (buf, new_level)
+    return FifoState(buf, new_level)
 
 
 def fifo_level(state):

@@ -117,6 +117,10 @@ def run_streamed(g, src_arrays, chunk, mode="export", max_flush=64):
                     pieces[key].append(np.asarray(data)[:, :n])
                 if key == master_key:
                     done = bool(odone)
+            elif meta["kind"] == "gauges":
+                g = np.asarray(outs[key])
+                assert g.ndim == 1 and len(g) == len(meta["keys"])
+                assert ((g >= 0.0) & (g <= 1.0)).all(), g
             else:
                 frames, f_n, _fd = outs[key]
                 f_n = int(f_n)
@@ -129,6 +133,8 @@ def run_streamed(g, src_arrays, chunk, mode="export", max_flush=64):
 
     out = {}
     for key, meta in sc.output_meta.items():
+        if meta["kind"] == "gauges":
+            continue
         axis = 1
         out[key] = (
             np.concatenate(pieces[key], axis=axis)

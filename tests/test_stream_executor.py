@@ -454,3 +454,33 @@ def test_batched_dispatch_collects_spectra(tmp_path, monkeypatch):
     assert set(s1) == set(sk) and s1
     for key in s1:
         np.testing.assert_array_equal(s1[key], sk[key])
+
+
+def test_per_edge_fifo_gauges(tmp_path):
+    """Per-edge chunk-flow FIFO fills surface through live_stats (VERDICT
+    r2 #7 — the reference's per-link occupancy overlay,
+    app.cpp:1574-1595): a 2-track amix graph carries merge FIFOs, so the
+    compiled step emits a __gauges__ vector and live_stats resolves it
+    as {\"<node>/<state path>\": fill}."""
+    import numpy as np
+
+    from nodey_tpu.core.stream_executor import StreamExecutor
+
+    paths = _write_fixtures(tmp_path, seconds=2.0)
+    g = _two_track_graph(paths)
+    ex = StreamExecutor(g, mode="export", chunk_seconds=0.25)
+    polled = {}
+
+    def sink(block):
+        # Poll mid-run, like the UI would.
+        stats = ex.live_stats()
+        if "edges" in stats:
+            polled.update(stats["edges"])
+
+    ex.run(sink)
+    assert ex._gauge_keys, "amix graph should carry merge FIFOs"
+    assert polled, "live_stats never surfaced edge gauges mid-run"
+    for key, fill in polled.items():
+        nid = int(key.split("/")[0])
+        assert nid in g.nodes
+        assert 0.0 <= fill <= 1.0
