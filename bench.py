@@ -19,6 +19,7 @@ Prints one JSON line per config, the headline metric LAST:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import pathlib
@@ -460,6 +461,72 @@ def pallas_resample_ab(seconds: float, iters: int = 8) -> None:
 
 V5E_MXU_BF16_PEAK = 197e12  # TPU v5e public peak (bf16 MXU FLOP/s)
 V5E_VPU_F32_PEAK = 4e12     # approximate v5e vector-unit f32 FLOP/s
+V5E_HBM_GBPS = 819.0        # TPU v5e public HBM bandwidth (GB/s)
+
+# Relay-health canary floor: a bare jitted gain (clip(x*1.5)) on 30 s of
+# stereo f32 runs ~200k x RTF on a healthy chip+relay (dispatch-overhead
+# bound); the degraded relay phases observed on 2026-08-18 cut dispatch
+# throughput by 10-100x. Below this floor the capture is annotated
+# degraded and retried once.
+CANARY_RTF_FLOOR = 30_000.0
+
+
+def env_health(claim_seconds: float):
+    """Environment-health capture (VERDICT r2 #3): relay probe RTT, d2h
+    bandwidth, and a fixed known-good canary microbench, attached to every
+    emitted metric so a degraded-relay capture can never masquerade as a
+    code regression."""
+    import jax
+    import jax.numpy as jnp
+
+    h = {"claim_s": round(claim_seconds, 1)}
+    tiny = jnp.zeros((8,), jnp.float32)
+    jax.device_get(tiny)
+    rtts = sorted(_timed(lambda: jax.device_get(tiny)) for _ in range(7))
+    h["probe_rtt_ms"] = round(rtts[len(rtts) // 2] * 1e3, 2)
+
+    big = jnp.zeros((2 * 1024 * 1024,), jnp.float32)  # 8 MB
+    jax.device_get(big[:4])
+    d2h = min(_timed(lambda: jax.device_get(big)) for _ in range(3))
+    h["d2h_MBps"] = round(8.0 / max(d2h, 1e-9), 1)
+
+    host = np.zeros((2 * 1024 * 1024,), np.float32)
+
+    def h2d():
+        a = jax.device_put(host)
+        jax.device_get(a[:4])  # completion probe
+
+    h2d()
+    t = min(_timed(h2d) for _ in range(3))
+    h["h2d_MBps"] = round(8.0 / max(t - rtts[0], 1e-9), 1)
+
+    # Canary: fixed gain microbench, same timed-loop methodology as the
+    # real configs (known-good ~200k x; floor CANARY_RTF_FLOOR).
+    audio_s = 30.0
+    xg = jnp.asarray(
+        (0.3 * np.random.default_rng(0)
+         .standard_normal((2, int(48_000 * audio_s)))).astype(np.float32)
+    )
+    gain = jax.jit(lambda d: jnp.clip(d * jnp.float32(1.5), -1.0, 1.0))
+    out = gain(xg)
+    jax.device_get(out.ravel()[:4])
+    rtt = min(
+        _timed(lambda: jax.device_get(out.ravel()[:4])) for _ in range(3)
+    )
+    t0 = time.perf_counter()
+    for _ in range(8):
+        out = gain(xg)
+    jax.device_get(out.ravel()[:4])
+    pilot = max((time.perf_counter() - t0 - rtt) / 8, 1e-7)
+    iters = _adaptive_iters(pilot, rtt, 8)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = gain(xg)
+    jax.device_get(out.ravel()[:4])
+    per_exec = max((time.perf_counter() - t0 - rtt) / iters, 1e-9)
+    h["canary_rtf"] = round(audio_s / per_exec, 0)
+    h["degraded"] = bool(h["canary_rtf"] < CANARY_RTF_FLOOR)
+    return h
 
 
 def _probe_timed(fn, arg, iters: int) -> float:
@@ -536,6 +603,55 @@ def pv_wsola_ab(seconds: float, iters: int = 8):
     return out
 
 
+def pv_lock_ab(seconds: float, iters: int = 8):
+    """On-chip A/B of the identity-lock scan backends (VERDICT r2 #4):
+    the XLA Hillis–Steele doubling scans (HBM-streaming) vs the Pallas
+    VMEM-resident kernel (ops/pallas_lock.py) at the real PV frame shape
+    for a ``seconds``-long stereo clip. Records the measurement that
+    justifies the TPU default."""
+    import jax
+    import jax.numpy as jnp
+
+    from nodey_tpu.ops import pallas_lock
+    from nodey_tpu.ops import pv as pv_ops
+
+    rate = 48_000
+    n = int(rate * seconds)
+    n_fft, hop, pos, _dpos, _pad = pv_ops._pv_geometry(n, 1.25, rate)
+    K = len(pos)
+    bins = n_fft // 2 + 1
+    rng = np.random.default_rng(4)
+    shape = (2, K, bins)
+    mag = jnp.asarray(rng.random(shape, dtype=np.float32))
+    ph = jnp.asarray(
+        (rng.random(shape, dtype=np.float32) * 6.283 - 3.14)
+    )
+    cos_phi = jnp.cos(ph)
+    sin_phi = jnp.sin(ph)
+    out = []
+    try:
+        xla_fn = jax.jit(pv_ops._lock_to_peaks)
+        pal_fn = jax.jit(functools.partial(
+            pallas_lock.lock_to_peaks_pallas, interpret=False
+        ))
+        t_xla = _probe_timed(
+            lambda a: xla_fn(cos_phi, sin_phi, ph, a)[0], mag, iters
+        )
+        t_pal = _probe_timed(
+            lambda a: pal_fn(cos_phi, sin_phi, ph, a)[0], mag, iters
+        )
+        log(
+            f"pv_lock_ab ([2, {K}, {bins}] frames): xla "
+            f"{t_xla * 1e3:.2f} ms, pallas {t_pal * 1e3:.2f} ms — "
+            f"pallas {t_xla / t_pal:.2f}x faster (TPU default: "
+            f"{'pallas' if t_pal <= t_xla else 'XLA — REVISIT'})"
+        )
+        out.append(("pv_lock_pallas_speedup", t_xla / t_pal))
+    except Exception as exc:
+        log(f"pv_lock_ab skipped: {type(exc).__name__}: {exc}")
+    return out
+
+
 def kernel_mfu(seconds: float, iters: int = 8):
     """Roofline attribution for the two hot kernels (VERDICT r1 item 9):
     achieved FLOP/s vs the unit's peak, so future perf deltas separate
@@ -583,12 +699,30 @@ def kernel_mfu(seconds: float, iters: int = 8):
         )
         flops = 2.0 * macs / t
         mfu = flops / V5E_MXU_BF16_PEAK
+        # Roofline honesty (VERDICT r2 #8): modeled HBM traffic of the
+        # grouped patch-GEMM — input read, patch matrix write+read (the
+        # gather materializes it), weights read, output write. If the
+        # achieved-bytes fraction sits near 1.0 the kernel is at the HBM
+        # roofline and the low MFU is the memory wall, not a kernel gap.
+        if R > 1:
+            patch_rows = C * nblk * B
+            bytes_model = 4.0 * (
+                C * n                       # input read
+                + 2 * patch_rows * Wp       # patch matrix write + read
+                + (R * L) * Wp              # weight bank read
+                + C * n_out                 # output write
+            )
+        else:
+            bytes_model = 4.0 * (C * n + 2 * C * G * W + L * W + C * n_out)
+        bw_frac = (bytes_model / t) / (V5E_HBM_GBPS * 1e9)
         log(
             f"mfu_resample_gemm: {flops / 1e12:.2f} TFLOP/s "
             f"({mfu * 100:.1f}% of v5e MXU bf16 peak; {t * 1e3:.2f} ms, "
-            f"R={R})"
+            f"R={R}); modeled HBM {bytes_model / t / 1e9:.0f} GB/s "
+            f"= {bw_frac * 100:.0f}% of peak"
         )
         out.append(("mfu_resample_gemm", mfu))
+        out.append(("bw_fraction_resample_gemm", bw_frac))
     except Exception as exc:
         log(f"mfu_resample_gemm skipped: {type(exc).__name__}: {exc}")
 
@@ -615,12 +749,21 @@ def kernel_mfu(seconds: float, iters: int = 8):
         t = timed(wsola_fn, x48)
         flops = flops_total / t
         mfu = flops / V5E_VPU_F32_PEAK
+        # Modeled HBM traffic per output frame: reference window read
+        # (C*overlap), search region read (C*(seek+overlap)), and the
+        # sequence copy in+out (2*C*seq).
+        C = 2
+        bytes_model = 4.0 * K * C * (overlap + (seek + overlap) + 2 * seq)
+        bw_frac = (bytes_model / t) / (V5E_HBM_GBPS * 1e9)
         log(
             f"mfu_wsola_scoring: {flops / 1e12:.3f} TFLOP/s "
             f"({mfu * 100:.1f}% of ~v5e VPU f32 peak; {t * 1e3:.2f} ms, "
-            f"K={K}, {t / K * 1e6:.2f} us/frame)"
+            f"K={K}, {t / K * 1e6:.2f} us/frame); modeled HBM "
+            f"{bytes_model / t / 1e9:.1f} GB/s = {bw_frac * 100:.1f}% of "
+            f"peak (serial frame chain — latency-bound, not BW-bound)"
         )
         out.append(("mfu_wsola_scoring", mfu))
+        out.append(("bw_fraction_wsola", bw_frac))
     except Exception as exc:
         log(f"mfu_wsola_scoring skipped: {type(exc).__name__}: {exc}")
     return out
@@ -672,8 +815,11 @@ def main() -> int:
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 300.0
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     config_seconds = 30.0  # BASELINE config clips are 30 s
+    t_claim = time.perf_counter()
     devices = _claim_devices_with_retries()
-    log(f"backend: {jax.default_backend()}, devices: {devices}")
+    claim_s = time.perf_counter() - t_claim
+    log(f"backend: {jax.default_backend()}, devices: {devices} "
+        f"(claim {claim_s:.0f}s)")
     if jax.default_backend() == "cpu" and not os.environ.get(
         "NODEY_BENCH_ALLOW_CPU"
     ):
@@ -681,6 +827,20 @@ def main() -> int:
         # RTFs; opt in explicitly for local smoke runs.
         log("refusing to benchmark on CPU (set NODEY_BENCH_ALLOW_CPU=1)")
         return 2
+
+    # Environment health BEFORE any measurement (VERDICT r2 #3): a
+    # degraded relay (observed 2026-08-18: 10-100x dispatch slowdowns for
+    # hours) must be annotated on the artifact, not silently recorded as
+    # a code regression. One bounded retry when degraded.
+    health = env_health(claim_s)
+    log(f"env health: {health}")
+    if health["degraded"]:
+        log("relay DEGRADED (canary below floor); re-probing in 180 s")
+        time.sleep(180.0)
+        health = env_health(claim_s)
+        log(f"env health (retry): {health}")
+        if health["degraded"]:
+            log("still degraded — results will carry degraded_env=true")
 
     configs = [
         ("rtf_config1_passthrough", config1_passthrough, config_seconds, iters),
@@ -716,6 +876,20 @@ def main() -> int:
         run_pallas_ab = jax.default_backend() == "tpu"
 
     results = []
+    extras = {}  # metric name -> extra JSON fields (stage budgets etc.)
+
+    def _stage_budget(sm):
+        return {
+            "steps": sm.steps,
+            "compile_s": round(sm.compile_seconds, 2),
+            "decode_wait_s": round(sm.decode_wait_seconds, 2),
+            "egress_wait_s": round(sm.egress_wait_seconds, 2),
+            "d2h_busy_s": round(sm.d2h_busy_seconds, 2),
+            "d2h_fetch_s": round(sm.d2h_fetch_seconds, 2),
+            "sink_busy_s": round(sm.sink_busy_seconds, 2),
+            "wall_s": round(sm.wall_seconds, 2),
+        }
+
     with tempfile.TemporaryDirectory() as tmp:
         for name, builder, secs, it in configs:
             graph, mode = builder(tmp, secs)
@@ -825,6 +999,8 @@ def main() -> int:
                 f"{sm.decode_wait_seconds:.1f}s — wall tracks the LAME/"
                 f"relay bound, not the device)"
             )
+            results.append(("e2e_streamed_mp3", em.rtf))
+            extras["e2e_streamed_mp3"] = {"stages": _stage_budget(sm)}
 
             # Same pipeline, lossless WAV sink (host/encode.WavWriter):
             # no LAME stage, so the wall clock shows the framework's own
@@ -834,13 +1010,16 @@ def main() -> int:
             em = runner.export_streamed(
                 f"{tmp}/e2e.wav", chunk_seconds=8.0
             )
+            sm = runner.last_stream_metrics
             log(
                 f"e2e_streamed_wav: {em.audio_seconds:.1f} audio-s in "
                 f"{em.wall_seconds:.2f} s wall (RTF {em.rtf:.0f}x, "
                 f"compile {em.compile_seconds:.1f}s; lossless sink — "
-                f"no encode stage)"
+                f"no encode stage; d2h busy {sm.d2h_busy_seconds:.1f}s, "
+                f"decode-wait {sm.decode_wait_seconds:.1f}s)"
             )
             results.append(("e2e_streamed_wav", em.rtf))
+            extras["e2e_streamed_wav"] = {"stages": _stage_budget(sm)}
 
         if run_headline:
             # Streamed TIME-VARIANT export (VERDICT r1 item 1 'done'
@@ -853,29 +1032,56 @@ def main() -> int:
 
             runner = _Runner2(graph)
             em = runner.export_streamed(f"{tmp}/tv.mp3", kbps=256)
+            sm = runner.last_stream_metrics
             log(
                 f"e2e_streamed_timevariant: {em.audio_seconds:.1f} audio-s "
                 f"in {em.wall_seconds:.2f} s wall (RTF {em.rtf:.0f}x, "
                 f"compile {em.compile_seconds:.1f}s)"
             )
             results.append(("e2e_streamed_timevariant", em.rtf))
+            if sm is not None:
+                extras["e2e_streamed_timevariant"] = {
+                    "stages": _stage_budget(sm)
+                }
 
         if run_pallas_ab:
             pallas_resample_ab(min(seconds, 60.0), iters)
             results.extend(kernel_mfu(min(seconds, 30.0), iters))
             results.extend(pv_wsola_ab(min(seconds, 30.0), iters))
+            results.extend(pv_lock_ab(min(seconds, 30.0), iters))
+
+    # Post-run health: a relay that degraded MID-run shows up as a canary
+    # delta between the two captures.
+    health_end = env_health(claim_s)
+    log(f"env health (post-run): {health_end}")
+    health_brief = {
+        "claim_s": health["claim_s"],
+        "probe_rtt_ms": health["probe_rtt_ms"],
+        "d2h_MBps": health["d2h_MBps"],
+        "canary_rtf": health["canary_rtf"],
+        "canary_rtf_end": health_end["canary_rtf"],
+        "degraded": bool(health["degraded"] or health_end["degraded"]),
+    }
 
     # The driver reads the LAST line as the headline metric.
     results.sort(key=lambda kv: kv[0] == "rtf_5node_stereo")
     for name, value in results:
-        if name.startswith("mfu_"):
+        if name.startswith(("mfu_", "bw_fraction_", "pv_lock_")):
             print(
                 json.dumps(
                     {
                         "metric": name,
                         "value": round(value, 4),
-                        "unit": "fraction_of_unit_peak_flops",
+                        "unit": (
+                            "fraction_of_unit_peak_flops"
+                            if name.startswith("mfu_")
+                            else "fraction_of_hbm_peak_bandwidth"
+                            if name.startswith("bw_fraction_")
+                            else "speedup_x"
+                        ),
                         "vs_baseline": round(value, 4),
+                        "health": health_brief,
+                        **extras.get(name, {}),
                     }
                 )
             )
@@ -887,6 +1093,8 @@ def main() -> int:
                         "value": round(value, 1),
                         "unit": "audio_seconds_per_second_per_chip",
                         "vs_baseline": round(value / 1000.0, 3),
+                        "health": health_brief,
+                        **extras.get(name, {}),
                     }
                 )
             )

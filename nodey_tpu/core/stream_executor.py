@@ -50,7 +50,8 @@ class StreamMetrics:
     steps: int = 0
     decode_wait_seconds: float = 0.0   # pump stalls waiting on decode
     egress_wait_seconds: float = 0.0   # pump stalls on egress backpressure
-    d2h_busy_seconds: float = 0.0      # egress thread inside device_get
+    d2h_busy_seconds: float = 0.0      # egress thread's SERIAL d2h exposure
+    d2h_fetch_seconds: float = 0.0     # sum of in-flight fetch durations
     sink_busy_seconds: float = 0.0     # sink thread inside sink() (LAME…)
 
     @property
@@ -163,12 +164,26 @@ class StreamExecutor:
         master_wire: str = "f32",
         collect_frames: bool = True,
         batch_steps: int = 1,
+        egress_workers: int = 0,
     ):
         cfg.enable_compile_cache()  # library embedders get the persistent cache too
+        import os as _os
+
         self.graph = graph
         self.mode = mode
         self.chunk_seconds = chunk_seconds
         self.egress_depth = egress_depth
+        # Concurrent d2h fetch depth (0 = env NODEY_D2H_WORKERS, default
+        # 2): overlapping device_get round trips lifts egress throughput
+        # when the transport is RTT-bound (the axon relay often is).
+        if egress_workers <= 0:
+            try:
+                egress_workers = int(
+                    _os.environ.get("NODEY_D2H_WORKERS", "2")
+                )
+            except ValueError:
+                egress_workers = 2
+        self.egress_workers = max(1, egress_workers)
         # batch_steps > 1: lax.scan k chunk steps into ONE device dispatch
         # (chunkflow.compile_stream_graph batch_steps) — one h2d put, one
         # execute and one d2h fetch then carry k chunks: k-fold fewer
@@ -308,18 +323,57 @@ class StreamExecutor:
             # round trip; the valid-length scalar is never fetched on the
             # pump thread (each scalar get is a ~40 ms round trip on this
             # rig, and it would also serialize the pump with device compute).
+            #
+            # Depth-N d2h (VERDICT r2 #2): up to ``egress_workers`` fetches
+            # run CONCURRENTLY on a small pool, order preserved by a
+            # pending deque — when the transport is RTT-bound rather than
+            # bandwidth-saturated, overlapping round trips multiplies
+            # effective egress throughput. d2h_busy_seconds stays the
+            # SERIAL exposure (time this thread waits on the oldest
+            # fetch); d2h_fetch_seconds sums the in-flight durations.
+            import collections
+            import concurrent.futures
+
             import jax
 
+            def fetch(it):
+                t0 = time.perf_counter()
+                out = jax.device_get(it)
+                self.metrics.d2h_fetch_seconds += time.perf_counter() - t0
+                return out
+
+            pool = None
+            if self.egress_workers > 1:
+                pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=self.egress_workers
+                )
+            pending = collections.deque()
             try:
+                eof = False
                 while True:
-                    item = egress_q.pop(stop=self._stop)
-                    if item is None:
-                        break
-                    t0 = time.perf_counter()
-                    host, n = jax.device_get(item)
-                    self.metrics.d2h_busy_seconds += (
-                        time.perf_counter() - t0
-                    )
+                    if pool is not None:
+                        while not eof and len(pending) < self.egress_workers:
+                            nxt = egress_q.pop(stop=self._stop)
+                            if nxt is None:
+                                eof = True
+                                break
+                            pending.append(pool.submit(fetch, nxt))
+                        if not pending:
+                            break
+                        t0 = time.perf_counter()
+                        host, n = pending.popleft().result()
+                        self.metrics.d2h_busy_seconds += (
+                            time.perf_counter() - t0
+                        )
+                    else:
+                        item = egress_q.pop(stop=self._stop)
+                        if item is None:
+                            break
+                        t0 = time.perf_counter()
+                        host, n = jax.device_get(item)
+                        self.metrics.d2h_busy_seconds += (
+                            time.perf_counter() - t0
+                        )
                     if host.ndim == 3:
                         # Batched dispatch: one fetched [k, C, W] array
                         # fans out to k ordered host blocks.
@@ -345,6 +399,8 @@ class StreamExecutor:
                 egress_errors.append(exc)
                 self._stop.set()
             finally:
+                if pool is not None:
+                    pool.shutdown(wait=False, cancel_futures=True)
                 host_q.set_eof()
 
         def consume():
