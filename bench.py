@@ -480,17 +480,38 @@ def env_health(claim_seconds: float):
     import jax.numpy as jnp
 
     h = {"claim_s": round(claim_seconds, 1)}
-    tiny = jnp.zeros((8,), jnp.float32)
-    jax.device_get(tiny)
-    rtts = sorted(_timed(lambda: jax.device_get(tiny)) for _ in range(7))
+
+    # Canary inputs double as the transfer probes: REAL device-computed
+    # data, because constants like jnp.zeros may never leave the host
+    # (a zeros "fetch" measured 346 GB/s — the relay short-circuits it).
+    audio_s = 30.0
+    xg = jnp.asarray(
+        (0.3 * np.random.default_rng(0)
+         .standard_normal((2, int(48_000 * audio_s)))).astype(np.float32)
+    )
+    gain = jax.jit(lambda d: jnp.clip(d * jnp.float32(1.5), -1.0, 1.0))
+    out = gain(xg)
+    # Every probe below fetches a FRESH device slice: jax Arrays cache
+    # their host copy after the first device_get, so re-fetching the SAME
+    # array measures the cache, not the relay (a same-array fetch
+    # "measured" 574 GB/s d2h / 0.01 ms RTT on a ~15 MB/s, ~30 ms link).
+    jax.device_get(out[:, :8])  # warm the dispatch+fetch path
+    rtts = sorted(
+        _timed(lambda i=i: jax.device_get(out[:, 8 * i : 8 * i + 8]))
+        for i in range(1, 8)
+    )
     h["probe_rtt_ms"] = round(rtts[len(rtts) // 2] * 1e3, 2)
 
-    big = jnp.zeros((2 * 1024 * 1024,), jnp.float32)  # 8 MB
-    jax.device_get(big[:4])
-    d2h = min(_timed(lambda: jax.device_get(big)) for _ in range(3))
-    h["d2h_MBps"] = round(8.0 / max(d2h, 1e-9), 1)
+    mb = 1024 * 1024  # 8 MB per fetch ([2, 1M] f32), fresh slice each
+    d2h = min(
+        _timed(lambda i=i: jax.device_get(out[:, i : i + mb]))
+        for i in range(3)
+    )
+    h["d2h_MBps"] = round(8.0 / max(d2h - rtts[len(rtts) // 2], 1e-9), 1)
 
-    host = np.zeros((2 * 1024 * 1024,), np.float32)
+    host = np.random.default_rng(1).standard_normal(
+        2 * 1024 * 1024
+    ).astype(np.float32)
 
     def h2d():
         a = jax.device_put(host)
@@ -499,16 +520,6 @@ def env_health(claim_seconds: float):
     h2d()
     t = min(_timed(h2d) for _ in range(3))
     h["h2d_MBps"] = round(8.0 / max(t - rtts[0], 1e-9), 1)
-
-    # Canary: fixed gain microbench, same timed-loop methodology as the
-    # real configs (known-good ~200k x; floor CANARY_RTF_FLOOR).
-    audio_s = 30.0
-    xg = jnp.asarray(
-        (0.3 * np.random.default_rng(0)
-         .standard_normal((2, int(48_000 * audio_s)))).astype(np.float32)
-    )
-    gain = jax.jit(lambda d: jnp.clip(d * jnp.float32(1.5), -1.0, 1.0))
-    out = gain(xg)
     jax.device_get(out.ravel()[:4])
     rtt = min(
         _timed(lambda: jax.device_get(out.ravel()[:4])) for _ in range(3)

@@ -9,12 +9,25 @@ one large batched FFT instead of FFTW's per-frame plans.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from nodey_tpu.core.stream import Stream
+
+# Matmul precision for the DFT GEMMs. HIGHEST is bitwise f32 semantics
+# on this backend (the silent default is single-pass bf16, ~53 dB —
+# ROUND4.md §10). NODEY_STFT_PRECISION=high opts the spectrum DISPLAY
+# path into 3-pass bf16 (~99 dB, far beyond display needs) for
+# throughput-first deployments; the default stays exact because the
+# audio_spectrum node's output is a tested product, not just pixels.
+STFT_PRECISION = (
+    jax.lax.Precision.HIGH
+    if os.environ.get("NODEY_STFT_PRECISION") == "high"
+    else jax.lax.Precision.HIGHEST
+)
 
 
 @functools.lru_cache(maxsize=8)
@@ -60,12 +73,12 @@ def magnitude_spectrogram(
         re = jnp.einsum(
             "cfn,nk->cfk", windowed, jnp.asarray(cos_m),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=STFT_PRECISION,
         )
         im = jnp.einsum(
             "cfn,nk->cfk", windowed, jnp.asarray(sin_m),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=STFT_PRECISION,
         )
         return jnp.sqrt(re * re + im * im)
     spec = jnp.fft.rfft(windowed, axis=-1)
