@@ -990,47 +990,91 @@ def main() -> int:
         if run_headline:
             # End-to-end streamed export: decode ∥ device ∥ d2h ∥ LAME all
             # overlapped (core/stream_executor.py). On this rig the wall
-            # clock is bound by the axon relay's ~14 MB/s d2h and the
-            # host decode rate — both stages the executor overlaps.
+            # clock is bound by the axon relay's ~6-14 MB/s d2h and the
+            # 1-core host's ~16x-realtime LAME — both stages the executor
+            # overlaps, neither of which any device code can beat. Each
+            # metric therefore runs TWICE (cold then warm — the persistent
+            # compile cache makes run 2 the steady-state serving number)
+            # and carries an overlap ceiling: wall can never go below the
+            # busiest serial stage, so ceiling_fraction ~ 1.0 proves the
+            # executor is at the host/transport roofline.
             graph, _mode = flagship_5node(tmp, seconds)
             from nodey_tpu.core.runner import Runner as _Runner
 
-            t0 = time.perf_counter()
-            runner = _Runner(graph)
-            em = runner.export_streamed(
-                f"{tmp}/e2e.mp3", kbps=256, chunk_seconds=8.0
+            def _run_streamed(g, path, **kw):
+                cold = _Runner(g)
+                em_c = cold.export_streamed(path, **kw)
+                warm = _Runner(g)
+                em_w = warm.export_streamed(path, **kw)
+                return em_c, em_w, warm.last_stream_metrics
+
+            def _overlap(em, sm):
+                busiest = max(
+                    sm.sink_busy_seconds, sm.d2h_busy_seconds,
+                    sm.decode_wait_seconds,
+                )
+                return {
+                    "overlap_ceiling_rtf": round(
+                        em.audio_seconds / max(busiest, 1e-9), 1
+                    ),
+                    "ceiling_fraction": round(
+                        busiest / max(em.wall_seconds, 1e-9), 3
+                    ),
+                }
+
+            em_cold, em, sm = _run_streamed(
+                graph, f"{tmp}/e2e.mp3", kbps=256, chunk_seconds=8.0
             )
-            sm = runner.last_stream_metrics
             log(
                 f"e2e_streamed_export: {em.audio_seconds:.1f} audio-s in "
-                f"{em.wall_seconds:.2f} s wall (RTF {em.rtf:.0f}x, "
-                f"compile {em.compile_seconds:.1f}s; stage busy: "
+                f"{em.wall_seconds:.2f} s wall warm (RTF {em.rtf:.0f}x; "
+                f"cold {em_cold.wall_seconds:.1f}s incl. compile "
+                f"{em_cold.compile_seconds:.1f}s; stage busy: "
                 f"LAME {sm.sink_busy_seconds:.1f}s, "
                 f"d2h {sm.d2h_busy_seconds:.1f}s, decode-wait "
                 f"{sm.decode_wait_seconds:.1f}s — wall tracks the LAME/"
                 f"relay bound, not the device)"
             )
             results.append(("e2e_streamed_mp3", em.rtf))
-            extras["e2e_streamed_mp3"] = {"stages": _stage_budget(sm)}
+            extras["e2e_streamed_mp3"] = {
+                "stages": _stage_budget(sm),
+                "cold_wall_s": round(em_cold.wall_seconds, 2),
+                **_overlap(em, sm),
+            }
 
             # Same pipeline, lossless WAV sink (host/encode.WavWriter):
             # no LAME stage, so the wall clock shows the framework's own
             # bound (device + d2h + decode) — the number a production
             # serving deployment with a PCM sink would see.
-            runner = _Runner(graph)
-            em = runner.export_streamed(
-                f"{tmp}/e2e.wav", chunk_seconds=8.0
+            em_cold, em, sm = _run_streamed(
+                graph, f"{tmp}/e2e.wav", chunk_seconds=8.0
             )
-            sm = runner.last_stream_metrics
             log(
                 f"e2e_streamed_wav: {em.audio_seconds:.1f} audio-s in "
-                f"{em.wall_seconds:.2f} s wall (RTF {em.rtf:.0f}x, "
-                f"compile {em.compile_seconds:.1f}s; lossless sink — "
+                f"{em.wall_seconds:.2f} s wall warm (RTF {em.rtf:.0f}x, "
+                f"cold {em_cold.wall_seconds:.1f}s; lossless sink — "
                 f"no encode stage; d2h busy {sm.d2h_busy_seconds:.1f}s, "
                 f"decode-wait {sm.decode_wait_seconds:.1f}s)"
             )
             results.append(("e2e_streamed_wav", em.rtf))
-            extras["e2e_streamed_wav"] = {"stages": _stage_budget(sm)}
+            # Transport roofline: the streamed sink must pull every sample
+            # across the relay's d2h link (s16 wire = rate*ch*2 B per
+            # audio-second); the measured single-stream d2h bandwidth puts
+            # a hard ceiling on streamed RTF that no code change can beat.
+            # rtf/ceiling near (or above, via concurrent d2h workers) 1.0
+            # proves the wall clock is the link, not the framework.
+            wire_bps = 48_000 * 2 * 2
+            ceiling = health["d2h_MBps"] * 1e6 / wire_bps
+            extras["e2e_streamed_wav"] = {
+                "stages": _stage_budget(sm),
+                "cold_wall_s": round(em_cold.wall_seconds, 2),
+                "transport_ceiling_rtf": round(ceiling, 1),
+                "transport_fraction": round(
+                    em.rtf / max(ceiling, 1e-9), 3
+                ),
+                "d2h_workers": int(os.environ.get("NODEY_D2H_WORKERS", "2")),
+                **_overlap(em, sm),
+            }
 
         if run_headline:
             # Streamed TIME-VARIANT export (VERDICT r1 item 1 'done'
@@ -1039,20 +1083,21 @@ def main() -> int:
             # serial-chain chunk kernel; no env gate).
             tv_secs = min(seconds, 120.0)
             graph, _mode = config4_resample_pitch_tempo(tmp, tv_secs)
-            from nodey_tpu.core.runner import Runner as _Runner2
-
-            runner = _Runner2(graph)
-            em = runner.export_streamed(f"{tmp}/tv.mp3", kbps=256)
-            sm = runner.last_stream_metrics
+            em_cold, em, sm = _run_streamed(
+                graph, f"{tmp}/tv.mp3", kbps=256
+            )
             log(
                 f"e2e_streamed_timevariant: {em.audio_seconds:.1f} audio-s "
-                f"in {em.wall_seconds:.2f} s wall (RTF {em.rtf:.0f}x, "
-                f"compile {em.compile_seconds:.1f}s)"
+                f"in {em.wall_seconds:.2f} s wall warm (RTF {em.rtf:.0f}x, "
+                f"cold {em_cold.wall_seconds:.1f}s incl. compile "
+                f"{em_cold.compile_seconds:.1f}s)"
             )
             results.append(("e2e_streamed_timevariant", em.rtf))
             if sm is not None:
                 extras["e2e_streamed_timevariant"] = {
-                    "stages": _stage_budget(sm)
+                    "stages": _stage_budget(sm),
+                    "cold_wall_s": round(em_cold.wall_seconds, 2),
+                    **_overlap(em, sm),
                 }
 
         if run_pallas_ab:
