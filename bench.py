@@ -1023,7 +1023,7 @@ def main() -> int:
                 }
 
             em_cold, em, sm = _run_streamed(
-                graph, f"{tmp}/e2e.mp3", kbps=256, chunk_seconds=8.0
+                graph, f"{tmp}/e2e.mp3", kbps=256, chunk_seconds=16.0
             )
             log(
                 f"e2e_streamed_export: {em.audio_seconds:.1f} audio-s in "
@@ -1047,7 +1047,7 @@ def main() -> int:
             # bound (device + d2h + decode) — the number a production
             # serving deployment with a PCM sink would see.
             em_cold, em, sm = _run_streamed(
-                graph, f"{tmp}/e2e.wav", chunk_seconds=8.0
+                graph, f"{tmp}/e2e.wav", chunk_seconds=16.0
             )
             log(
                 f"e2e_streamed_wav: {em.audio_seconds:.1f} audio-s in "

