@@ -1081,7 +1081,12 @@ def main() -> int:
             # criterion): the config-4 pitch/tempo graph through the
             # chunk-flow executor — default-on since round 2 (Pallas
             # serial-chain chunk kernel; no env gate).
-            tv_secs = min(seconds, 120.0)
+            # Full clip length: the pipeline-fill head (first batched
+            # dispatch h2d + d2h) and the flush/Xing tail are fixed costs,
+            # so short clips under-report the steady-state RTF (96 s:
+            # 11.3x vs 300 s: 16.7x warm, measured 2026-08-19 — the
+            # latter runs at 79% pure-LAME wall, the 1-core encode bound).
+            tv_secs = min(seconds, 300.0)
             graph, _mode = config4_resample_pitch_tempo(tmp, tv_secs)
             em_cold, em, sm = _run_streamed(
                 graph, f"{tmp}/tv.mp3", kbps=256

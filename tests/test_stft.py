@@ -32,6 +32,38 @@ def test_matches_reference_impl():
     np.testing.assert_allclose(dev, ref, atol=1e-2, rtol=1e-4)
 
 
+def test_fast_path_matches_materialized_frames():
+    """The hop-divides-n_fft fast path (k reshaped-segment GEMMs against a
+    window-folded basis, zero frame materialization) must agree with the
+    explicit frames x windowed-stacked-basis formulation to f32 ulp level
+    — the two differ only in where the window multiply happens (folded in
+    float64 vs applied in float32) and GEMM reduction order."""
+    from nodey_tpu.ops.stft import _frame, _windowed_stacked_basis
+
+    rng = np.random.default_rng(7)
+    n_fft, hop = 256, 64  # k = 4 basis blocks
+    x = (0.4 * rng.standard_normal((2, 2048))).astype(np.float32)
+    fast = np.asarray(magnitude_spectrogram(stream_of(x), n_fft, hop))
+    F = (2048 - n_fft) // hop + 1
+    frames = np.asarray(_frame(jnp.asarray(x), F, n_fft, hop))
+    y = frames.astype(np.float64) @ _windowed_stacked_basis(n_fft).astype(
+        np.float64
+    )
+    bins = n_fft // 2 + 1
+    direct = np.sqrt(y[..., :bins] ** 2 + y[..., bins:] ** 2)
+    np.testing.assert_allclose(fast, direct, atol=5e-5, rtol=1e-5)
+
+
+def test_irregular_hop_uses_stacked_basis():
+    """hop that does not divide n_fft takes the gather + stacked-basis
+    path; it must match the NumPy reference like the fast path does."""
+    x = make_tone(48_000, 0.2, 700, channels=1)
+    dev = np.asarray(magnitude_spectrogram(stream_of(x), n_fft=512, hop=192))
+    ref = magnitude_spectrogram_reference(x, n_fft=512, hop=192)
+    assert dev.shape == ref.shape
+    np.testing.assert_allclose(dev, ref, atol=1e-2, rtol=1e-4)
+
+
 def test_peak_bin_at_tone_frequency():
     freq, rate, n_fft = 3000.0, 48_000, 1024
     x = make_tone(rate, 0.2, freq)
