@@ -31,6 +31,11 @@ HBM-bound scan rounds, ~21 per scan at N = 1.44 M.
 ``auto``: blocked from ``_BLOCK_THRESHOLD`` samples up). All forms are
 mathematically the same inclusive scan; they differ only in f32
 re-association, bounded by the tests in tests/test_scans.py.
+
+One primitive here has NON-constant coefficients: ``tv_ar1_scan`` (the
+phaser's swept allpass recurrence, ops/phaser.py). Its pole varies per
+sample, so no weight is host-computable; it runs as one associative
+pair scan over affine maps instead.
 """
 
 from __future__ import annotations
@@ -271,3 +276,36 @@ def maxplus_scan(a, c):
     if _form(a.shape[-1]) == "blocked":
         return _maxplus_blocked(a, c)
     return _maxplus_doubling(a, c)
+
+
+def tv_ar1_scan(u, p):
+    """y[n] = p[n] * y[n-1] + u[n] with y[-1] = 0 — a first-order linear
+    recurrence with a TIME-VARYING pole, along the last axis.
+
+    Unlike the constant-pole forms above, no scan weight is
+    host-computable, so this runs as one ``lax.associative_scan`` over
+    affine maps: the pair (P, V) represents y_out = P * y_in + V, and
+    two segments compose as (Pa, Va) then (Pb, Vb) ->
+    (Pa * Pb, Vb + Pb * Va).
+
+    Returns ``(P_cum, y)`` where ``P_cum[n] = prod_{j<=n} p[j]`` — the
+    weight a nonzero initial state enters with (``y_s[n] = y[n] +
+    P_cum[n] * s``), which is how the streaming carry and the sharded
+    cross-shard state prefix fold in (ops/phaser.py). ``p`` broadcasts
+    against ``u`` (a [N] pole track shared by [C, N] channels).
+
+    Conditioning: callers keep |p| < 1 (the phaser's pole is in (0, 1)),
+    so every composed product decays and all intermediates stay bounded
+    by the drive scale — same argument as the biquad modal scan
+    (ops/biquad.py). Long-run P_cum underflows to 0.0 in f32; that is
+    the correct limit (the initial state's true contribution is below
+    f32 resolution there), never a NaN.
+    """
+    p_b = jnp.broadcast_to(p, u.shape)
+
+    def combine(a, b):
+        pa, va = a
+        pb, vb = b
+        return pa * pb, vb + pb * va
+
+    return lax.associative_scan(combine, (p_b, u), axis=-1)

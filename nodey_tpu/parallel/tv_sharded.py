@@ -180,6 +180,23 @@ class _ChorusStage:
 
 
 @dataclasses.dataclass(frozen=True)
+class _PhaserStage:
+    """audio_phaser: swept-allpass cascade — time-varying-pole scans
+    whose per-stage state crosses shards via a log2(sp) ppermute
+    doubling of DYNAMIC affine summaries, plus a one-sample left halo
+    per stage (ops/phaser.phaser_sharded_local).
+    Length/rate-preserving."""
+
+    rate_hz: float
+    f_min_hz: float
+    f_max_hz: float
+    stages: int
+    wet: float
+    dry: float
+    sample_rate: int
+
+
+@dataclasses.dataclass(frozen=True)
 class _PanStage:
     """audio_pan: memoryless per-channel gain (ops/fadepan.pan_array) —
     zero communication; may widen mono to stereo."""
@@ -294,7 +311,11 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
     from nodey_tpu.processors.compressor import AudioCompressor
     from nodey_tpu.processors.equalizer import AudioEq, AudioFilter
     from nodey_tpu.processors.gate import AudioGate
-    from nodey_tpu.processors.modulation import AudioChorus, AudioTremolo
+    from nodey_tpu.processors.modulation import (
+        AudioChorus,
+        AudioPhaser,
+        AudioTremolo,
+    )
     from nodey_tpu.processors.pan import AudioPan
     from nodey_tpu.processors.fade import AudioFade
     from nodey_tpu.processors.limiter import AudioLimiter
@@ -338,6 +359,15 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                     base_ms=float(proc.base_ms),
                     depth_ms=float(proc.depth_ms),
                     voices=int(proc.voices), wet=float(proc.wet),
+                    dry=float(proc.dry), sample_rate=rate,
+                ))
+        elif isinstance(proc, AudioPhaser):
+            if not proc._is_noop:
+                stages.append(_PhaserStage(
+                    rate_hz=float(proc.rate_hz),
+                    f_min_hz=float(proc.f_min_hz),
+                    f_max_hz=float(proc.f_max_hz),
+                    stages=int(proc.stages), wet=float(proc.wet),
                     dry=float(proc.dry), sample_rate=rate,
                 ))
         elif isinstance(proc, AudioPan):
@@ -405,9 +435,10 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                 "Unsupported node in sharded chain",
                 "compile_chain_sp_tv supports audio_vol, audio_limiter, "
                 "audio_compressor, audio_gate, audio_tremolo, "
-                "audio_chorus, audio_pan, audio_fade, audio_eq, "
-                "audio_filter, audio_resample and velocity/pitch "
-                "(algorithm='pv') between input and output.",
+                "audio_chorus, audio_phaser, audio_pan, audio_fade, "
+                "audio_eq, audio_filter, audio_resample and "
+                "velocity/pitch (algorithm='pv') between input and "
+                "output.",
                 f"node {nid}: {type(proc).__name__}",
             )
     return stages, rate
@@ -583,6 +614,14 @@ def compile_chain_sp_tv(
                 x = modfx_ops.chorus_sharded_local(
                     x, ln, st.rate_hz, st.base_ms, st.depth_ms,
                     st.voices, st.wet, st.dry, st.sample_rate, sp_axis
+                )
+            elif isinstance(st, _PhaserStage):
+                from nodey_tpu.ops import phaser as phaser_ops
+
+                x = phaser_ops.phaser_sharded_local(
+                    x, ln, st.rate_hz, st.f_min_hz, st.f_max_hz,
+                    st.stages, st.wet, st.dry, st.sample_rate,
+                    sp_axis, plan.sp
                 )
             elif isinstance(st, _PanStage):
                 from nodey_tpu.ops import fadepan as fadepan_ops

@@ -13,7 +13,7 @@ xmake.lua:15 — and the master-bus dynamics stages):
     audio_split, audio_resample, audio_spectrum, audio_limiter,
     audio_compressor, audio_eq, audio_filter, audio_reverb,
     audio_delay, audio_gate, audio_tremolo, audio_chorus,
-    audio_pan, audio_fade
+    audio_phaser, audio_pan, audio_fade
 """
 
 from __future__ import annotations
@@ -38,7 +38,11 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.reverb import AudioReverb
     from nodey_tpu.processors.delay import AudioDelay
     from nodey_tpu.processors.gate import AudioGate
-    from nodey_tpu.processors.modulation import AudioChorus, AudioTremolo
+    from nodey_tpu.processors.modulation import (
+        AudioChorus,
+        AudioPhaser,
+        AudioTremolo,
+    )
     from nodey_tpu.processors.pan import AudioPan
     from nodey_tpu.processors.fade import AudioFade
 
@@ -63,6 +67,7 @@ def register_builtin_processors() -> None:
         AudioGate,
         AudioTremolo,
         AudioChorus,
+        AudioPhaser,
         AudioPan,
         AudioFade,
     ):
