@@ -49,6 +49,7 @@ _LTI_NODES = {
     "audio_input", "audio_output", "audio_volume_adjust", "audio_amix",
     "audio_bimix", "audio_bimix_v2", "audio_split", "audio_resample",
     "audio_spectrum", "audio_reverb", "audio_delay", "audio_pan",
+    "audio_width",
 }
 
 

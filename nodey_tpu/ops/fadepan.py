@@ -1,6 +1,7 @@
-"""Stereo pan/balance and fade envelopes (target-spec extensions; the
-reference ships neither — with these the node set covers placement and
-clip-boundary shaping alongside the dynamics/EQ/send palette).
+"""Stereo pan/balance, mid/side width and fade envelopes (target-spec
+extensions; the reference ships none — with these the node set covers
+placement and clip-boundary shaping alongside the dynamics/EQ/send
+palette).
 
 **Pan** (`audio_pan`) is memoryless and time-invariant — a per-channel
 constant gain — so it rides every existing path for free: the LTI
@@ -13,6 +14,13 @@ compiler. Two laws, chosen by the input width:
 * mono in: constant-power PLACEMENT into stereo,
   ``gl = cos((p+1)*pi/4), gr = sin((p+1)*pi/4)`` (equal acoustic power
   at every position; gains precomputed in float64 on host).
+
+**Width** (`audio_width`) is the pan's mid/side sibling — a constant
+2x2 channel matrix ``out = (m + w s, m - w s)`` scaling the side signal
+— and rides the same three paths (LTI overlap-discard, stateless
+streaming, tv chain). Width 1.0 and mono inputs are bitwise
+passthroughs (special-cased: the re-associated matrix at w = 1 is not
+bitwise L/R).
 
 **Fade** (`audio_fade`) is TIME-VARIANT but analytic — the gain at
 sample t is a pure function of the global sample index, the same class
@@ -232,6 +240,40 @@ def fade_stream_step(spec: FadeSpec, state, data, n):
 def pan_sharded_local(x, pan: float):
     """Memoryless: per-channel gains, zero communication."""
     return pan_array(x, pan)
+
+
+# -- stereo width (mid/side) --------------------------------------------------
+
+
+def width_array(data, width: float, xp=jnp):
+    """[2, N] -> [2, N] mid/side width scaling: out = (m + w s, m - w s)
+    with m = 0.5 (L + R), s = 0.5 (L - R). w = 0 collapses to mono
+    (both channels the mid sum), w = 2 doubles the side energy. Linear,
+    time-invariant, memoryless — the same LTI class as the pan law.
+    Callers special-case w == 1.0 BEFORE this (m + s re-associates
+    0.5 L + 0.5 R + 0.5 L - 0.5 R, which is not bitwise L)."""
+    half = xp.float32(0.5) if xp is jnp else 0.5
+    m = half * (data[0] + data[1])
+    s = half * (data[0] - data[1])
+    ws = xp.float32(width) * s if xp is jnp else float(width) * s
+    return xp.stack([m + ws, m - ws])
+
+
+def width_stream(stream: Stream, width: float) -> Stream:
+    if float(width) == 1.0 or stream.channels != 2:
+        return stream                      # bitwise passthrough
+    return stream.with_data(
+        width_array(stream.data, width), fmt=FMT_FLT
+    )
+
+
+def width_reference(data: np.ndarray, width: float) -> np.ndarray:
+    """Float64 mirror (same mid/side formulation, f64 accumulate)."""
+    x = data.astype(np.float64)
+    m = 0.5 * (x[0] + x[1])
+    s = 0.5 * (x[0] - x[1])
+    ws = float(width) * s
+    return np.stack([m + ws, m - ws]).astype(np.float32)
 
 
 def fade_sharded_local(x, spec: FadeSpec, axis_name: str, length=None):

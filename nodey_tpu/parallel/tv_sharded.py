@@ -205,6 +205,14 @@ class _PanStage:
 
 
 @dataclasses.dataclass(frozen=True)
+class _WidthStage:
+    """audio_width: memoryless mid/side channel matrix
+    (ops/fadepan.width_array) — zero communication."""
+
+    width: float
+
+
+@dataclasses.dataclass(frozen=True)
 class _FadeStage:
     """audio_fade: analytic time variance — the envelope gain at sample
     t is a pure function of the global index, derived from the shard's
@@ -316,7 +324,7 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
         AudioPhaser,
         AudioTremolo,
     )
-    from nodey_tpu.processors.pan import AudioPan
+    from nodey_tpu.processors.pan import AudioPan, AudioWidth
     from nodey_tpu.processors.fade import AudioFade
     from nodey_tpu.processors.limiter import AudioLimiter
     from nodey_tpu.processors.resample_node import AudioResample
@@ -372,6 +380,9 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                 ))
         elif isinstance(proc, AudioPan):
             stages.append(_PanStage(pan=float(proc.pan)))
+        elif isinstance(proc, AudioWidth):
+            if float(proc.width) != 1.0:       # width 1 = passthrough
+                stages.append(_WidthStage(width=float(proc.width)))
         elif isinstance(proc, AudioFade):
             fspec = proc._spec(rate)
             if not fspec.is_noop:
@@ -435,8 +446,8 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                 "Unsupported node in sharded chain",
                 "compile_chain_sp_tv supports audio_vol, audio_limiter, "
                 "audio_compressor, audio_gate, audio_tremolo, "
-                "audio_chorus, audio_phaser, audio_pan, audio_fade, "
-                "audio_eq, audio_filter, audio_resample and "
+                "audio_chorus, audio_phaser, audio_pan, audio_width, "
+                "audio_fade, audio_eq, audio_filter, audio_resample and "
                 "velocity/pitch (algorithm='pv') between input and "
                 "output.",
                 f"node {nid}: {type(proc).__name__}",
@@ -627,6 +638,11 @@ def compile_chain_sp_tv(
                 from nodey_tpu.ops import fadepan as fadepan_ops
 
                 x = fadepan_ops.pan_sharded_local(x, st.pan)
+            elif isinstance(st, _WidthStage):
+                from nodey_tpu.ops import fadepan as fadepan_ops
+
+                if x.shape[0] == 2:        # mono has no side signal
+                    x = fadepan_ops.width_array(x, st.width)
             elif isinstance(st, _FadeStage):
                 from nodey_tpu.ops import fadepan as fadepan_ops
 

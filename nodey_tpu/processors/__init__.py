@@ -13,7 +13,7 @@ xmake.lua:15 — and the master-bus dynamics stages):
     audio_split, audio_resample, audio_spectrum, audio_limiter,
     audio_compressor, audio_eq, audio_filter, audio_reverb,
     audio_delay, audio_gate, audio_tremolo, audio_chorus,
-    audio_phaser, audio_pan, audio_fade
+    audio_phaser, audio_pan, audio_width, audio_fade
 """
 
 from __future__ import annotations
@@ -43,7 +43,7 @@ def register_builtin_processors() -> None:
         AudioPhaser,
         AudioTremolo,
     )
-    from nodey_tpu.processors.pan import AudioPan
+    from nodey_tpu.processors.pan import AudioPan, AudioWidth
     from nodey_tpu.processors.fade import AudioFade
 
     for cls in (
@@ -69,6 +69,7 @@ def register_builtin_processors() -> None:
         AudioChorus,
         AudioPhaser,
         AudioPan,
+        AudioWidth,
         AudioFade,
     ):
         register_processor(cls)
