@@ -1,15 +1,16 @@
 """A full channel strip through the extension nodes, streamed to MP3.
 
-    audio_input -> gate -> EQ -> compressor -> pan -> delay -> reverb
-                -> fade -> limiter -> audio_output
+    audio_input -> gate -> EQ -> compressor -> phaser -> width -> pan
+                -> delay -> reverb -> fade -> limiter -> audio_output
 
 Every stage is one of the target-spec extension processors: the gate
 and compressor run their detectors as log-depth associative scans, the
-EQ's biquads as modal first-order scans, the pan as a constant-power
-placement, the delay as an exact K-echo comb, the reverb as partitioned
-real-DFT GEMM convolution, the fade as an int32-exact analytic
-envelope, and the limiter as a max-plus prefix
-(ops/{dynamics,biquad,fadepan,delay,reverb}.py).
+EQ's biquads as modal first-order scans, the phaser's swept allpass
+cascade as time-varying-pole scans, the width as a mid/side channel
+matrix, the pan as a constant-power placement, the delay as an exact
+K-echo comb, the reverb as partitioned real-DFT GEMM convolution, the
+fade as an int32-exact analytic envelope, and the limiter as a max-plus
+prefix (ops/{dynamics,biquad,phaser,fadepan,delay,reverb}.py).
 The export is chunk-streamed end to end; the delay and reverb tails
 grow the output past the input and flush after EOF.
 
@@ -53,6 +54,9 @@ def build_graph(paths):
               hs_gain_db=1.5)
     comp = node("audio_compressor", threshold_db=-16.0, ratio=3.0,
                 attack_ms=5.0, release_ms=120.0, makeup_db=2.0)
+    phs = node("audio_phaser", rate_hz=0.4, f_min_hz=300.0,
+               f_max_hz=2500.0, wet=0.5)
+    wid = node("audio_width", width=1.4)
     pan = node("audio_pan", pan=-0.25)
     dly = node("audio_delay", delay_ms=240.0, feedback=0.35, wet=0.18)
     rev = node("audio_reverb", decay_s=1.2, wet=0.2)
@@ -61,7 +65,8 @@ def build_graph(paths):
     out = g.add_node(processor_map["audio_output"].generate())
 
     pin = lambda n, p: g.nodes[n].pin_name_map[p]  # noqa: E731
-    chain = [src, gate, eq, comp, pan, dly, rev, fade, lim, out]
+    chain = [src, gate, eq, comp, phs, wid, pan, dly, rev, fade, lim,
+             out]
     prev, prev_pin = src, "output_0"
     for nid in chain[1:]:
         g.add_link(pin(prev, prev_pin), pin(nid, "input"))

@@ -13,7 +13,8 @@ xmake.lua:15 — and the master-bus dynamics stages):
     audio_split, audio_resample, audio_spectrum, audio_limiter,
     audio_compressor, audio_eq, audio_filter, audio_reverb,
     audio_delay, audio_gate, audio_tremolo, audio_chorus,
-    audio_phaser, audio_pan, audio_width, audio_fade, audio_crossfade
+    audio_phaser, audio_pan, audio_width, audio_fade, audio_crossfade,
+    audio_normalize
 """
 
 from __future__ import annotations
@@ -46,6 +47,7 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.pan import AudioPan, AudioWidth
     from nodey_tpu.processors.fade import AudioFade
     from nodey_tpu.processors.crossfade import AudioCrossfade
+    from nodey_tpu.processors.normalize import AudioNormalize
 
     for cls in (
         AudioInput,
@@ -73,5 +75,6 @@ def register_builtin_processors() -> None:
         AudioWidth,
         AudioFade,
         AudioCrossfade,
+        AudioNormalize,
     ):
         register_processor(cls)
