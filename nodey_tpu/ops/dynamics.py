@@ -608,3 +608,147 @@ def gate_reference(data: np.ndarray, threshold_db: float, ratio: float,
             g_db = max(slope * under, -p.range_db)
         gain[i] = 10.0 ** (g_db / 20.0)
     return (data.astype(np.float64) * gain[None, :]).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# De-esser — split-band sibilance compressor.
+#
+# The compressor's decoupled detector and static curve (no makeup — a
+# de-esser only ever attenuates), keyed by a BANDPASS-filtered sidechain
+# (ops/biquad.bandpass on the modal scan engine) and applied as band
+# subtraction:
+#
+#     band = BP(x)                       (RBJ bandpass at freq, Q)
+#     g    = compressor gain from the band's smoothed log level
+#     out  = x - (1 - g) * band
+#
+# Below threshold g is EXACTLY 1 (compressor_gain_db's where), so the
+# subtraction term is exactly 0.0 * band — a passthrough up to the sign
+# of zero; above it only the sibilant band ducks, the rest of the
+# spectrum is untouched (the split-band convention; a broadband
+# de-esser is just a compressor keyed oddly, and audio_compressor
+# already exists).
+#
+# Streaming carries the bandpass section state plus the detector's two
+# scalars; sharding composes the exact pieces that already exist —
+# biquad.cascade_sharded_local for the band, _sharded_s_log for the
+# detector — with zero new collectives.
+# ---------------------------------------------------------------------------
+
+
+def deesser_params(threshold_db: float, ratio: float, attack_ms: float,
+                   release_ms: float, rate: int) -> CompressorParams:
+    """The de-esser reuses CompressorParams verbatim with no knee and
+    no makeup (pure attenuation)."""
+    return compressor_params(threshold_db, ratio, 0.0, attack_ms,
+                             release_ms, 0.0, rate)
+
+
+def deess_block(x, band, p: CompressorParams, carry_env=None,
+                carry_s=None):
+    """De-ess [C, N] float32 given its sidechain band; returns
+    (out, env_log, s_log) — the same carry contract as
+    ``compress_block``, but detecting on ``band`` and applying as band
+    subtraction."""
+    peak = jnp.abs(band).max(axis=0)                      # stereo-linked
+    a = jnp.maximum(
+        jnp.log(jnp.maximum(peak, np.float32(1e-26))), _LOG_FLOOR
+    )
+    env_log = envelope_log_scan(a, p.c)
+    if carry_env is not None:
+        n_idx = jnp.arange(1, x.shape[1] + 1, dtype=jnp.float32)
+        env_log = jnp.maximum(
+            env_log, carry_env - np.float32(p.c) * n_idx
+        )
+    init = _LOG_FLOOR if carry_s is None else carry_s
+    s_log = one_pole_log_scan(env_log, p.alpha, init)
+    g_db = compressor_gain_db(s_log * np.float32(_NAT_TO_DB), p)
+    g = jnp.exp(g_db * np.float32(_DB_TO_NAT))
+    out = x - (np.float32(1.0) - g)[None, :] * band
+    return out, env_log, s_log
+
+
+def deess_stream(stream, threshold_db: float, ratio: float, freq: float,
+                 q: float, attack_ms: float, release_ms: float):
+    """Offline de-esser over a whole Stream."""
+    from nodey_tpu.ops import biquad as bq
+
+    sections = bq.prepare_all([bq.bandpass(freq, q, stream.rate)])
+    p = deesser_params(threshold_db, ratio, attack_ms, release_ms,
+                       stream.rate)
+    idx = jnp.arange(stream.capacity, dtype=jnp.int32)
+    x = jnp.where((idx < stream.length)[None, :], stream.data, 0.0)
+    band, _ = bq.cascade_apply(x, sections)
+    out, _, _ = deess_block(x, band, p)
+    out = jnp.where((idx < stream.length)[None, :], out, 0.0)
+    return stream.with_data(out, fmt="flt")
+
+
+def deesser_stream_init(channels: int, sections):
+    from nodey_tpu.ops import biquad as bq
+
+    return (bq.cascade_stream_init(channels, sections),
+            jnp.float32(_LOG_FLOOR), jnp.float32(_LOG_FLOOR))
+
+
+def deesser_stream_step(sections, p: CompressorParams, state, data, n):
+    """One chunk [C, W], n valid: band through the carried bandpass
+    state, detector through the carried scalars — all gathers at sample
+    n-1 (the compressor/biquad streaming contracts composed)."""
+    from nodey_tpu.ops import biquad as bq
+
+    bq_state, carry_env, carry_s = state
+    idx = jnp.arange(data.shape[1], dtype=jnp.int32)
+    x = jnp.where((idx < n)[None, :], data, 0.0)
+    new_bq, band = bq.cascade_stream_step(sections, bq_state, x, n)
+    band = jnp.where((idx < n)[None, :], band, 0.0)
+    out, env_log, s_log = deess_block(
+        x, band, p, carry_env=carry_env, carry_s=carry_s
+    )
+    last = jnp.clip(n - 1, 0, data.shape[1] - 1)
+    new_env = jnp.where(n > 0, env_log[last], carry_env)
+    new_s = jnp.where(n > 0, s_log[last], carry_s)
+    return (new_bq, new_env, new_s), out
+
+
+def deesser_sharded_local(x, sections, p: CompressorParams,
+                          axis_name: str, sp: int):
+    """Per-shard de-esser body: the exact sharded band
+    (biquad.cascade_sharded_local) feeding the exact spatialized
+    detector (_sharded_s_log on the band), then the same static curve
+    and band subtraction."""
+    from nodey_tpu.ops import biquad as bq
+
+    band = bq.cascade_sharded_local(x, list(sections), axis_name, sp)
+    s_log = _sharded_s_log(band, p.alpha, p.c, axis_name, sp)
+    g_db = compressor_gain_db(s_log * np.float32(_NAT_TO_DB), p)
+    g = jnp.exp(g_db * np.float32(_DB_TO_NAT))
+    return x - (np.float32(1.0) - g)[None, :] * band
+
+
+def deesser_reference(data: np.ndarray, threshold_db: float,
+                      ratio: float, freq: float, q: float,
+                      attack_ms: float, release_ms: float,
+                      rate: int) -> np.ndarray:
+    """Sequential float64 mirror: the biquad mirror's band (same
+    f32-rounded coefficients as the device) through the compressor
+    mirror's detector, applied as band subtraction."""
+    from nodey_tpu.ops import biquad as bq
+
+    sections = bq.prepare_all([bq.bandpass(freq, q, rate)])
+    band = bq.cascade_reference(data, sections).astype(np.float64)
+    p = deesser_params(threshold_db, ratio, attack_ms, release_ms, rate)
+    peak = np.abs(band).max(axis=0)
+    a = np.maximum(np.log(np.maximum(peak, 1e-26)), float(_LOG_FLOOR))
+    e = float(_LOG_FLOOR)
+    s = float(_LOG_FLOOR)
+    gain = np.ones(data.shape[1])
+    slope = 1.0 / p.ratio - 1.0
+    for i in range(data.shape[1]):
+        e = max(float(a[i]), e - p.c)
+        s = p.alpha * s + (1.0 - p.alpha) * e
+        over = s * _NAT_TO_DB - p.threshold_db
+        g_db = slope * over if over > 0 else 0.0
+        gain[i] = 10.0 ** (g_db / 20.0)
+    out = data.astype(np.float64) - (1.0 - gain)[None, :] * band
+    return out.astype(np.float32)

@@ -153,6 +153,16 @@ class _CompressorStage:
 
 
 @dataclasses.dataclass(frozen=True)
+class _DeesserStage:
+    """audio_deesser: split-band compressor — the exact sharded band
+    (biquad.cascade_sharded_local) feeding the spatialized detector
+    (ops/dynamics.deesser_sharded_local)."""
+
+    sections: Tuple[Any, ...]
+    params: Any
+
+
+@dataclasses.dataclass(frozen=True)
 class _TremoloStage:
     """audio_tremolo: analytic time variance — the LFO gain at sample t
     is a pure function of the global index, which each shard derives
@@ -318,6 +328,7 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
     from nodey_tpu.processors.audio_vol import AudioVol
     from nodey_tpu.processors.compressor import AudioCompressor
     from nodey_tpu.processors.equalizer import AudioEq, AudioFilter
+    from nodey_tpu.processors.deesser import AudioDeesser
     from nodey_tpu.processors.gate import AudioGate
     from nodey_tpu.processors.modulation import (
         AudioChorus,
@@ -353,6 +364,11 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
                     proc.attack_ms, proc.release_ms, proc.makeup_db,
                     rate,
                 )
+            ))
+        elif isinstance(proc, AudioDeesser):
+            sections, params = proc._pieces(rate)
+            stages.append(_DeesserStage(
+                sections=tuple(sections), params=params,
             ))
         elif isinstance(proc, AudioTremolo):
             if proc.depth > 0.0:               # depth 0 = passthrough
@@ -445,7 +461,8 @@ def _extract_stages(graph: Graph, rate: int) -> Tuple[List[Any], int]:
             raise ProcessorRuntimeError(
                 "Unsupported node in sharded chain",
                 "compile_chain_sp_tv supports audio_vol, audio_limiter, "
-                "audio_compressor, audio_gate, audio_tremolo, "
+                "audio_compressor, audio_deesser, audio_gate, "
+                "audio_tremolo, "
                 "audio_chorus, audio_phaser, audio_pan, audio_width, "
                 "audio_fade, audio_eq, audio_filter, audio_resample and "
                 "velocity/pitch (algorithm='pv') between input and "
@@ -613,6 +630,18 @@ def compile_chain_sp_tv(
                 x = dynamics_ops.compressor_sharded_local(
                     x, st.params, sp_axis, plan.sp
                 )
+            elif isinstance(st, _DeesserStage):
+                from nodey_tpu.ops import dynamics as dynamics_ops
+
+                x = dynamics_ops.deesser_sharded_local(
+                    x, list(st.sections), st.params, sp_axis, plan.sp
+                )
+                # The band's IIR tail rings past the valid length;
+                # re-mask like the biquad stage.
+                gidx = lax.axis_index(sp_axis) * x.shape[-1] + jnp.arange(
+                    x.shape[-1], dtype=jnp.int32
+                )
+                x = jnp.where(gidx[None, :] < ln, x, 0.0)
             elif isinstance(st, _TremoloStage):
                 from nodey_tpu.ops import modfx as modfx_ops
 

@@ -14,7 +14,7 @@ xmake.lua:15 — and the master-bus dynamics stages):
     audio_compressor, audio_eq, audio_filter, audio_reverb,
     audio_delay, audio_gate, audio_tremolo, audio_chorus,
     audio_phaser, audio_pan, audio_width, audio_fade, audio_crossfade,
-    audio_normalize
+    audio_normalize, audio_deesser
 """
 
 from __future__ import annotations
@@ -48,6 +48,7 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.fade import AudioFade
     from nodey_tpu.processors.crossfade import AudioCrossfade
     from nodey_tpu.processors.normalize import AudioNormalize
+    from nodey_tpu.processors.deesser import AudioDeesser
 
     for cls in (
         AudioInput,
@@ -76,5 +77,6 @@ def register_builtin_processors() -> None:
         AudioFade,
         AudioCrossfade,
         AudioNormalize,
+        AudioDeesser,
     ):
         register_processor(cls)
