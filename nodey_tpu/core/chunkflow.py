@@ -104,12 +104,24 @@ def zero_chunk(spec: ChunkSpec) -> ChunkStream:
 
 
 class StreamPlanCtx:
-    """Static planning context (no traced values)."""
+    """Static planning context (no traced values).
 
-    def __init__(self, mode: str, sources: Dict[Tuple[int, str], SourceSpec]):
+    ``hints`` carries per-node planning parameters the executor knows but
+    nodes don't — today the chunk width for device-synthesized sources
+    (audio_generator), snapped to the same shared time quantum as the
+    decode feeds so lockstep merges see exactly proportional cadences.
+    """
+
+    def __init__(
+        self,
+        mode: str,
+        sources: Dict[Tuple[int, str], SourceSpec],
+        hints: Optional[Dict[int, Dict[str, Any]]] = None,
+    ):
         self.mode = mode
         self.node_id: Optional[int] = None
         self._sources = sources
+        self.hints: Dict[int, Dict[str, Any]] = hints or {}
         self.output_specs: Dict[str, Any] = {}
 
     def external_spec(self, node_id: int, pin: str) -> ChunkSpec:
@@ -217,6 +229,7 @@ def compile_stream_graph(
     jit: bool = True,
     donate_state: bool = True,
     batch_steps: int = 1,
+    plan_hints: Optional[Dict[int, Dict[str, Any]]] = None,
 ) -> StreamCompiled:
     """Validate, plan and trace the graph's streaming step function.
 
@@ -245,7 +258,7 @@ def compile_stream_graph(
         )
 
     # -- plan pass: static chunk specs + initial states ----------------------
-    plan_ctx = StreamPlanCtx(mode, sources)
+    plan_ctx = StreamPlanCtx(mode, sources, hints=plan_hints)
     pin_specs: Dict[int, ChunkSpec] = {}
     init_states: Dict[str, Any] = {}
     for nid in order:
@@ -335,7 +348,9 @@ def compile_stream_graph(
         def step(states, argsb):  # noqa: F811 — the scanned form
             from jax import lax as _lax
 
-            return _lax.scan(inner_step, states, argsb)
+            # Explicit length: a source-synthesized graph (generator-only)
+            # has NO external inputs, so scan cannot infer k from argsb.
+            return _lax.scan(inner_step, states, argsb, length=batch_steps)
 
     if jit:
         step_fn = jax.jit(

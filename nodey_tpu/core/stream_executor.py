@@ -229,9 +229,16 @@ class StreamExecutor:
         feeds: Dict[str, _SourceFeed] = {}
         sources: Dict[Tuple[int, str], compiler.SourceSpec] = {}
         pins: Dict[str, Tuple[int, str]] = {}
+        generators: Dict[int, int] = {}  # node id -> sample rate
         for nid, node in self.graph.nodes.items():
             proc = node.processor
-            if proc.info().identifier != cfg.AUDIO_INPUT_NODE_NAME:
+            ident = proc.info().identifier
+            if ident == "audio_generator":
+                # Device-synthesized source: no host feed; it only needs a
+                # chunk width consistent with the decode feeds' cadence.
+                generators[nid] = int(proc.rate)
+                continue
+            if ident != cfg.AUDIO_INPUT_NODE_NAME:
                 continue
             for i, path in enumerate(proc.file_paths):
                 feed = _SourceFeed(path, chunk_seconds=self.chunk_seconds)
@@ -239,14 +246,18 @@ class StreamExecutor:
                 feeds[key] = feed
                 pins[key] = (nid, f"output_{i}")
         # Snap every source's chunk to a shared time quantum (1/gcd of the
-        # rates) so all feeds deliver EXACTLY the same audio-seconds per
-        # step — lockstep merges require exactly proportional cadences
-        # (chunkflow.plan_aligned_merge), and independent per-rate
-        # rounding would drift their alignment FIFOs on long clips.
-        if feeds:
+        # rates) so all sources — decode feeds AND on-device generators —
+        # deliver EXACTLY the same audio-seconds per step: lockstep merges
+        # require exactly proportional cadences (chunkflow.
+        # plan_aligned_merge), and independent per-rate rounding would
+        # drift their alignment FIFOs on long clips.
+        hints: Dict[int, Dict[str, int]] = {}
+        if feeds or generators:
             g = 0
             for feed in feeds.values():
                 g = math.gcd(g, feed.rate)
+            for rate in generators.values():
+                g = math.gcd(g, rate)
             m = max(1, round(self.chunk_seconds * g))
             for key, feed in feeds.items():
                 feed.chunk = m * feed.rate // g
@@ -254,13 +265,16 @@ class StreamExecutor:
                     rate=feed.rate, channels=feed.channels, fmt=feed.fmt,
                     capacity=feed.chunk, t0_us=float(feed.t0_us),
                 )
-        if not feeds:
+            for nid, rate in generators.items():
+                hints[nid] = {"chunk_width": m * rate // g}
+        if not feeds and not generators:
             raise ProcessorRuntimeError(
                 "Graph has no inputs",
-                "Streaming execution requires at least one audio_input slot.",
+                "Streaming execution requires at least one audio_input "
+                "slot or a signal-generator node.",
                 "StreamExecutor",
             )
-        return feeds, sources
+        return feeds, sources, hints
 
     def run(
         self,
@@ -271,11 +285,11 @@ class StreamExecutor:
         """Pump the full pipeline; calls ``sink(block)`` on the consumer
         thread for every host master block, in order."""
         wall0 = time.perf_counter()
-        feeds, sources = self._open_feeds()
+        feeds, sources, plan_hints = self._open_feeds()
         t0 = time.perf_counter()
         compiled = chunkflow.compile_stream_graph(
             self.graph, sources, mode=self.mode,
-            batch_steps=self.batch_steps,
+            batch_steps=self.batch_steps, plan_hints=plan_hints,
         )
         self.metrics.compile_seconds = time.perf_counter() - t0
         self._gauge_keys = compiled.gauge_keys

@@ -14,7 +14,8 @@ xmake.lua:15 — and the master-bus dynamics stages):
     audio_compressor, audio_eq, audio_filter, audio_reverb,
     audio_delay, audio_gate, audio_tremolo, audio_chorus,
     audio_phaser, audio_pan, audio_width, audio_fade, audio_crossfade,
-    audio_normalize, audio_deesser
+    audio_normalize, audio_deesser, audio_generator, audio_trim,
+    audio_reverse
 """
 
 from __future__ import annotations
@@ -49,6 +50,8 @@ def register_builtin_processors() -> None:
     from nodey_tpu.processors.crossfade import AudioCrossfade
     from nodey_tpu.processors.normalize import AudioNormalize
     from nodey_tpu.processors.deesser import AudioDeesser
+    from nodey_tpu.processors.generator import AudioGenerator
+    from nodey_tpu.processors.editnodes import AudioReverse, AudioTrim
 
     for cls in (
         AudioInput,
@@ -78,5 +81,8 @@ def register_builtin_processors() -> None:
         AudioCrossfade,
         AudioNormalize,
         AudioDeesser,
+        AudioGenerator,
+        AudioTrim,
+        AudioReverse,
     ):
         register_processor(cls)

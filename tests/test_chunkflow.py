@@ -57,7 +57,8 @@ def run_offline(g, src_arrays, mode="export"):
     return compiled.run(arrays, lengths), compiled.output_meta
 
 
-def run_streamed(g, src_arrays, chunk, mode="export", max_flush=64):
+def run_streamed(g, src_arrays, chunk, mode="export", max_flush=64,
+                 plan_hints=None):
     """Chunked render through the streaming compiler; concatenates outputs.
 
     ``chunk`` is the capacity at the FASTEST source rate; slower-rate
@@ -75,7 +76,8 @@ def run_streamed(g, src_arrays, chunk, mode="export", max_flush=64):
         sources[(nid, pin)] = compiler.SourceSpec(
             rate=rate, channels=data.shape[0], fmt=fmt, capacity=cap,
         )
-    sc = chunkflow.compile_stream_graph(g, sources, mode=mode)
+    sc = chunkflow.compile_stream_graph(g, sources, mode=mode,
+                                        plan_hints=plan_hints)
     states = sc.init_states
 
     master_key = "master" if mode == "export" else "preview"
