@@ -61,6 +61,11 @@ class RunMetrics:
     # UnstreamableGraphError forced the whole-clip fallback, so the CLI
     # reports the path actually taken.
     mode: str = "offline"
+    # Host RSS high-water mark observed during the run (streamed paths
+    # sample it on the pump thread; the _RssGuard ceiling in
+    # stream_executor enforces a bound — the reference's analog is its
+    # O(16-frame) channel memory, audio-stream.hpp:48).
+    rss_peak_bytes: int = 0
 
     @property
     def rtf(self) -> float:
@@ -297,6 +302,9 @@ class Runner:
 
             metrics.wall_seconds = time.perf_counter() - wall0
             metrics.audio_seconds = master_len / rate if rate else 0.0
+            from nodey_tpu.core.stream_executor import _rss_bytes
+
+            metrics.rss_peak_bytes = _rss_bytes()
             self.state = RunnerState.FINISHED
             return RunResult(
                 master=master, rate=rate, fmt=fmt, spectra=spectra,
@@ -502,5 +510,6 @@ class Runner:
             wall_seconds=sm.wall_seconds,
             compile_seconds=sm.compile_seconds,
             mode="streamed",
+            rss_peak_bytes=sm.rss_peak_bytes,
         )
         return metrics

@@ -27,6 +27,7 @@ FIFOs on device — O(nodes x chunk) for any clip length (SURVEY.md §5.7).
 from __future__ import annotations
 
 import dataclasses
+import os
 import threading
 import time
 from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
@@ -53,10 +54,79 @@ class StreamMetrics:
     d2h_busy_seconds: float = 0.0      # egress thread's SERIAL d2h exposure
     d2h_fetch_seconds: float = 0.0     # sum of in-flight fetch durations
     sink_busy_seconds: float = 0.0     # sink thread inside sink() (LAME…)
+    rss_peak_bytes: int = 0            # host RSS high-water mark this run
 
     @property
     def rtf(self) -> float:
         return self.audio_seconds / self.wall_seconds if self.wall_seconds else 0.0
+
+
+_log = __import__("logging").getLogger("nodey_tpu.stream")
+
+
+def _rss_bytes() -> int:
+    """Process RSS (reference: src/utility/system.cpp:12-44 reads
+    /proc/self/status VmRSS the same way). 0 where /proc is absent."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 0
+
+
+class _RssGuard:
+    """Bounded-memory watchdog for long exports (multi-hour relay runs
+    creep ~2 MB/chunk from per-RPC client bookkeeping, ROUND3.md §12 —
+    the reference's streaming memory is O(16 frames) by construction,
+    audio-stream.hpp:48, and a production export must not OOM the host).
+
+    Samples RSS at most every ``interval_s`` on the pump thread, keeps
+    the high-water mark, and enforces two env-tunable ceilings:
+    NODEY_RSS_SOFT_MB (default 4096) — one warning + a gc.collect() per
+    run; NODEY_RSS_HARD_MB (default 16384, 0 disables) — a structured
+    ProcessorRuntimeError, failing the run loudly BEFORE the kernel's
+    OOM killer fails it silently."""
+
+    def __init__(self, metrics: StreamMetrics, interval_s: float = 2.0):
+        self.metrics = metrics
+        self.interval_s = interval_s
+        self.soft = float(os.environ.get("NODEY_RSS_SOFT_MB", "4096")) * 2**20
+        self.hard = float(os.environ.get("NODEY_RSS_HARD_MB", "16384")) * 2**20
+        self._warned = False
+        self._next = 0.0
+        self.check(force=True)
+
+    def check(self, force: bool = False) -> None:
+        now = time.monotonic()
+        if not force and now < self._next:
+            return
+        self._next = now + self.interval_s
+        rss = _rss_bytes()
+        if rss > self.metrics.rss_peak_bytes:
+            self.metrics.rss_peak_bytes = rss
+        if self.soft and rss > self.soft and not self._warned:
+            self._warned = True
+            import gc
+
+            gc.collect()
+            _log.warning(
+                "stream RSS %.0f MB crossed the soft ceiling %.0f MB "
+                "(NODEY_RSS_SOFT_MB); collected garbage — peak is "
+                "recorded in metrics.rss_peak_bytes",
+                rss / 2**20, self.soft / 2**20,
+            )
+        if self.hard and rss > self.hard:
+            raise ProcessorRuntimeError(
+                "Streaming run exceeded the host memory ceiling",
+                f"Process RSS reached {rss / 2**20:.0f} MB, over the "
+                f"enforced NODEY_RSS_HARD_MB={self.hard / 2**20:.0f} "
+                "ceiling. Raise the ceiling for very long exports, or "
+                "split the export.",
+                f"rss_bytes={rss} steps={self.metrics.steps}",
+            )
 
 
 class _SourceFeed:
@@ -447,10 +517,12 @@ class StreamExecutor:
         states = compiled.init_states
         source_done = {key: False for key in compiled.input_keys}
         frame_chunks: Dict[str, List] = {k: [] for k in frames_keys}
+        rss_guard = _RssGuard(self.metrics)
         try:
             flush_steps = 0
             kb = self.batch_steps
             while not self._stop.is_set():
+                rss_guard.check()
                 args = {}
                 for key in compiled.input_keys:
                     feed = feeds[key]
@@ -615,6 +687,7 @@ class StreamExecutor:
             "steps": self.metrics.steps,
             "sink_busy_seconds": round(self.metrics.sink_busy_seconds, 3),
             "d2h_busy_seconds": round(self.metrics.d2h_busy_seconds, 3),
+            "rss_peak_bytes": self.metrics.rss_peak_bytes,
         }
         if self._feeds:
             stats["decode_fill"] = min(

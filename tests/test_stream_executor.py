@@ -484,3 +484,36 @@ def test_per_edge_fifo_gauges(tmp_path):
         nid = int(key.split("/")[0])
         assert nid in g.nodes
         assert 0.0 <= fill <= 1.0
+
+
+def test_rss_guard_records_peak_and_enforces_hard_ceiling(
+    tmp_path, monkeypatch
+):
+    """Long-export memory guard (ROUND3.md §12 relay RSS creep): the pump
+    thread samples host RSS, records the high-water mark in the metrics,
+    and a crossed NODEY_RSS_HARD_MB ceiling fails the run with the
+    structured 3-part error instead of growing until the OOM killer."""
+    paths = _write_fixtures(tmp_path, seconds=2.0)
+    g = _two_track_graph(paths)
+
+    ex = StreamExecutor(g, mode="export", chunk_seconds=0.5)
+    metrics = ex.run(sink=lambda b: None)
+    # Any real process has tens of MB resident; the guard sampled it.
+    assert metrics.rss_peak_bytes > 10 * 2**20
+    assert ex.live_stats()["rss_peak_bytes"] == metrics.rss_peak_bytes
+
+    # The Runner surfaces the peak on RunMetrics for both paths.
+    rm = Runner(g).export_streamed(str(tmp_path / "guard.wav"))
+    assert rm.rss_peak_bytes > 10 * 2**20
+    off = Runner(g).render(mode="export")
+    assert off.metrics.rss_peak_bytes > 10 * 2**20
+
+    # Enforced ceiling: 1 MB is below any real RSS, so the guard trips
+    # on its very first check, before any chunk is pumped.
+    from nodey_tpu.core.errors import ProcessorRuntimeError
+
+    monkeypatch.setenv("NODEY_RSS_HARD_MB", "1")
+    ex2 = StreamExecutor(g, mode="export", chunk_seconds=0.5)
+    with pytest.raises(ProcessorRuntimeError) as ei:
+        ex2.run(sink=lambda b: None)
+    assert "memory ceiling" in str(ei.value)
