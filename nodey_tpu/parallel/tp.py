@@ -96,43 +96,7 @@ def partitioned_conv_tp(x, hr: np.ndarray, hi: np.ndarray, out_len: int,
     else:
         x = x[:, :need]
 
-    def local(seg, cos_l, msin_l, hr_l, hi_l, inv_l):
-        # [C, T, F] x [F, bins_local]: this shard's bin columns (bitwise
-        # per column vs the unsharded GEMM).
-        xr = jnp.einsum(
-            "ctf,fb->ctb", seg, cos_l,
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        xi = jnp.einsum(
-            "ctf,fb->ctb", seg, msin_l,
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        yr = jnp.zeros_like(xr)
-        yi = jnp.zeros_like(xi)
-        for kk in range(k):
-            if kk:
-                sxr = jnp.pad(xr[:, :-kk], ((0, 0), (kk, 0), (0, 0)))
-                sxi = jnp.pad(xi[:, :-kk], ((0, 0), (kk, 0), (0, 0)))
-            else:
-                sxr, sxi = xr, xi
-            hrk = hr_l[:, kk][:, None, :]
-            hik = hi_l[:, kk][:, None, :]
-            yr = yr + sxr * hrk - sxi * hik
-            yi = yi + sxr * hik + sxi * hrk
-        # One ICI hop: gather every shard's bin slice -> full spectrum.
-        yr_full = lax.all_gather(yr, axis, axis=2, tiled=True)
-        yi_full = lax.all_gather(yi, axis, axis=2, tiled=True)
-        # Inverse: this shard's OUTPUT sample columns, full-spectrum dot
-        # (same reduction order as the unsharded GEMM -> bitwise).
-        y_loc = jnp.einsum(
-            "ctb,bf->ctf",
-            jnp.concatenate([yr_full, yi_full], axis=-1), inv_l,
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        return lax.all_gather(y_loc, axis, axis=2, tiled=True)
+    local = functools.partial(_conv_local, axis=axis, k=k)
 
     seg = reverb_ops._segments(x)                     # [C, T, F]
     fn = shard_map(
@@ -157,6 +121,48 @@ def partitioned_conv_tp(x, hr: np.ndarray, hi: np.ndarray, out_len: int,
     )
     out = y[..., P_SZ:].reshape(c, t * P_SZ)
     return out[:, :out_len]
+
+
+def _conv_local(seg, cos_l, msin_l, hr_l, hi_l, inv_l, *, axis, k):
+    """Per-device body of the tp partitioned convolution (module-level so
+    the dp x sp x tp composition, parallel/dp_sp_tp.py, reuses the exact
+    same math under its own shard_map)."""
+    # [C, T, F] x [F, bins_local]: this shard's bin columns (bitwise
+    # per column vs the unsharded GEMM).
+    xr = jnp.einsum(
+        "ctf,fb->ctb", seg, cos_l,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    xi = jnp.einsum(
+        "ctf,fb->ctb", seg, msin_l,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    yr = jnp.zeros_like(xr)
+    yi = jnp.zeros_like(xi)
+    for kk in range(k):
+        if kk:
+            sxr = jnp.pad(xr[:, :-kk], ((0, 0), (kk, 0), (0, 0)))
+            sxi = jnp.pad(xi[:, :-kk], ((0, 0), (kk, 0), (0, 0)))
+        else:
+            sxr, sxi = xr, xi
+        hrk = hr_l[:, kk][:, None, :]
+        hik = hi_l[:, kk][:, None, :]
+        yr = yr + sxr * hrk - sxi * hik
+        yi = yi + sxr * hik + sxi * hrk
+    # One ICI hop: gather every shard's bin slice -> full spectrum.
+    yr_full = lax.all_gather(yr, axis, axis=2, tiled=True)
+    yi_full = lax.all_gather(yi, axis, axis=2, tiled=True)
+    # Inverse: this shard's OUTPUT sample columns, full-spectrum dot
+    # (same reduction order as the unsharded GEMM -> bitwise).
+    y_loc = jnp.einsum(
+        "ctb,bf->ctf",
+        jnp.concatenate([yr_full, yi_full], axis=-1), inv_l,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return lax.all_gather(y_loc, axis, axis=2, tiled=True)
 
 
 def reverb_tp(x, rate: int, decay_s: float, pre_delay_ms: float,
