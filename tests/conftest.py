@@ -51,3 +51,28 @@ def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     if denom == 0:
         return float("inf")
     return float(10.0 * np.log10(np.sum(reference**2) / denom))
+
+
+# --- fast tier (VERDICT r3 #6) ---------------------------------------------
+# Core-correctness modules that together run in ~3 min on this 1-CPU host
+# (measured 2026-08-20: 253 tests, 165 s). The heavy excluded modules are
+# the sharded/TP/PV/Pallas exactness suites and soak-style e2e runs.
+# Run with:  python -m pytest tests/ -m fast -q
+# Full suite (~35 min) stays the round-end gate.
+FAST_MODULES = {
+    "test_graph", "test_serde", "test_mix", "test_chunkflow", "test_e2e",
+    "test_editnodes", "test_session", "test_notifications",
+    "test_server_page", "test_example_projects", "test_resample",
+    "test_streaming", "test_stream_executor", "test_server",
+    "test_wav_export", "test_examples", "test_bimix_alignment",
+    "test_crossfade", "test_generator", "test_batch", "test_cancellation",
+    "test_decode_fuzz",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pathlib
+
+    for item in items:
+        if pathlib.Path(str(item.fspath)).stem in FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
