@@ -40,18 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_ROWS = 64
 
 
-def _lock_kernel(Bp: int, mag_ref, cp_ref, sp_ref, ph_ref,
-                 oc_ref, os_ref):
-    """One [TILE_ROWS, Bp] tile: full lock scan in VMEM.
+def _lock_tile(mag, cos_phi, sin_phi, ph_in, Bp: int):
+    """Identity-lock one [T, Bp] tile entirely in registers/VMEM.
 
     Lane index == bin index (the bin axis is never tiled); pad lanes
-    carry mag == -1.0 so they are never peaks and their seeds stay
-    invalid through both scans.
+    must carry mag == -1.0 so they are never peaks and their seeds stay
+    invalid through both scans.  Shared by the standalone lock kernel
+    below and the fused phase-path kernel (ops/pallas_phase.py).
     """
-    mag = mag_ref[...]
-    cos_phi = cp_ref[...]
-    sin_phi = sp_ref[...]
-    ph_in = ph_ref[...]
     T = mag.shape[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, Bp), 1)
@@ -112,8 +108,19 @@ def _lock_kernel(Bp: int, mag_ref, cp_ref, sp_ref, ph_ref,
 
     d = ph_in - pph
     cd, sd = jnp.cos(d), jnp.sin(d)
-    oc_ref[...] = jnp.where(is_peak, cos_phi, cp * cd - sp * sd)
-    os_ref[...] = jnp.where(is_peak, sin_phi, cp * sd + sp * cd)
+    return (
+        jnp.where(is_peak, cos_phi, cp * cd - sp * sd),
+        jnp.where(is_peak, sin_phi, cp * sd + sp * cd),
+    )
+
+
+def _lock_kernel(Bp: int, mag_ref, cp_ref, sp_ref, ph_ref,
+                 oc_ref, os_ref):
+    """One [TILE_ROWS, Bp] tile: full lock scan in VMEM."""
+    oc, os_ = _lock_tile(mag_ref[...], cp_ref[...], sp_ref[...],
+                         ph_ref[...], Bp)
+    oc_ref[...] = oc
+    os_ref[...] = os_
 
 
 def lock_to_peaks_pallas(cos_phi, sin_phi, ph_in, mag,

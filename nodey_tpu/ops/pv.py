@@ -419,6 +419,24 @@ def _pv_impl(data, tempo: float, rate: int, lock: bool = True,
         "ckn,nb->ckb", frames, jnp.asarray(sin_m),
         preferred_element_type=jnp.float32, precision=PV_PRECISION,
     )
+    # Fused phase path (ops/pallas_phase.py): mag/phase extraction,
+    # instantaneous-frequency wrap, K-axis phasor prefix, identity lock
+    # and the mag*phasor synthesis products in ONE VMEM-resident kernel
+    # (the XLA formulation below streams each intermediate plane through
+    # HBM).  Same math; prefix association order differs, so outputs
+    # agree to f32 round-off — tests pin >=110 dB vs this XLA path.
+    # Option paths the kernel does not implement fall back below.
+    if not transient and formant_ratio == 1.0:
+        backend = _phase_backend()
+        if backend is not None:
+            from nodey_tpu.ops import pallas_phase
+
+            re_y, im_y = pallas_phase.phase_path_pallas(
+                re, im, dpos, hop, n_fft, lock=lock,
+                interpret=backend == "interpret",
+            )
+            return _pv_synth(re_y, im_y, n_fft, hop)
+
     mag = jnp.sqrt(re * re + im * im)
     ph = jnp.arctan2(im, re)                         # [C, K, bins]
     raw_mag = mag
@@ -488,8 +506,33 @@ def _pv_impl(data, tempo: float, rate: int, lock: bool = True,
     if lock:
         cos_phi, sin_phi = lock_phases(cos_phi, sin_phi, ph, mag)
 
-    re_y = mag * cos_phi
-    im_y = mag * sin_phi
+    return _pv_synth(mag * cos_phi, mag * sin_phi, n_fft, hop)
+
+
+def _phase_backend():
+    """Fused-phase-kernel dispatch: 'pallas' on TPU (or forced),
+    'interpret' when forced for CPU tests, None -> XLA path."""
+    force = os.environ.get("NODEY_PV_PHASE_FORCE")
+    if force == "xla":
+        return None
+    if force == "interpret":
+        return "interpret"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if force == "pallas" or on_tpu:
+        return "pallas"
+    return None
+
+
+def _pv_synth(re_y, im_y, n_fft: int, hop: int):
+    """Synthesis tail shared by the XLA and fused phase paths: inverse
+    real-DFT GEMMs, WOLA window, overlap-add at hop = n_fft/4 (each
+    frame is 4 hop-subframes; subframe j of frame k lands on output row
+    k + j — four shifted adds, no scatter), exact coverage divide."""
+    C, K, _bins = re_y.shape
+    w = jnp.asarray(_pv_window(n_fft))
     icos_m, isin_m = _idft_matrices(n_fft)
     y = jnp.einsum(
         "ckb,bn->ckn", re_y, jnp.asarray(icos_m),
@@ -500,9 +543,6 @@ def _pv_impl(data, tempo: float, rate: int, lock: bool = True,
     )
     y = y * w[None, None, :]                         # WOLA synthesis window
 
-    # Overlap-add at hop = n_fft/4: each frame is 4 hop-subframes; subframe
-    # j of frame k lands on output row k + j — four shifted adds, no
-    # scatter.
     y4 = y.reshape(C, K, 4, hop)
     ola = None
     for j in range(4):
