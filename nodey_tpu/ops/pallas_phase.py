@@ -66,6 +66,38 @@ _TWO_PI = np.float32(2.0 * math.pi)
 TILE_K = 64
 
 
+_PI = np.float32(math.pi)
+_PI_2 = np.float32(math.pi / 2)
+_PI_4 = np.float32(math.pi / 4)
+
+
+def _atan2(y, x):
+    """f32 atan2 from compare/select + a Cephes-style minimax odd
+    polynomial (Mosaic has no atan2 primitive; TC lowering raises
+    NotImplementedError).  Range-reduced to t in [0, 0.4142] via the
+    octant fold t -> (t-1)/(t+1), ~1-2 ulp over the full circle;
+    atan2(0, 0) == 0 to match XLA's convention."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    t = jnp.minimum(ax, ay) / jnp.where(hi > 0.0, hi, 1.0)
+    mid = t > 0.41421356
+    u = jnp.where(mid, (t - 1.0) / (t + 1.0), t)
+    z = u * u
+    p = (
+        (
+            (np.float32(8.05374449538e-2) * z
+             - np.float32(1.38776856032e-1)) * z
+            + np.float32(1.99777106478e-1)
+        ) * z
+        - np.float32(3.33329491539e-1)
+    ) * z * u + u
+    r = jnp.where(mid, _PI_4 + p, p)
+    r = jnp.where(ay > ax, _PI_2 - r, r)
+    r = jnp.where(x < 0.0, _PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
 def _phase_kernel(B: int, Bp: int, T: int, hop: int, n_fft: int,
                   lock: bool,
                   re_ref, im_ref, dpos_ref,
@@ -85,7 +117,7 @@ def _phase_kernel(B: int, Bp: int, T: int, hop: int, n_fft: int,
     row = jax.lax.broadcasted_iota(jnp.int32, (T, Bp), 0)
 
     mag = jnp.sqrt(re * re + im * im)
-    ph = jnp.arctan2(im, re)
+    ph = _atan2(im, re)
 
     # ph_prev[r] = ph[r-1]; row 0 continues from the previous tile's
     # last analysis phase (scratch), zeros at the very first tile where

@@ -380,6 +380,125 @@ def lock_phases(cos_phi, sin_phi, ph_in, mag):
     return _lock_to_peaks(cos_phi, sin_phi, ph_in, mag)
 
 
+def _fwd_backend():
+    """Analysis-DFT dispatch: 'shift' (aligned row-gather + shift
+    theorem) on TPU or when forced, else 'gather' (the vmapped
+    dynamic_slice formulation).  ``NODEY_PV_FWD_FORCE`` overrides."""
+    force = os.environ.get("NODEY_PV_FWD_FORCE")
+    if force in ("shift", "gather"):
+        return force
+    try:
+        if jax.default_backend() == "tpu":
+            return "shift"
+    except Exception:
+        pass
+    return "gather"
+
+
+@functools.lru_cache(maxsize=8)
+def _shift_matrices(n_fft: int):
+    """Static matrices for the shift-theorem analysis DFT.
+
+    The irregular 16.16 frame positions make the naive per-frame gather
+    a lane-unaligned dynamic_slice per frame — measured 2.7 ms of the
+    3.35 ms forward side at 30 s stereo / 48 kHz on v5e, vs 0.34 ms for
+    a 128-aligned row gather (tools/ab_gather.py, 2026-08-20).  So:
+    gather an L = n_fft + 128 window at the position rounded DOWN to
+    the 128-sample block (alignment the TPU lane layout likes), take
+    its L-point real DFT (GEMMs), undo the residual r = pos mod 128 by
+    the circular-shift theorem (a static per-frame phase ramp — the
+    roll never wraps needed samples because r + n_fft < L), and project
+    back to the windowed n_fft-bin spectrum with a fixed
+    [binsL, bins] matrix folding inverse-L-DFT -> truncate-to-n_fft ->
+    Hann -> forward DFT.  Exact up to f32 GEMM roundoff (>=95 dB vs the
+    direct formulation, CPU-checked in tests).
+
+    Returns (cosL, sinL [L, binsL], Mrr, Mir, Mrs, Mis [binsL, bins]).
+    """
+    L = n_fft + 128
+    binsL = L // 2 + 1
+    bins = n_fft // 2 + 1
+    nL = np.arange(L)[:, None] * np.arange(binsL)[None, :]
+    angL = 2.0 * np.pi * nL / L
+    cosL = np.cos(angL).astype(np.float32)
+    sinL = np.sin(angL).astype(np.float32)
+
+    m = np.arange(binsL)
+    alpha = np.full(binsL, 2.0 / L)
+    alpha[0] = 1.0 / L
+    if L % 2 == 0:
+        alpha[-1] = 1.0 / L
+    n = np.arange(n_fft)[:, None]
+    # XIr carries MINUS Im (the bases above use +sin), so the XIr term
+    # of the inverse enters with +alpha*sin.
+    CL = alpha[None, :] * np.cos(2.0 * np.pi * n * m[None, :] / L)
+    SL = alpha[None, :] * np.sin(2.0 * np.pi * n * m[None, :] / L)
+    w = _pv_window(n_fft).astype(np.float64)
+    cos_m, sin_m = _dft_matrices(n_fft)
+    wc = w[:, None] * cos_m
+    ws = w[:, None] * sin_m
+    return (
+        cosL,
+        sinL,
+        (CL.T @ wc).astype(np.float32),
+        (SL.T @ wc).astype(np.float32),
+        (CL.T @ ws).astype(np.float32),
+        (SL.T @ ws).astype(np.float32),
+    )
+
+
+def _fwd_dft_shift(data, pos, n_fft: int, pad_to: int):
+    """Windowed analysis DFT at irregular static positions ``pos`` via
+    aligned block row-gather + frequency-domain sub-block shift (see
+    _shift_matrices).  Returns (re, im) [C, K, bins] matching the
+    direct gather formulation to f32 GEMM roundoff."""
+    C, N = data.shape
+    K = len(pos)
+    L = n_fft + 128
+    binsL = L // 2 + 1
+    cosL, sinL, Mrr, Mir, Mrs, Mis = _shift_matrices(n_fft)
+
+    a = (pos // 128).astype(np.int64)
+    padN = int(a[-1]) * 128 + L
+    x = jnp.pad(data, ((0, 0), (0, max(0, padN - N))))
+    xb = x.reshape(C, padN // 128, 128)
+    idx = jnp.asarray(a[:, None].astype(np.int32)) + jnp.arange(
+        L // 128, dtype=jnp.int32
+    )[None, :]
+    g = xb[:, idx].reshape(C, K, L)                  # aligned row gather
+
+    XR = jnp.einsum("ckl,lb->ckb", g, jnp.asarray(cosL),
+                    preferred_element_type=jnp.float32,
+                    precision=PV_PRECISION)
+    XI = jnp.einsum("ckl,lb->ckb", g, jnp.asarray(sinL),
+                    preferred_element_type=jnp.float32,
+                    precision=PV_PRECISION)
+
+    # Ramp angle r*m mod L in exact int32 (max product 127*1152 << 2^31)
+    # — a [K] constant plus an iota, never a [K, binsL] f32 literal.
+    r_i = jnp.asarray((pos % 128).astype(np.int32))
+    m_i = jnp.arange(binsL, dtype=jnp.int32)
+    theta = ((r_i[:, None] * m_i[None, :]) % L).astype(jnp.float32) \
+        * np.float32(_TWO_PI / L)
+    rc, rs = jnp.cos(theta)[None], jnp.sin(theta)[None]
+    XRr = XR * rc + XI * rs
+    XIr = XI * rc - XR * rs
+
+    re = jnp.einsum("ckb,bo->cko", XRr, jnp.asarray(Mrr),
+                    preferred_element_type=jnp.float32,
+                    precision=PV_PRECISION) \
+        + jnp.einsum("ckb,bo->cko", XIr, jnp.asarray(Mir),
+                     preferred_element_type=jnp.float32,
+                     precision=PV_PRECISION)
+    im = jnp.einsum("ckb,bo->cko", XRr, jnp.asarray(Mrs),
+                    preferred_element_type=jnp.float32,
+                    precision=PV_PRECISION) \
+        + jnp.einsum("ckb,bo->cko", XIr, jnp.asarray(Mis),
+                     preferred_element_type=jnp.float32,
+                     precision=PV_PRECISION)
+    return re, im
+
+
 def _pv_impl(data, tempo: float, rate: int, lock: bool = True,
              transient: bool = False, formant_ratio: float = 1.0):
     """Stretch [C, N] by ``tempo`` (>1 = faster/shorter); returns the
@@ -401,24 +520,27 @@ def _pv_impl(data, tempo: float, rate: int, lock: bool = True,
     w = jnp.asarray(_pv_window(n_fft))
     cos_m, sin_m = _dft_matrices(n_fft)
 
-    x = jnp.pad(data, ((0, 0), (0, max(0, pad_to - N))))
-    # One batched slice-gather for all frames: vmapped dynamic_slice keeps
-    # the HLO index literal at K entries (vs a [K, n_fft] 2D literal, which
-    # costs ~3x the XLA CPU compile at equal runtime).
-    starts = jnp.asarray(pos.astype(np.int32))
-    frames = jax.vmap(
-        lambda s: lax.dynamic_slice_in_dim(x, s, n_fft, axis=1),
-        out_axes=1,
-    )(starts) * w[None, None, :]                     # [C, K, n_fft]
+    if _fwd_backend() == "shift":
+        re, im = _fwd_dft_shift(data, pos, n_fft, pad_to)
+    else:
+        x = jnp.pad(data, ((0, 0), (0, max(0, pad_to - N))))
+        # One batched slice-gather for all frames: vmapped dynamic_slice
+        # keeps the HLO index literal at K entries (vs a [K, n_fft] 2D
+        # literal, which costs ~3x the XLA CPU compile at equal runtime).
+        starts = jnp.asarray(pos.astype(np.int32))
+        frames = jax.vmap(
+            lambda s: lax.dynamic_slice_in_dim(x, s, n_fft, axis=1),
+            out_axes=1,
+        )(starts) * w[None, None, :]                 # [C, K, n_fft]
 
-    re = jnp.einsum(
-        "ckn,nb->ckb", frames, jnp.asarray(cos_m),
-        preferred_element_type=jnp.float32, precision=PV_PRECISION,
-    )
-    im = jnp.einsum(
-        "ckn,nb->ckb", frames, jnp.asarray(sin_m),
-        preferred_element_type=jnp.float32, precision=PV_PRECISION,
-    )
+        re = jnp.einsum(
+            "ckn,nb->ckb", frames, jnp.asarray(cos_m),
+            preferred_element_type=jnp.float32, precision=PV_PRECISION,
+        )
+        im = jnp.einsum(
+            "ckn,nb->ckb", frames, jnp.asarray(sin_m),
+            preferred_element_type=jnp.float32, precision=PV_PRECISION,
+        )
     # Fused phase path (ops/pallas_phase.py): mag/phase extraction,
     # instantaneous-frequency wrap, K-axis phasor prefix, identity lock
     # and the mag*phasor synthesis products in ONE VMEM-resident kernel

@@ -108,17 +108,32 @@ def _stage_prefix(upto: str, tempo: float, rate: int, N: int, lock=True):
     return jax.jit(fn), (K, n_fft, bins)
 
 
-def _time(fn, x, iters=20):
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _time(fn, x, iters=30):
+    """bench.py's pattern: async-dispatch a loop, one completion probe,
+    subtract the separately-measured probe RTT (the axon relay costs
+    ~25 ms per device_get regardless of size)."""
+
+    def probe(r):
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        return jax.device_get(leaf.ravel()[:4])
+
     r = fn(x)
-    jax.block_until_ready(r)
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0][0, :1]))
+    probe(r)
+    rtt = min(min(_timed(lambda: probe(r)) for _ in range(3)), 0.2)
     ts = []
-    for _ in range(iters):
+    for _ in range(3):
         t0 = time.perf_counter()
-        r = fn(x)
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0][0, :1]))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        for _ in range(iters):
+            r = fn(x)
+        probe(r)
+        ts.append((time.perf_counter() - t0 - rtt) / iters)
+    return max(min(ts), 1e-7)
 
 
 def main():
@@ -134,7 +149,7 @@ def main():
     a = jax.device_put(np.ones((2048, 2048), np.float32))
     f = jax.jit(lambda a: a @ a)
     jax.block_until_ready(f(a))
-    t = _time(lambda x: f(x), a, iters=10)
+    t = _time(lambda x: f(x), a, iters=30)
     gflops = 2 * 2048**3 / t / 1e9
     print(f"canary matmul: {gflops:.0f} GFLOP/s "
           f"({'healthy' if gflops > 20000 else 'DEGRADED'})")
