@@ -674,6 +674,57 @@ def pv_lock_ab(seconds: float, iters: int = 8):
     return out
 
 
+def pv_path_ab(seconds: float, iters: int = 8):
+    """On-chip A/B of the whole PV stage: the XLA formulation (per-frame
+    gather + associative-scan phase path) vs the TPU defaults (aligned
+    row-gather + shift-theorem analysis DFT, ops/pv._fwd_dft_shift, and
+    the fused VMEM phase kernel, ops/pallas_phase.py).  Records the
+    measurement justifying both TPU dispatches (VERDICT r3 #3)."""
+    import jax.numpy as jnp
+
+    from nodey_tpu.ops import pv as pv_ops
+
+    tempo, rate = 1.25, 48_000
+    rng = np.random.default_rng(6)
+    n = int(rate * seconds)
+    x = jnp.asarray((0.3 * rng.standard_normal((2, n))).astype(np.float32))
+    out = []
+    saved = {
+        k: os.environ.get(k)
+        for k in ("NODEY_PV_FWD_FORCE", "NODEY_PV_PHASE_FORCE")
+    }
+    try:
+        os.environ["NODEY_PV_FWD_FORCE"] = "gather"
+        os.environ["NODEY_PV_PHASE_FORCE"] = "xla"
+        t_xla = _probe_timed(
+            lambda d: pv_ops.pv_stretch_at_rate(
+                d, jnp.int32(d.shape[1]), tempo, rate
+            )[0],
+            x, iters,
+        )
+        for k, v in saved.items():
+            os.environ.pop(k, None) if v is None else os.environ.update({k: v})
+        t_tpu = _probe_timed(
+            lambda d: pv_ops.pv_stretch_at_rate(
+                d, jnp.int32(d.shape[1]), tempo, rate
+            )[0],
+            x, iters,
+        )
+        log(
+            f"pv_path_ab ({seconds:.0f}s stereo): xla-everything "
+            f"{t_xla * 1e3:.2f} ms, shift-dft+fused-phase "
+            f"{t_tpu * 1e3:.2f} ms — {t_xla / t_tpu:.2f}x (TPU default: "
+            f"{'fused' if t_tpu <= t_xla else 'XLA — REVISIT'})"
+        )
+        out.append(("pv_path_fused_speedup", t_xla / t_tpu))
+    except Exception as exc:
+        log(f"pv_path_ab skipped: {type(exc).__name__}: {exc}")
+    finally:
+        for k, v in saved.items():
+            os.environ.pop(k, None) if v is None else os.environ.update({k: v})
+    return out
+
+
 def kernel_mfu(seconds: float, iters: int = 8):
     """Roofline attribution for the two hot kernels (VERDICT r1 item 9):
     achieved FLOP/s vs the unit's peak, so future perf deltas separate
@@ -1401,6 +1452,13 @@ def main() -> int:
                     emit(n, v) for n, v in pv_lock_ab(min(seconds, 30.0), iters)
                 ],
                 90,
+            )
+            section(
+                "pv_path_ab",
+                lambda: [
+                    emit(n, v) for n, v in pv_path_ab(min(seconds, 30.0), iters)
+                ],
+                120,
             )
             section(
                 "wsola_bound",

@@ -244,6 +244,29 @@ def group_factor(L: int, M: int) -> int:
     return R
 
 
+def _bank_form() -> str:
+    """Grouped-GEMM formulation: 'patches' (the superblock patch-stack
+    branch) on every backend; ``NODEY_RESAMPLE_FORM=transposed`` opts
+    into the no-patch-stack transposed form for experiments.
+
+    The transposed form (H = grouped bank transposed, split at the
+    superblock row; no [C, nblk, B, Wp] patch materialization) was
+    MEASURED SLOWER on v5e — 4.93 ms vs 3.60 ms per 300 s stereo track
+    (tools/ab_resample.py, 2026-08-20) — because its [C, Gg, Mg=588]
+    input view has a non-lane-multiple minor and pays exactly the
+    misaligned relayout the superblock scheme was designed around
+    (group_factor docstring); on CPU it wins (0.18 vs 0.25 ms at 3 s)
+    but CPU goldens pin the patches branch.  Kept as an env-selectable
+    alternative with ulp-level parity tests, not a default.  All
+    execution paths share apply_filter_bank, so within one process the
+    formulation — and therefore the float summation grouping — is
+    uniform."""
+    force = os.environ.get("NODEY_RESAMPLE_FORM")
+    if force in ("transposed", "patches"):
+        return force
+    return "patches"
+
+
 def apply_filter_bank(x, G: int, M: int, W: int, bank):
     """Apply the [L, W] polyphase bank to ``x`` where patch g reads
     ``x[:, g*M : g*M + W]``; returns [C, G*L].
@@ -276,6 +299,44 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
             preferred_element_type=jnp.float32, precision=BANK_PRECISION,
         )                       # [C, G, L]
         return y.reshape(C, G * L)
+    if R > 1 and _bank_form() == "transposed":
+        # TRANSPOSED grouped GEMM (TPU default): y[c, g, :] =
+        # segs[c, g] @ H0 + segs[c, g+1, :ov] @ H1 with H = bank_g^T
+        # split at row Mg — consecutive group-row windows overlap by
+        # only ov = Wp - Mg < Mg, so one extra narrow GEMM replaces the
+        # whole [C, nblk, B, Wp] patch stack of the superblock branch
+        # below (measured 1.09 ms of its 3.56 ms per 300 s stereo track
+        # on v5e; this form also reads the input once per pass instead
+        # of materializing ~2x input).  Same nonzero arithmetic terms
+        # per output row; the 640-wide reduction is split 588+52 with an
+        # explicit add, so cross-FORMULATION agreement is ulp-level
+        # (156 dB measured) — which is why the dispatch is per-backend,
+        # never mixed within one: all paths (offline, chunked, sharded)
+        # share this function and therefore the same formulation.
+        Mg = M * R
+        Wg = (R - 1) * M + W
+        Wp = -(-Wg // 128) * 128
+        ov = Wp - Mg
+        Gg = -(-G // R)
+        bank_g = jnp.zeros((R * L, Wp), bank.dtype)
+        for j in range(R):
+            bank_g = bank_g.at[
+                j * L : (j + 1) * L, j * M : j * M + W
+            ].set(bank)
+        H0 = bank_g[:, :Mg].T                        # [Mg, R*L] constant
+        H1 = bank_g[:, Mg:].T                        # [ov, R*L] constant
+        need = (Gg + 1) * Mg
+        if x.shape[1] < need:
+            x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+        segs = x[:, :need].reshape(C, Gg + 1, Mg)
+        y = jnp.einsum(
+            "cgm,mo->cgo", segs[:, :Gg], H0,
+            preferred_element_type=jnp.float32, precision=BANK_PRECISION,
+        ) + jnp.einsum(
+            "cgm,mo->cgo", segs[:, 1:, :ov], H1,
+            preferred_element_type=jnp.float32, precision=BANK_PRECISION,
+        )
+        return y.reshape(C, Gg * R * L)[:, : G * L]
     if R > 1:
         # SUPERBLOCK grouped GEMM. Two alignment problems die at once:
         #   * output rows are [R*L], a lane multiple (e.g. 640 for

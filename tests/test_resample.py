@@ -241,3 +241,70 @@ def test_mxu_call_sites_pin_precision():
 
     s = str(jax.make_jaxpr(spec)(jnp.zeros((2, 8192), jnp.float32)))
     assert "HIGHEST" in s
+
+
+def test_transposed_form_matches_patches(monkeypatch):
+    """The transposed grouped GEMM (TPU-default formulation: H = grouped
+    bank transposed, split at the superblock row — no patch stack)
+    computes the same terms as the patch-stack branch; only the float
+    reduction grouping differs (the 640-wide contraction splits 588+52
+    with an explicit add), so parity is ulp-level."""
+    from nodey_tpu.ops import resample as rs
+
+    x = multitone(44_100, seconds=0.43, channels=2)
+    monkeypatch.setenv("NODEY_RESAMPLE_FORM", "patches")
+    patches = np.asarray(resample_data(x, 44_100, 48_000))
+    monkeypatch.setenv("NODEY_RESAMPLE_FORM", "transposed")
+    transposed = np.asarray(resample_data(x, 44_100, 48_000))
+    assert patches.shape == transposed.shape
+    assert snr_db(patches, transposed) >= 140.0
+
+    # Against the float64 reference (same bar the patch branch holds).
+    ref = rs.resample_data_reference(x, 44_100, 48_000)
+    n = min(ref.shape[1], transposed.shape[1])
+    assert snr_db(ref[:, :n], transposed[:, :n]) >= 120.0
+
+
+def test_transposed_form_streaming_consistent(monkeypatch):
+    """Chunked streaming through the transposed formulation agrees with
+    its own offline render (the cross-path contract every formulation
+    must hold; chunk boundaries stay aligned to M*R via _chunk_quantum)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nodey_tpu.ops import chunkops
+
+    monkeypatch.setenv("NODEY_RESAMPLE_FORM", "transposed")
+    in_rate, out_rate = 44_100, 48_000
+    x = multitone(in_rate, seconds=0.61, channels=2)
+    ref = np.asarray(resample_data(x, in_rate, out_rate))
+
+    chunk = 4410
+    plan = chunkops.resample_plan(in_rate, out_rate, chunk)
+    state = chunkops.resample_stream_init(plan, 2)
+    step = jax.jit(
+        lambda s, d, n, done, _p=plan: chunkops.resample_stream_step(
+            _p, s, d, n, done
+        )
+    )
+    N = x.shape[1]
+    pos, pieces = 0, []
+    done = False
+    while not done:
+        block = np.zeros((2, chunk), np.float32)
+        n = min(chunk, N - pos)
+        if n > 0:
+            block[:, :n] = x[:, pos : pos + n]
+        pos += max(n, 0)
+        state, out, out_n, out_done = step(
+            state, jnp.asarray(block), jnp.int32(max(n, 0)),
+            jnp.bool_(pos >= N),
+        )
+        out_n = int(out_n)
+        if out_n:
+            pieces.append(np.asarray(out)[:, :out_n])
+        done = bool(out_done)
+    got = np.concatenate(pieces, axis=1)
+    m = min(got.shape[1], ref.shape[1])
+    np.testing.assert_allclose(got[:, :m], ref[:, :m], rtol=0, atol=3e-7)
+    assert abs(got.shape[1] - ref.shape[1]) <= 1
