@@ -451,6 +451,12 @@ def pallas_resample_ab(seconds: float, iters: int = 8) -> None:
             lambda d: resample_ops.resample_data(d, rate_in, rate_out),
             "xla-patch-gemm",
         )
+        # NB: the GROUPED kernel (apply_filter_bank_grouped_pallas) is
+        # 1.65x faster at steady state but its Mosaic compile through
+        # this rig's relay is erratic (1.6 s .. >20 min observed for
+        # identical shapes) — A/Bing it here could eat the whole bench
+        # budget, so this section keeps the stable ungrouped variant;
+        # see resample._bank_form for the measurements.
         pl_out, pl_t = timed(
             lambda d: pallas_resample.resample_data_pallas(
                 d, rate_in, rate_out

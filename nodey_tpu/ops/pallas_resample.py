@@ -22,6 +22,8 @@ kept as the A/B reference and the template for manual-DMA windowed ops.
 from __future__ import annotations
 
 
+import math
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -151,3 +153,150 @@ def resample_data_pallas(
     )(x, bank)
 
     return out.reshape(C, GB * BLOCK_GROUPS * L)[:, :n_out]
+
+
+# Group rows per grid step for the GROUPED kernel below (each row is R*L
+# output samples wide).
+GROUP_ROWS = 128
+
+
+def apply_filter_bank_grouped_pallas(x, G: int, M: int, W: int, bank,
+                                     interpret: bool = False):
+    """Drop-in Pallas replacement for resample.apply_filter_bank's R>1
+    patch-stack branch: same grouped math ([rows, Wp] windows at stride
+    Mg against the zero-embedded [R*L, Wp] bank), but the patch matrix
+    is built in VMEM from one DMA'd window per step — the XLA branch's
+    [C, nblk, B, Wp] patch stack (1.09 ms of its 3.56 ms per 300 s
+    stereo track, ~115 MB materialized through HBM) never exists.
+
+    Numerics: the dot contracts the same Wp=640 terms against the same
+    grouped bank at HIGHEST; Mosaic's reduction order may differ from
+    XLA's einsum by last-ulp (the prior ungrouped kernel measured
+    bit-identical — tests pin interpret mode bitwise vs the patches
+    branch, and the chip A/B reports max|diff|).
+
+    Layout notes (the whole point of this kernel):
+    - window rows start at j*Mg (misaligned lanes); each row loads its
+      128-aligned superset and absorbs the residue with one static
+      pltpu.roll — Mosaic needs no alignment proof for unrolled static
+      offsets (same trick as the ungrouped kernel above);
+    - dot shape [GROUP_ROWS, Wp] x [Wp, R*L] = [128, 640] x [640, 640]
+      for 44.1->48 kHz: MXU-shaped in every dimension, and the output
+      block [128, 640] is lane-aligned so the flatten is free.
+    """
+    L = bank.shape[0]
+    R = resample_ops.group_factor(L, M)
+    assert R > 1, "grouped kernel requires a grouping win (R > 1)"
+    C = x.shape[0]
+    Mg = M * R
+    Wg = (R - 1) * M + W
+    Wp = -(-Wg // 128) * 128
+    rowbuf = Wp + 128                       # aligned superset + residue
+    Gg = -(-G // R)                         # group rows total
+    GB = -(-Gg // GROUP_ROWS)               # grid steps
+    step_in = GROUP_ROWS * Mg               # input advance per step
+    win = -(-((GROUP_ROWS - 1) * Mg + rowbuf) // 128) * 128
+
+    need = (GB - 1) * step_in + win
+    if x.shape[1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    else:
+        x = x[:, :need]
+
+    # Zero-embedded grouped bank, transposed for the dot: [Wp, R*L].
+    bank_gt = jnp.zeros((Wp, R * L), bank.dtype)
+    for j in range(R):
+        bank_gt = bank_gt.at[j * M : j * M + W, j * L : (j + 1) * L].set(
+            bank.T
+        )
+
+    def kernel(x_hbm, bank_ref, out_ref, scratch, patches, sems):
+        g = pl.program_id(0)
+        n_steps = pl.num_programs(0)
+
+        def get_dma(slot, step):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(step * step_in, win)],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(g == 0)
+        def _():
+            get_dma(0, 0).start()
+
+        slot = g % 2
+
+        @pl.when(g + 1 < n_steps)
+        def _():
+            get_dma((g + 1) % 2, g + 1).start()
+
+        get_dma(slot, g).wait()
+
+        # Residue classes: rows j and j + p share a lane residue
+        # ((p*Mg) % 128 == 0 with p = 128/gcd(Mg, 128)), so one roll
+        # serves GROUP_ROWS/p rows — 32 rolls of [C, members, rowbuf]
+        # instead of 128 rolls of [C, rowbuf] for 44.1->48 kHz (the
+        # rolls were ~1 ms of the per-row variant's 2.2 ms per 300 s
+        # stereo track).
+        p = 128 // math.gcd(Mg, 128)
+        if GROUP_ROWS % p == 0 and p < GROUP_ROWS:
+            members = GROUP_ROWS // p
+            for r in range(p):
+                s = (r * Mg) % 128
+                rows = [
+                    scratch[
+                        slot, :,
+                        (((r + p * k) * Mg) // 128) * 128 :
+                        (((r + p * k) * Mg) // 128) * 128 + rowbuf,
+                    ]
+                    for k in range(members)
+                ]
+                stacked = jnp.stack(rows, axis=1)   # [C, members, rowbuf]
+                if s:
+                    stacked = pltpu.roll(stacked, rowbuf - s, 2)
+                for k in range(members):
+                    patches[:, r + p * k : r + p * k + 1, :] = stacked[
+                        :, k : k + 1, :Wp
+                    ]
+        else:
+            for j in range(GROUP_ROWS):
+                start = j * Mg
+                aligned = (start // 128) * 128
+                row = scratch[slot, :, aligned : aligned + rowbuf]
+                if start % 128:
+                    row = pltpu.roll(row, rowbuf - start % 128, 1)
+                patches[:, j : j + 1, :] = row[:, :Wp].reshape(C, 1, Wp)
+        # ONE dot for all channels: [C*GROUP_ROWS, Wp] x [Wp, R*L] —
+        # fewer MXU pipeline fills than a per-channel dot loop.
+        y = jnp.dot(
+            patches[...].reshape(C * GROUP_ROWS, Wp), bank_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[...] = y.reshape(C, GROUP_ROWS, R * L)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(GB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # grouped bank resident
+        ],
+        out_specs=pl.BlockSpec(
+            (C, GROUP_ROWS, R * L),
+            lambda g: (0, g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (C, GB * GROUP_ROWS, R * L), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, win), jnp.float32),
+            pltpu.VMEM((C, GROUP_ROWS, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, bank_gt)
+
+    return out.reshape(C, GB * GROUP_ROWS * R * L)[:, : G * L]

@@ -245,24 +245,35 @@ def group_factor(L: int, M: int) -> int:
 
 
 def _bank_form() -> str:
-    """Grouped-GEMM formulation: 'patches' (the superblock patch-stack
-    branch) on every backend; ``NODEY_RESAMPLE_FORM=transposed`` opts
-    into the no-patch-stack transposed form for experiments.
+    """Grouped-GEMM (R > 1) formulation dispatch.
 
-    The transposed form (H = grouped bank transposed, split at the
-    superblock row; no [C, nblk, B, Wp] patch materialization) was
-    MEASURED SLOWER on v5e — 4.93 ms vs 3.60 ms per 300 s stereo track
-    (tools/ab_resample.py, 2026-08-20) — because its [C, Gg, Mg=588]
-    input view has a non-lane-multiple minor and pays exactly the
-    misaligned relayout the superblock scheme was designed around
-    (group_factor docstring); on CPU it wins (0.18 vs 0.25 ms at 3 s)
-    but CPU goldens pin the patches branch.  Kept as an env-selectable
-    alternative with ulp-level parity tests, not a default.  All
-    execution paths share apply_filter_bank, so within one process the
-    formulation — and therefore the float summation grouping — is
-    uniform."""
+    'patches' (DEFAULT on every backend): the superblock patch-stack
+    branch the CPU goldens pin.
+
+    'kernel' (env opt-in only): the Pallas grouped kernel
+    (``pallas_resample.apply_filter_bank_grouped_pallas``) — measured
+    1.65x FASTER at steady state (2.2 ms vs 3.6 ms per 300 s stereo
+    track, 2026-08-20, max|diff| 7e-7; interpret mode is bitwise) but
+    NOT the default because its Mosaic compile through this rig's
+    relay is erratic: the same kernel compiled in 1.6 s (GROUP_ROWS
+    64), 293 s (32), a few minutes (128), and then >20 min (128 again,
+    same shapes, same session) — a cold-compile hazard that outweighs
+    1.4 ms/track and could eat the driver's whole bench budget.  On a
+    rig with a local (non-relayed) compiler it is the better default;
+    revisit there.
+
+    'transposed' (env opt-in only): no-patch-stack transposed GEMM —
+    MEASURED SLOWER on v5e (4.93 vs 3.60 ms; its [C, Gg, Mg=588] view
+    has a non-lane-multiple minor and pays exactly the misaligned
+    relayout the superblock scheme was designed around); on CPU it wins
+    (0.18 vs 0.25 ms at 3 s).  Kept for experiments with ulp parity +
+    streaming-consistency tests.
+
+    All execution paths share apply_filter_bank, so within one process
+    the formulation — and therefore the float summation grouping — is
+    uniform.  ``NODEY_RESAMPLE_FORM`` overrides."""
     force = os.environ.get("NODEY_RESAMPLE_FORM")
-    if force in ("transposed", "patches"):
+    if force in ("transposed", "patches", "kernel"):
         return force
     return "patches"
 
@@ -299,6 +310,16 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
             preferred_element_type=jnp.float32, precision=BANK_PRECISION,
         )                       # [C, G, L]
         return y.reshape(C, G * L)
+    if R > 1 and _bank_form() == "kernel":
+        from nodey_tpu.ops import pallas_resample
+
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        return pallas_resample.apply_filter_bank_grouped_pallas(
+            x, G, M, W, bank, interpret=not on_tpu
+        )
     if R > 1 and _bank_form() == "transposed":
         # TRANSPOSED grouped GEMM (TPU default): y[c, g, :] =
         # segs[c, g] @ H0 + segs[c, g+1, :ov] @ H1 with H = bank_g^T

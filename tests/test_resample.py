@@ -308,3 +308,66 @@ def test_transposed_form_streaming_consistent(monkeypatch):
     m = min(got.shape[1], ref.shape[1])
     np.testing.assert_allclose(got[:, :m], ref[:, :m], rtol=0, atol=3e-7)
     assert abs(got.shape[1] - ref.shape[1]) <= 1
+
+
+def test_kernel_form_bitwise_vs_patches(monkeypatch):
+    """The Pallas grouped kernel (TPU-default formulation) is BITWISE
+    the patches branch in interpret mode (same grouped bank, same
+    640-term contraction; on hardware Mosaic's reduction order differs
+    by last-ulp — chip A/B records max|diff| 7e-7)."""
+    from nodey_tpu.ops import resample as rs
+
+    for in_rate, out_rate in ((44_100, 48_000), (22_050, 48_000)):
+        L, M = rs._rational(in_rate, out_rate)
+        assert rs.group_factor(L, M) > 1
+        x = multitone(in_rate, seconds=0.43, channels=2)
+        monkeypatch.setenv("NODEY_RESAMPLE_FORM", "patches")
+        ref = np.asarray(resample_data(x, in_rate, out_rate))
+        monkeypatch.setenv("NODEY_RESAMPLE_FORM", "kernel")
+        got = np.asarray(resample_data(x, in_rate, out_rate))
+        assert ref.shape == got.shape
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_kernel_form_streaming_consistent(monkeypatch):
+    """Chunked streaming under the kernel formulation equals its own
+    offline render (formulation is process-uniform; chunk boundaries
+    stay M*R-aligned via _chunk_quantum)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nodey_tpu.ops import chunkops
+
+    monkeypatch.setenv("NODEY_RESAMPLE_FORM", "kernel")
+    in_rate, out_rate = 44_100, 48_000
+    x = multitone(in_rate, seconds=0.35, channels=2)
+    ref = np.asarray(resample_data(x, in_rate, out_rate))
+
+    chunk = 4410
+    plan = chunkops.resample_plan(in_rate, out_rate, chunk)
+    state = chunkops.resample_stream_init(plan, 2)
+    step = jax.jit(
+        lambda s, d, n, done, _p=plan: chunkops.resample_stream_step(
+            _p, s, d, n, done
+        )
+    )
+    N = x.shape[1]
+    pos, pieces = 0, []
+    done = False
+    while not done:
+        block = np.zeros((2, chunk), np.float32)
+        n = min(chunk, N - pos)
+        if n > 0:
+            block[:, :n] = x[:, pos : pos + n]
+        pos += max(n, 0)
+        state, out, out_n, out_done = step(
+            state, jnp.asarray(block), jnp.int32(max(n, 0)),
+            jnp.bool_(pos >= N),
+        )
+        out_n = int(out_n)
+        if out_n:
+            pieces.append(np.asarray(out)[:, :out_n])
+        done = bool(out_done)
+    got = np.concatenate(pieces, axis=1)
+    m = min(got.shape[1], ref.shape[1])
+    np.testing.assert_allclose(got[:, :m], ref[:, :m], rtol=0, atol=3e-7)
