@@ -488,6 +488,41 @@ V5E_HBM_GBPS = 819.0        # TPU v5e public HBM bandwidth (GB/s)
 CANARY_RTF_FLOOR = 30_000.0
 
 
+def _deadline_call(fn, seconds: float, label: str):
+    """Run ``fn`` on a daemon worker thread with a hard wall deadline.
+
+    The axon relay can enter phases where a single dispatch or
+    device_get blocks INDEFINITELY (observed 2026-08-21: the env-health
+    canary hung >19 min; that run produced rc=124 with ZERO emitted
+    metrics).  A deadline thread converts "hang forever, emit nothing"
+    into "log the hang, skip the section, keep whatever is already on
+    stdout".  The abandoned thread stays blocked in the runtime
+    harmlessly (daemon); if the device connection is truly wedged the
+    next section's deadline trips immediately and the run winds down
+    with an attributable log instead of an empty artifact.
+
+    Returns (status, result): status in {"ok", "hung", "error"}.
+    """
+    import threading
+
+    box = {}
+
+    def run():
+        try:
+            box["r"] = fn()
+        except BaseException as exc:  # noqa: BLE001 — reported to caller
+            box["e"] = exc
+
+    th = threading.Thread(target=run, daemon=True, name=f"bench-{label}")
+    th.start()
+    th.join(seconds)
+    if th.is_alive():
+        return "hung", None
+    if "e" in box:
+        return "error", box["e"]
+    return "ok", box.get("r")
+
+
 def env_health(claim_seconds: float):
     """Environment-health capture (VERDICT r2 #3): relay probe RTT, d2h
     bandwidth, and a fixed known-good canary microbench, attached to every
@@ -1141,18 +1176,34 @@ def main() -> int:
         except OSError:
             pass
 
+    hung_sections = []
+
     def section(name, fn, cost_s):
-        """Run one bench section; a failure or a busted budget costs only
-        this section — never the metrics already on stdout."""
+        """Run one bench section; a failure, a busted budget, or a HUNG
+        relay dispatch costs only this section — never the metrics
+        already on stdout.  The deadline thread matters: a wedged relay
+        once blocked a single device_get >19 min and produced an empty
+        artifact (rc=124, zero lines); now the hang is logged and the
+        run moves on / winds down with everything measured so far."""
         if remaining() < cost_s:
             log(
                 f"SKIP {name}: {remaining():.0f}s budget left < "
                 f"{cost_s:.0f}s worst case"
             )
             return
-        try:
-            fn()
-        except Exception as exc:
+        # Floor 420 s: generous enough for a legitimate cold XLA compile
+        # (observed 152-205 s warmups in degraded phases), far under the
+        # >19 min wedge this guard exists for.
+        deadline = min(max(3.0 * cost_s, 420.0), max(remaining(), 60.0))
+        status, res = _deadline_call(fn, deadline, name)
+        if status == "hung":
+            hung_sections.append(name)
+            log(
+                f"SECTION {name} HUNG (> {deadline:.0f}s wall) — relay "
+                "stuck; abandoning this section's thread"
+            )
+        elif status == "error":
+            exc = res
             log(f"SECTION {name} FAILED: {type(exc).__name__}: {exc}")
 
     # -- cold-process probes (BEFORE the parent claims the device: the relay
@@ -1224,13 +1275,35 @@ def main() -> int:
     # 2026-08-18: 10-100x dispatch slowdowns for hours) must be annotated on
     # the artifact, not silently recorded as a code regression. One bounded
     # retry when degraded — budget permitting.
-    health = env_health(claim_s)
-    log(f"env health: {health}")
-    if health["degraded"] and remaining() > 420:
+    status, res = _deadline_call(
+        lambda: env_health(claim_s), 300.0, "env-health"
+    )
+    if status != "ok":
+        if status == "hung":
+            hung_sections.append("env-health")
+        log(
+            f"env health probe {status.upper()} (>300 s or raised) — "
+            "relay stuck/degraded; continuing with deadline-guarded "
+            "sections so any completable measurement still lands"
+        )
+        if status == "error":
+            log(f"env health error detail: {res!r}")
+        health = {
+            "claim_s": round(claim_s, 1), "probe_rtt_ms": -1.0,
+            "d2h_MBps": -1.0, "canary_rtf": -1.0, "degraded": True,
+        }
+    else:
+        health = res
+        log(f"env health: {health}")
+    if health["degraded"] and health["canary_rtf"] > 0 and remaining() > 420:
         log("relay DEGRADED (canary below floor); re-probing in 180 s")
         time.sleep(180.0)
-        health = env_health(claim_s)
-        log(f"env health (retry): {health}")
+        status, health2 = _deadline_call(
+            lambda: env_health(claim_s), 300.0, "env-health-retry"
+        )
+        if status == "ok":
+            health = health2
+            log(f"env health (retry): {health}")
         if health["degraded"]:
             log("still degraded — results will carry degraded=true")
     health_brief.update(
@@ -1550,7 +1623,13 @@ def main() -> int:
     # Post-run health: a relay that degraded MID-run shows up as a canary
     # delta between the two captures.
     try:
-        health_end = env_health(claim_s)
+        status_end, health_end = _deadline_call(
+            lambda: env_health(claim_s), 240.0, "env-health-post"
+        )
+        if status_end != "ok":
+            if status_end == "hung":
+                hung_sections.append("env-health-post")
+            raise RuntimeError(f"post-run health {status_end}")
         log(f"env health (post-run): {health_end}")
         health_brief["canary_rtf_end"] = health_end["canary_rtf"]
         health_brief["degraded"] = bool(
@@ -1577,6 +1656,15 @@ def main() -> int:
         print(json.dumps(final), flush=True)
     log(f"bench done in {time.perf_counter() - t_start:.0f}s "
         f"(budget {budget:.0f}s)")
+    if hung_sections:
+        # Abandoned deadline threads are still blocked inside the
+        # backend; normal interpreter teardown can abort ("FATAL:
+        # exception not rethrown") and turn a fully-captured run into
+        # rc=134.  Exit directly — everything is already flushed.
+        log(f"exiting via os._exit (hung sections: {hung_sections})")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
     return 0
 
 

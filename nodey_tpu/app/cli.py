@@ -169,7 +169,13 @@ def cmd_doctor(args) -> int:
     if th.is_alive():
         row("claim", f"still pending after {time.perf_counter()-t_start:.0f}s "
             "(relayed TPU claims can take minutes; raise --timeout)")
-        return 3
+        # Exit without interpreter teardown: the abandoned probe thread
+        # is still blocked inside the backend's claim, and normal
+        # teardown aborts ugly ("FATAL: exception not rethrown") when
+        # the runtime's threads are cancelled mid-claim.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(3)
     if "error" in result:
         row("claim", f"FAILED: {result['error']}")
         return 3
