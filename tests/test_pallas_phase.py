@@ -204,3 +204,30 @@ def test_shift_theorem_planes_vs_gather():
         )
         assert snr_db(ref_re, np.asarray(got_re)) > 85.0
         assert snr_db(ref_im, np.asarray(got_im)) > 85.0
+
+
+def test_inkernel_atan2_accuracy():
+    """The hand-rolled kernel atan2 (Mosaic has no atan2 primitive) must
+    track np.arctan2 to a few f32 ulps over the full circle, including
+    the axes and the (0, 0) convention."""
+    from nodey_tpu.ops.pallas_phase import _atan2
+
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal(20_000).astype(np.float32) * np.float32(
+        10.0
+    ) ** rng.integers(-20, 20, 20_000).astype(np.float32)
+    x = rng.standard_normal(20_000).astype(np.float32) * np.float32(
+        10.0
+    ) ** rng.integers(-20, 20, 20_000).astype(np.float32)
+    # axes + origin + denormal-ish magnitudes
+    specials_y = np.array([0, 0, 1, -1, 0, 1e-30, -1e-30], np.float32)
+    specials_x = np.array([0, 1, 0, 0, -1, 1e-30, 1e-30], np.float32)
+    y = np.concatenate([y, specials_y])
+    x = np.concatenate([x, specials_x])
+    got = np.asarray(_atan2(jnp.asarray(y), jnp.asarray(x)))
+    ref = np.arctan2(y.astype(np.float64), x.astype(np.float64))
+    err = np.abs(got.astype(np.float64) - ref)
+    # pi-wrap: both +pi and -pi are valid at the branch cut
+    err = np.minimum(err, np.abs(err - 2 * np.pi))
+    assert float(err.max()) < 4e-7, float(err.max())
+    assert got[len(got) - 7] == 0.0  # atan2(0, 0) == 0 (XLA convention)
