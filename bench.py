@@ -1218,6 +1218,12 @@ def main() -> int:
             if cap < 90:
                 log(f"SKIP cold probe {label}: budget too thin")
                 break
+            if label == "second":
+                # Rapid claim->release->claim cycles wedge the relay
+                # (~50% observed 2026-08-21: the second child claims
+                # instantly, then its first dispatch blocks forever).
+                # A cool-down between the probes avoids the pattern.
+                time.sleep(45.0)
             t0 = time.perf_counter()
             try:
                 proc = subprocess.run(
@@ -1326,6 +1332,22 @@ def main() -> int:
                 "first_process_compile_s": cold[0]["compile_s"],
                 "first_process_wall_s": cold[0]["wall_s"],
                 "second_process_wall_s": cold[1]["wall_s"],
+            },
+        )
+    elif len(cold) == 1:
+        # The second probe died to the relay's claim-cycle wedge (rapid
+        # claim->release->claim sessions sometimes block on their first
+        # dispatch).  The FIRST fresh process still proves the
+        # cross-process cache — its cache entries were written by
+        # earlier sessions — so emit its number rather than lose the
+        # metric to the environment, flagged as single-probe.
+        emit(
+            "cold_process_compile_s",
+            cold[0]["compile_s"],
+            {
+                "first_process_compile_s": cold[0]["compile_s"],
+                "first_process_wall_s": cold[0]["wall_s"],
+                "single_probe_only": True,
             },
         )
 
