@@ -1178,6 +1178,90 @@ def main() -> int:
 
     hung_sections = []
 
+    def _transport_fields(rtf):
+        """Transport-roofline fields for d2h-bound e2e metrics, computed
+        from the CURRENT health_brief. When no successful d2h probe exists
+        yet (pre-run probe hung on a wedged relay), ship explicit nulls +
+        a probe_missing flag instead of ceilings computed from the -1
+        sentinel (the r04 artifact shipped transport_ceiling_rtf=-5.2 and
+        transport_fraction=3.7e10 from exactly that bug); restamp_health()
+        recomputes them once a later probe lands."""
+        wire_bps = 48_000 * 2 * 2  # s16 stereo wire bytes per audio-s
+        d2h = health_brief.get("d2h_MBps", -1.0)
+        if d2h is None or d2h <= 0:
+            return {
+                "transport_ceiling_rtf": None,
+                "transport_fraction": None,
+                "transport_probe_missing": True,
+            }
+        ceiling = d2h * 1e6 / wire_bps
+        return {
+            "transport_ceiling_rtf": round(ceiling, 1),
+            "transport_fraction": round(rtf / max(ceiling, 1e-9), 3),
+        }
+
+    def restamp_health():
+        """Re-stamp every already-emitted record with the CURRENT
+        health_brief (and recompute any transport fields left null by a
+        missing probe), rewrite BENCH_LOCAL.json, and re-emit the headline
+        so the last stdout line carries the corrected health. This is how
+        a run whose pre-run probe hung but that measured healthily gets
+        its metrics stamped from the nearest SUCCESSFUL probe instead of
+        a blanket degraded=true."""
+        for rec in emitted.values():
+            rec["health"] = dict(health_brief)
+            if rec.get("transport_probe_missing") and not health_brief.get(
+                "probe_skipped"
+            ):
+                fields = _transport_fields(rec["value"])
+                if not fields.get("transport_probe_missing"):
+                    rec.pop("transport_probe_missing", None)
+                    rec.update(fields)
+        try:
+            art = pathlib.Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+            tmp_art = art.with_suffix(".json.tmp")
+            tmp_art.write_text(
+                json.dumps({"ts": time.time(), "metrics": emitted}, indent=1)
+            )
+            tmp_art.replace(art)
+        except OSError:
+            pass
+        if "rtf_5node_stereo" in emitted:
+            print(json.dumps(emitted["rtf_5node_stereo"]), flush=True)
+
+    _backfill = {"tried": False}
+
+    def maybe_backfill_health():
+        """If the pre-run probe never ran (relay wedge at claim time), try
+        ONE mid-run probe after a section has proven the relay responsive,
+        then restamp everything measured so far."""
+        if not health_brief.get("probe_skipped") or _backfill["tried"]:
+            return
+        if remaining() < 300:
+            return
+        _backfill["tried"] = True
+        status_b, h_b = _deadline_call(
+            lambda: env_health(claim_s), 240.0, "env-health-backfill"
+        )
+        if status_b != "ok":
+            if status_b == "hung":
+                hung_sections.append("env-health-backfill")
+            log(f"mid-run health backfill {status_b} — post-run probe "
+                "remains the fallback")
+            return
+        log(f"env health (mid-run backfill): {h_b}")
+        health_brief.update(
+            {
+                "probe_rtt_ms": h_b["probe_rtt_ms"],
+                "d2h_MBps": h_b["d2h_MBps"],
+                "canary_rtf": h_b["canary_rtf"],
+                "degraded": bool(h_b["degraded"]),
+                "probe_skipped": False,
+                "probe_source": "mid-run",
+            }
+        )
+        restamp_health()
+
     def section(name, fn, cost_s):
         """Run one bench section; a failure, a busted budget, or a HUNG
         relay dispatch costs only this section — never the metrics
@@ -1205,6 +1289,13 @@ def main() -> int:
         elif status == "error":
             exc = res
             log(f"SECTION {name} FAILED: {type(exc).__name__}: {exc}")
+        else:
+            # A completed section proves the relay is dispatching: if the
+            # pre-run health probe was lost to a wedge, backfill it NOW so
+            # the already-emitted metrics carry measured health, not the
+            # sentinel (r04: every metric shipped degraded=true after one
+            # hung probe despite a healthy run).
+            maybe_backfill_health()
 
     # -- cold-process probes (BEFORE the parent claims the device: the relay
     # device claim is exclusive, so fresh child processes must run first) ---
@@ -1294,9 +1385,13 @@ def main() -> int:
         )
         if status == "error":
             log(f"env health error detail: {res!r}")
+        # Probe never ran: health is UNKNOWN (json null), not degraded —
+        # the mid-run backfill / post-run probe resolves it; only if no
+        # probe EVER succeeds does the run end stamped degraded=true.
         health = {
             "claim_s": round(claim_s, 1), "probe_rtt_ms": -1.0,
-            "d2h_MBps": -1.0, "canary_rtf": -1.0, "degraded": True,
+            "d2h_MBps": -1.0, "canary_rtf": -1.0, "degraded": None,
+            "probe_skipped": True,
         }
     else:
         health = res
@@ -1318,9 +1413,14 @@ def main() -> int:
             "probe_rtt_ms": health["probe_rtt_ms"],
             "d2h_MBps": health["d2h_MBps"],
             "canary_rtf": health["canary_rtf"],
-            "degraded": bool(health["degraded"]),
+            "degraded": (
+                None if health.get("probe_skipped")
+                else bool(health["degraded"])
+            ),
         }
     )
+    if health.get("probe_skipped"):
+        health_brief["probe_skipped"] = True
 
     if len(cold) == 2:
         # The done criterion is the SECOND process: with a correct cache it
@@ -1556,16 +1656,13 @@ def main() -> int:
                 f"no encode stage; d2h busy {sm.d2h_busy_seconds:.1f}s, "
                 f"decode-wait {sm.decode_wait_seconds:.1f}s)"
             )
-            wire_bps = 48_000 * 2 * 2  # s16 stereo wire bytes per audio-s
-            ceiling = health["d2h_MBps"] * 1e6 / wire_bps
             emit(
                 "e2e_streamed_wav",
                 em.rtf,
                 {
                     "stages": _stage_budget(sm),
                     "cold_wall_s": round(em_cold.wall_seconds, 2),
-                    "transport_ceiling_rtf": round(ceiling, 1),
-                    "transport_fraction": round(em.rtf / max(ceiling, 1e-9), 3),
+                    **_transport_fields(em.rtf),
                     "d2h_workers": int(
                         os.environ.get("NODEY_D2H_WORKERS", "2")
                     ),
@@ -1687,11 +1784,31 @@ def main() -> int:
             raise RuntimeError(f"post-run health {status_end}")
         log(f"env health (post-run): {health_end}")
         health_brief["canary_rtf_end"] = health_end["canary_rtf"]
-        health_brief["degraded"] = bool(
-            health_brief["degraded"] or health_end["degraded"]
-        )
+        if health_brief.get("probe_skipped"):
+            # No successful probe until now: the post-run probe IS the
+            # health of record for the whole capture.
+            health_brief.update(
+                {
+                    "probe_rtt_ms": health_end["probe_rtt_ms"],
+                    "d2h_MBps": health_end["d2h_MBps"],
+                    "canary_rtf": health_end["canary_rtf"],
+                    "degraded": bool(health_end["degraded"]),
+                    "probe_skipped": False,
+                    "probe_source": "post-run",
+                }
+            )
+        else:
+            health_brief["degraded"] = bool(
+                health_brief["degraded"] or health_end["degraded"]
+            )
+        restamp_health()
     except Exception as exc:
         log(f"post-run health failed: {type(exc).__name__}: {exc}")
+        if health_brief.get("degraded") is None:
+            # No probe ever succeeded in this capture: that IS a degraded
+            # environment — stamp it so the artifact says so explicitly.
+            health_brief["degraded"] = True
+            restamp_health()
 
     # The driver reads the LAST stdout line as the headline: re-emit it with
     # the merged (start+end) health. Falls back to the best available RTF if
