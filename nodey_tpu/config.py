@@ -51,6 +51,45 @@ class ExecConfig:
 
 DEFAULT_EXEC = ExecConfig()
 
+
+def resolve_platforms(name: str | None, current: str | None) -> str | None:
+    """Map a user-facing platform choice to a ``jax_platforms`` string.
+
+    ``current`` is the existing ``jax_platforms`` value (this image's
+    sitecustomize pins ``"axon,cpu"``; a stock install has ``None``).
+    Returns the new value, or None for "leave as configured".
+
+    Pure so the mapping is unit-testable without touching live jax config:
+    - "auto"/None  -> None (no change)
+    - "cpu"        -> "cpu" (the escape hatch when the TPU relay wedges —
+      JAX_PLATFORMS=cpu alone does NOT override an explicit pin, which is
+      why a 3 s export once took 876 s with no recourse)
+    - "tpu"        -> the configured accelerator entries without the cpu
+      fallback (so a failed claim is an explicit error, not a silent CPU
+      run), or canonical "tpu" when nothing is pinned.
+    """
+    if name in (None, "", "auto"):
+        return None
+    if name == "cpu":
+        return "cpu"
+    accel = [p for p in (current or "").split(",") if p and p != "cpu"]
+    return ",".join(accel) or "tpu"
+
+
+def set_platform(name: str | None) -> None:
+    """Apply a ``--platform {auto,tpu,cpu}`` choice to jax. Must run
+    before the first device operation (jax backends initialize lazily;
+    the CLI calls this right after argument parsing). The reference
+    always runs locally (app.cpp:1911-1918 previews instantly); on a
+    relayed TPU deployment this is the user's escape hatch when the
+    relay is wedged or degraded."""
+    import jax
+
+    value = resolve_platforms(name, getattr(jax.config, "jax_platforms", None))
+    if value is not None:
+        jax.config.update("jax_platforms", value)
+
+
 _cache_enabled = False
 
 

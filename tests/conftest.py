@@ -66,7 +66,7 @@ FAST_MODULES = {
     "test_streaming", "test_stream_executor", "test_server",
     "test_wav_export", "test_examples", "test_bimix_alignment",
     "test_crossfade", "test_generator", "test_batch", "test_cancellation",
-    "test_decode_fuzz", "test_editor_flows",
+    "test_decode_fuzz", "test_editor_flows", "test_cli_platform",
 }
 
 
