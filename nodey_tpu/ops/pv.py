@@ -395,6 +395,92 @@ def _fwd_backend():
     return "gather"
 
 
+def _basis_backend() -> str:
+    """DFT-basis/projection materialization dispatch (VERDICT r4 #5).
+
+    'device' (TPU default): the big basis matrices (cosL/sinL, the
+    Mrr..Mis projection folds, the inverse-DFT bases and the OLA
+    denominator) are built IN-PROGRAM from int32 iota + trig (exact
+    range reduction: products mod N computed in int32 before the f32
+    angle scale) and, for the projections, one K-independent GEMM fold.
+    XLA does not constant-fold iota-rooted expressions, so the
+    executable carries kilobytes where the literal form baked ~56 MB
+    for a 10 s clip (measured; a 128 MB cache entry took minutes to
+    re-ship through a degraded relay per fresh process —
+    ROUND6.md §16). Costs a fixed ~0.5-0.8 ms of setup arithmetic per
+    dispatch — irrelevant for the one-dispatch offline export this
+    path serves.
+
+    'host' (CPU default): float64 numpy literals, bit-stable with the
+    frozen goldens. NODEY_PV_BASIS overrides either way; parity between
+    the two is pinned by tests (>= 95 dB end to end on CPU)."""
+    force = os.environ.get("NODEY_PV_BASIS")
+    if force in ("device", "host"):
+        return force
+    try:
+        if jax.default_backend() == "tpu":
+            return "device"
+    except Exception:
+        pass
+    return "host"
+
+
+def _dft_trig_dev(rows: int, cols: int, modulus: int):
+    """[rows, cols] (cos, sin) of 2*pi*(r*c mod modulus)/modulus built on
+    device: the index product is reduced mod ``modulus`` in EXACT int32
+    arithmetic before the f32 angle scale, so f32 trig only ever sees
+    arguments in [0, 2*pi) — naive f32 cos(r*c*w) would lose ~4 digits
+    of phase at the matrix corner. Never a baked f32 literal."""
+    assert (rows - 1) * (cols - 1) < 2**31, "int32 index product overflow"
+    r = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    ang = ((r * c) % modulus).astype(jnp.float32) * np.float32(
+        _TWO_PI / modulus
+    )
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _pv_window_dev(n_fft: int):
+    """Periodic Hann built on device (matches _pv_window)."""
+    n = lax.iota(jnp.float32, n_fft)
+    return 0.5 - 0.5 * jnp.cos(n * np.float32(_TWO_PI / n_fft))
+
+
+def _shift_matrices_dev(n_fft: int):
+    """Device-built twin of _shift_matrices: same operator, the
+    projection folds (CL.T @ wc etc.) computed by one K-independent
+    in-program GEMM at PV_PRECISION instead of a float64 host product —
+    the f32 fold differs from the f64 literal by ~1e-6 relative, inside
+    the >= 95 dB parity bar the shift formulation itself carries."""
+    L = n_fft + 128
+    binsL = L // 2 + 1
+    bins = n_fft // 2 + 1
+    cosL, sinL = _dft_trig_dev(L, binsL, L)
+
+    alpha = jnp.full((binsL,), 2.0 / L, jnp.float32)
+    alpha = alpha.at[0].set(1.0 / L)
+    if L % 2 == 0:
+        alpha = alpha.at[-1].set(1.0 / L)
+    cosNL, sinNL = _dft_trig_dev(n_fft, binsL, L)
+    CL = alpha[None, :] * cosNL
+    SL = alpha[None, :] * sinNL
+    # _dft_matrices' convention is (cos, MINUS sin) — the forward real
+    # DFT's imaginary basis; _dft_trig_dev returns +sin, so negate.
+    cos_m_d, negsin = _dft_trig_dev(n_fft, bins, n_fft)
+    sin_m_d = -negsin
+    w = _pv_window_dev(n_fft)
+    wc = w[:, None] * cos_m_d
+    ws = w[:, None] * sin_m_d
+
+    def fold(a, b):
+        return jnp.einsum(
+            "nb,no->bo", a, b,
+            preferred_element_type=jnp.float32, precision=PV_PRECISION,
+        )
+
+    return cosL, sinL, fold(CL, wc), fold(SL, wc), fold(CL, ws), fold(SL, ws)
+
+
 @functools.lru_cache(maxsize=8)
 def _shift_matrices(n_fft: int):
     """Static matrices for the shift-theorem analysis DFT.
@@ -447,16 +533,21 @@ def _shift_matrices(n_fft: int):
     )
 
 
-def _fwd_dft_shift(data, pos, n_fft: int, pad_to: int):
+def _fwd_dft_shift(data, pos, n_fft: int):
     """Windowed analysis DFT at irregular static positions ``pos`` via
     aligned block row-gather + frequency-domain sub-block shift (see
     _shift_matrices).  Returns (re, im) [C, K, bins] matching the
-    direct gather formulation to f32 GEMM roundoff."""
+    direct gather formulation to f32 GEMM roundoff.  Computes its own
+    padding from ``pos`` (the last window read bounds it; _pv_geometry's
+    pad_to serves the gather formulation's slice bound only)."""
     C, N = data.shape
     K = len(pos)
     L = n_fft + 128
     binsL = L // 2 + 1
-    cosL, sinL, Mrr, Mir, Mrs, Mis = _shift_matrices(n_fft)
+    if _basis_backend() == "device":
+        cosL, sinL, Mrr, Mir, Mrs, Mis = _shift_matrices_dev(n_fft)
+    else:
+        cosL, sinL, Mrr, Mir, Mrs, Mis = _shift_matrices(n_fft)
 
     a = (pos // 128).astype(np.int64)
     padN = int(a[-1]) * 128 + L
@@ -517,12 +608,17 @@ def _pv_impl(data, tempo: float, rate: int, lock: bool = True,
     K = len(pos)
     bins = n_fft // 2 + 1
 
-    w = jnp.asarray(_pv_window(n_fft))
-    cos_m, sin_m = _dft_matrices(n_fft)
-
     if _fwd_backend() == "shift":
-        re, im = _fwd_dft_shift(data, pos, n_fft, pad_to)
+        re, im = _fwd_dft_shift(data, pos, n_fft)
     else:
+        if _basis_backend() == "device":
+            # (cos, MINUS sin): _dft_matrices' forward-DFT convention.
+            cos_m, _psin = _dft_trig_dev(n_fft, bins, n_fft)
+            sin_m = -_psin
+            w = _pv_window_dev(n_fft)
+        else:
+            cos_m, sin_m = _dft_matrices(n_fft)
+            w = jnp.asarray(_pv_window(n_fft))
         x = jnp.pad(data, ((0, 0), (0, max(0, pad_to - N))))
         # One batched slice-gather for all frames: vmapped dynamic_slice
         # keeps the HLO index literal at K entries (vs a [K, n_fft] 2D
@@ -654,8 +750,17 @@ def _pv_synth(re_y, im_y, n_fft: int, hop: int):
     frame is 4 hop-subframes; subframe j of frame k lands on output row
     k + j — four shifted adds, no scatter), exact coverage divide."""
     C, K, _bins = re_y.shape
-    w = jnp.asarray(_pv_window(n_fft))
-    icos_m, isin_m = _idft_matrices(n_fft)
+    on_device = _basis_backend() == "device"
+    if on_device:
+        bins = n_fft // 2 + 1
+        cos_i, sin_i = _dft_trig_dev(bins, n_fft, n_fft)
+        cval = jnp.full((bins, 1), 2.0 / n_fft, jnp.float32)
+        cval = cval.at[0, 0].set(1.0 / n_fft).at[-1, 0].set(1.0 / n_fft)
+        icos_m, isin_m = cval * cos_i, -cval * sin_i
+        w = _pv_window_dev(n_fft)
+    else:
+        w = jnp.asarray(_pv_window(n_fft))
+        icos_m, isin_m = _idft_matrices(n_fft)
     y = jnp.einsum(
         "ckb,bn->ckn", re_y, jnp.asarray(icos_m),
         preferred_element_type=jnp.float32, precision=PV_PRECISION,
@@ -672,8 +777,36 @@ def _pv_synth(re_y, im_y, n_fft: int, hop: int):
         ola = part if ola is None else ola + part    # [C, K+3, hop]
     out = ola.reshape(C, (K + 3) * hop)
 
+    if on_device and K >= 8:
+        # Interior coverage is exactly 1.5 (periodic Hann, 75% overlap);
+        # only the 3-hop edge ramps deviate — divide the three regions
+        # separately (two small literals + one scalar) instead of baking
+        # an O(clip length) [(K+3)*hop] f32 constant (2.4 MB at 10 s,
+        # linear in clip length; XLA folds even a concat-of-constants
+        # denominator back into one big literal).
+        head, tail = _ola_denominator_edges(n_fft)
+        e = 3 * hop
+        return jnp.concatenate(
+            [
+                out[:, :e] / jnp.asarray(head)[None, :],
+                out[:, e:-e] / np.float32(1.5),
+                out[:, -e:] / jnp.asarray(tail)[None, :],
+            ],
+            axis=1,
+        )
     den = _ola_denominator(K, n_fft)
     return out / jnp.asarray(den)[None, :]
+
+
+@functools.lru_cache(maxsize=8)
+def _ola_denominator_edges(n_fft: int):
+    """(head [3*hop], tail [3*hop]) edge ramps of the OLA coverage — the
+    only K-dependent-constant-free pieces the device-basis branch needs
+    (rows 0..2 and K..K+2 of the coverage only depend on the window,
+    never on K, for any K >= 4)."""
+    hop = n_fft // 4
+    den = _ola_denominator(8, n_fft)
+    return den[: 3 * hop].copy(), den[-3 * hop:].copy()
 
 
 @functools.lru_cache(maxsize=32)

@@ -199,9 +199,7 @@ def test_shift_theorem_planes_vs_gather():
         ) * w[None, None, :]
         ref_re = frames @ cos_m
         ref_im = frames @ sin_m
-        got_re, got_im = pv._fwd_dft_shift(
-            jnp.asarray(data), pos, n_fft, pad_to
-        )
+        got_re, got_im = pv._fwd_dft_shift(jnp.asarray(data), pos, n_fft)
         assert snr_db(ref_re, np.asarray(got_re)) > 85.0
         assert snr_db(ref_im, np.asarray(got_im)) > 85.0
 
