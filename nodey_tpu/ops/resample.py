@@ -244,37 +244,87 @@ def group_factor(L: int, M: int) -> int:
     return R
 
 
-def _bank_form() -> str:
-    """Grouped-GEMM (R > 1) formulation dispatch.
+# Process-wide grouped-GEMM formulation, decided once (resolve_form).
+# Within one process every execution path (offline, chunked streaming,
+# sp-sharded) must share a single formulation so the float summation
+# grouping is uniform — mixed forms agree only to last-ulp.
+_FORM_STATE: dict = {"resolved": None}
 
-    'patches' (DEFAULT on every backend): the superblock patch-stack
-    branch the CPU goldens pin.
 
-    'kernel' (env opt-in only): the Pallas grouped kernel
-    (``pallas_resample.apply_filter_bank_grouped_pallas``) — measured
-    1.65x FASTER at steady state (2.2 ms vs 3.6 ms per 300 s stereo
-    track, 2026-08-20, max|diff| 7e-7; interpret mode is bitwise) but
-    NOT the default because its Mosaic compile through this rig's
-    relay is erratic: the same kernel compiled in 1.6 s (GROUP_ROWS
-    64), 293 s (32), a few minutes (128), and then >20 min (128 again,
-    same shapes, same session) — a cold-compile hazard that outweighs
-    1.4 ms/track and could eat the driver's whole bench budget.  On a
-    rig with a local (non-relayed) compiler it is the better default;
-    revisit there.
+def resolve_form(probe_deadline_s: float | None = None) -> str:
+    """Decide (once per process) which grouped-GEMM formulation to use.
 
-    'transposed' (env opt-in only): no-patch-stack transposed GEMM —
-    MEASURED SLOWER on v5e (4.93 vs 3.60 ms; its [C, Gg, Mg=588] view
-    has a non-lane-multiple minor and pays exactly the misaligned
-    relayout the superblock scheme was designed around); on CPU it wins
-    (0.18 vs 0.25 ms at 3 s).  Kept for experiments with ulp parity +
-    streaming-consistency tests.
+    MUST be called OUTSIDE any jax trace — the Runner / stream planner
+    call it right before tracing. On the TPU backend the default is the
+    grouped Pallas 'kernel' (measured 1.65x faster at steady state:
+    2.2 ms vs 3.6 ms per 300 s stereo track, max|diff| 7e-7 vs patches,
+    bitwise in interpret mode), GUARDED by a deadline-bounded probe
+    compile (``pallas_resample.kernel_ready``): Mosaic compiles through
+    this rig's relay are erratic (observed 1.6 s to >20 min for the same
+    kernel in one session), so a probe that misses its deadline falls the
+    process back to the XLA 'patches' branch instead of risking an
+    unbounded compile on the production path. Elsewhere (CPU tests,
+    goldens) the default stays 'patches'.
 
-    All execution paths share apply_filter_bank, so within one process
-    the formulation — and therefore the float summation grouping — is
-    uniform.  ``NODEY_RESAMPLE_FORM`` overrides."""
+    ``NODEY_RESAMPLE_FORM`` pins a formulation explicitly:
+    'patches' — superblock patch-stack XLA branch (the CPU golden path);
+    'kernel' — grouped Pallas kernel, no probe gate;
+    'transposed' — no-patch-stack transposed GEMM (measured slower on
+    v5e, faster on CPU; kept for experiments);
+    'auto' / unset — the probed default above."""
+    force = os.environ.get("NODEY_RESAMPLE_FORM")
+    if force in ("transposed", "patches", "kernel"):
+        # Env force is re-read at every dispatch; deliberately NOT pinned
+        # into _FORM_STATE so a transient override (tests, A/B tools)
+        # doesn't outlive its environment.
+        return force
+    if _FORM_STATE["resolved"]:
+        return _FORM_STATE["resolved"]
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from nodey_tpu.ops import pallas_resample
+
+        ok = pallas_resample.kernel_ready(probe_deadline_s)
+        _FORM_STATE["resolved"] = "kernel" if ok else "patches"
+    else:
+        _FORM_STATE["resolved"] = "patches"
+    return _FORM_STATE["resolved"]
+
+
+def form_in_use() -> str | None:
+    """The resolved formulation, or None if nothing has resolved yet
+    (diagnostics/bench reporting)."""
     force = os.environ.get("NODEY_RESAMPLE_FORM")
     if force in ("transposed", "patches", "kernel"):
         return force
+    return _FORM_STATE["resolved"]
+
+
+def _bank_form() -> str:
+    """Formulation for THIS trace (see resolve_form for the dispatch).
+
+    When called before any entry point resolved the form — a direct
+    library call being traced right now — probing is off the table (a
+    probe compile must not run inside a live trace), so the process pins
+    the safe 'patches' branch; Runner/stream-planner paths resolve
+    eagerly before tracing and get the probed TPU default."""
+    force = os.environ.get("NODEY_RESAMPLE_FORM")
+    if force in ("transposed", "patches", "kernel"):
+        return force
+    if _FORM_STATE["resolved"]:
+        return _FORM_STATE["resolved"]
+    try:
+        from jax._src import core as _jcore  # no public alias in jax 0.9
+
+        clean = _jcore.trace_state_clean()
+    except Exception:
+        clean = False
+    if clean:
+        return resolve_form()
+    _FORM_STATE["resolved"] = "patches"
     return "patches"
 
 
@@ -311,15 +361,39 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
         )                       # [C, G, L]
         return y.reshape(C, G * L)
     if R > 1 and _bank_form() == "kernel":
+        from jax.custom_batching import custom_vmap
+
         from nodey_tpu.ops import pallas_resample
 
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
-        return pallas_resample.apply_filter_bank_grouped_pallas(
-            x, G, M, W, bank, interpret=not on_tpu
-        )
+
+        @custom_vmap
+        def _kernel_call(xx):
+            return pallas_resample.apply_filter_bank_grouped_pallas(
+                xx, G, M, W, bank, interpret=not on_tpu
+            )
+
+        @_kernel_call.def_vmap
+        def _kernel_call_batched(axis_size, in_batched, xb):
+            # Batched serving (vmap over independent clips): the
+            # manual-DMA kernel does not lower under vmap (an
+            # ANY-memory-space operand can't grow a batch block dim),
+            # and a collapsed B*C channel count would blow the VMEM
+            # scratch budget — so the batched program takes the XLA
+            # superblock branch instead. Same grouped math: bitwise in
+            # interpret mode, 7e-7 on chip (tests pin the first, bench
+            # A/B the second), so per-clip outputs stay within the
+            # documented kernel-vs-patches envelope.
+            B, C, N_ = xb.shape
+            y = _apply_grouped_superblock(
+                xb.reshape(B * C, N_), G, M, W, bank
+            )
+            return y.reshape(B, C, -1), True
+
+        return _kernel_call(x)
     if R > 1 and _bank_form() == "transposed":
         # TRANSPOSED grouped GEMM (TPU default): y[c, g, :] =
         # segs[c, g] @ H0 + segs[c, g+1, :ov] @ H1 with H = bank_g^T
@@ -359,68 +433,7 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
         )
         return y.reshape(C, Gg * R * L)[:, : G * L]
     if R > 1:
-        # SUPERBLOCK grouped GEMM. Two alignment problems die at once:
-        #   * output rows are [R*L], a lane multiple (e.g. 640 for
-        #     44.1->48 kHz), so the final flatten is a FREE reshape
-        #     instead of a ~2.5 ms misaligned relayout per 300 s track;
-        #   * the INPUT is viewed in superblocks of B = 128/gcd(Mg,128)
-        #     group rows (SUP = Mg*B, a lane multiple — 18816 for
-        #     44.1->48 kHz), an ALIGNED free reshape; each group row's
-        #     window is then one of B UNIFORM-shift static slices, which
-        #     lower far cheaper than the row-rotating relayout of a
-        #     [*, Mg] reshape (measured 2.75 -> 1.53 ms per 300 s).
-        # Every output contracts over the SAME Wp-wide window against
-        # bank_g (columns outside its [j*M, j*M+W) support are zero), so
-        # the arithmetic terms are identical for every group row and the
-        # slice index j never affects values — cross-path agreement needs
-        # only the existing M*R phase alignment, not SUP alignment.
-        # (XLA's K-reduction tiling can still differ between PROGRAMS of
-        # different shapes, so offline-vs-chunked agreement is last-ulp —
-        # see test_chunkops — while within a program it is exact; the
-        # end-to-end byte-equal MP3 tests and on-TPU bitwise checks pass.)
-        Mg = M * R
-        Wg = (R - 1) * M + W
-        Wp = -(-Wg // 128) * 128        # padded contraction width
-        B = 128 // math.gcd(Mg, 128)    # group rows per superblock
-        SUP = Mg * B
-        Gg = -(-G // R)
-        nblk = max(1, -(-Gg // B))
-        halo = -(-max(0, Wp - Mg) // 128) * 128
-        need = (nblk + 1) * SUP         # +1 zero block feeds the halo
-        if x.shape[1] < need:
-            x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
-        segs = x[:, :need].reshape(C, nblk + 1, SUP)
-        big = segs[:, :nblk, :]
-        if halo:
-            big = jnp.concatenate(
-                [big, segs[:, 1 : nblk + 1, :halo]], axis=2
-            )                           # [C, nblk, SUP + halo]
-        bank_g = jnp.zeros((R * L, Wp), bank.dtype)
-        for j in range(R):
-            bank_g = bank_g.at[
-                j * L : (j + 1) * L, j * M : j * M + W
-            ].set(bank)
-        # ONE batched GEMM over all B uniform-shift slices. A per-slice
-        # einsum loop lowers to B separate convolutions that each re-read
-        # the [R*L, Wp] grouped bank from HBM (x the f32 multi-pass
-        # decomposition): for 44.1->48 kHz that is ~420 MB of traffic for
-        # an 11.5 MB clip — measured HBM-bound at exactly XLA's modeled
-        # optimum. Stacking the slices first materializes the patch
-        # tensor once (~2x input size) and contracts it against ONE bank
-        # read per pass: ~6x less traffic, same arithmetic terms per
-        # output row (the slice index never affects values — see above).
-        patches = jnp.stack(
-            [
-                jax.lax.slice_in_dim(big, j * Mg, j * Mg + Wp, axis=2)
-                for j in range(B)
-            ],
-            axis=2,
-        )                               # [C, nblk, B, Wp]
-        y = jnp.einsum(
-            "cbjm,lm->cbjl", patches, bank_g,
-            preferred_element_type=jnp.float32, precision=BANK_PRECISION,
-        )                               # [C, nblk, B, R*L]
-        return y.reshape(C, nblk * B * R * L)[:, : G * L]
+        return _apply_grouped_superblock(x, G, M, W, bank)
     # Ungrouped decomposed per-shift GEMM: patch[g][i*M + m] = segs[g+i][m],
     # one GEMM per M-aligned shift reading the contiguous segs view — the
     # [C, G, W] patch matrix is never materialized.
@@ -442,6 +455,76 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
         )
         y = part if y is None else y + part
     return y.reshape(C, G * L)
+
+
+def _apply_grouped_superblock(x, G: int, M: int, W: int, bank):
+    """The R > 1 grouped-GEMM XLA branch ('patches' form), shared by the
+    direct dispatch and the Pallas kernel's batched-vmap fallback."""
+    C = x.shape[0]
+    L = bank.shape[0]
+    R = group_factor(L, M)
+    # SUPERBLOCK grouped GEMM. Two alignment problems die at once:
+    #   * output rows are [R*L], a lane multiple (e.g. 640 for
+    #     44.1->48 kHz), so the final flatten is a FREE reshape
+    #     instead of a ~2.5 ms misaligned relayout per 300 s track;
+    #   * the INPUT is viewed in superblocks of B = 128/gcd(Mg,128)
+    #     group rows (SUP = Mg*B, a lane multiple — 18816 for
+    #     44.1->48 kHz), an ALIGNED free reshape; each group row's
+    #     window is then one of B UNIFORM-shift static slices, which
+    #     lower far cheaper than the row-rotating relayout of a
+    #     [*, Mg] reshape (measured 2.75 -> 1.53 ms per 300 s).
+    # Every output contracts over the SAME Wp-wide window against
+    # bank_g (columns outside its [j*M, j*M+W) support are zero), so
+    # the arithmetic terms are identical for every group row and the
+    # slice index j never affects values — cross-path agreement needs
+    # only the existing M*R phase alignment, not SUP alignment.
+    # (XLA's K-reduction tiling can still differ between PROGRAMS of
+    # different shapes, so offline-vs-chunked agreement is last-ulp —
+    # see test_chunkops — while within a program it is exact; the
+    # end-to-end byte-equal MP3 tests and on-TPU bitwise checks pass.)
+    Mg = M * R
+    Wg = (R - 1) * M + W
+    Wp = -(-Wg // 128) * 128        # padded contraction width
+    B = 128 // math.gcd(Mg, 128)    # group rows per superblock
+    SUP = Mg * B
+    Gg = -(-G // R)
+    nblk = max(1, -(-Gg // B))
+    halo = -(-max(0, Wp - Mg) // 128) * 128
+    need = (nblk + 1) * SUP         # +1 zero block feeds the halo
+    if x.shape[1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    segs = x[:, :need].reshape(C, nblk + 1, SUP)
+    big = segs[:, :nblk, :]
+    if halo:
+        big = jnp.concatenate(
+            [big, segs[:, 1 : nblk + 1, :halo]], axis=2
+        )                           # [C, nblk, SUP + halo]
+    bank_g = jnp.zeros((R * L, Wp), bank.dtype)
+    for j in range(R):
+        bank_g = bank_g.at[
+            j * L : (j + 1) * L, j * M : j * M + W
+        ].set(bank)
+    # ONE batched GEMM over all B uniform-shift slices. A per-slice
+    # einsum loop lowers to B separate convolutions that each re-read
+    # the [R*L, Wp] grouped bank from HBM (x the f32 multi-pass
+    # decomposition): for 44.1->48 kHz that is ~420 MB of traffic for
+    # an 11.5 MB clip — measured HBM-bound at exactly XLA's modeled
+    # optimum. Stacking the slices first materializes the patch
+    # tensor once (~2x input size) and contracts it against ONE bank
+    # read per pass: ~6x less traffic, same arithmetic terms per
+    # output row (the slice index never affects values — see above).
+    patches = jnp.stack(
+        [
+            jax.lax.slice_in_dim(big, j * Mg, j * Mg + Wp, axis=2)
+            for j in range(B)
+        ],
+        axis=2,
+    )                               # [C, nblk, B, Wp]
+    y = jnp.einsum(
+        "cbjm,lm->cbjl", patches, bank_g,
+        preferred_element_type=jnp.float32, precision=BANK_PRECISION,
+    )                               # [C, nblk, B, R*L]
+    return y.reshape(C, nblk * B * R * L)[:, : G * L]
 
 
 def resample_data_reference(data: np.ndarray, in_rate: int, out_rate: int,

@@ -244,11 +244,12 @@ def test_mxu_call_sites_pin_precision():
 
 
 def test_transposed_form_matches_patches(monkeypatch):
-    """The transposed grouped GEMM (TPU-default formulation: H = grouped
-    bank transposed, split at the superblock row — no patch stack)
-    computes the same terms as the patch-stack branch; only the float
-    reduction grouping differs (the 640-wide contraction splits 588+52
-    with an explicit add), so parity is ulp-level."""
+    """The transposed grouped GEMM (NODEY_RESAMPLE_FORM=transposed
+    opt-in: H = grouped bank transposed, split at the superblock row —
+    no patch stack; measured slower on v5e, faster on CPU) computes the
+    same terms as the patch-stack branch; only the float reduction
+    grouping differs (the 640-wide contraction splits 588+52 with an
+    explicit add), so parity is ulp-level."""
     from nodey_tpu.ops import resample as rs
 
     x = multitone(44_100, seconds=0.43, channels=2)
@@ -311,10 +312,12 @@ def test_transposed_form_streaming_consistent(monkeypatch):
 
 
 def test_kernel_form_bitwise_vs_patches(monkeypatch):
-    """The Pallas grouped kernel (TPU-default formulation) is BITWISE
-    the patches branch in interpret mode (same grouped bank, same
-    640-term contraction; on hardware Mosaic's reduction order differs
-    by last-ulp — chip A/B records max|diff| 7e-7)."""
+    """The Pallas grouped kernel (the probed TPU default — see
+    resolve_form; on CPU it is NODEY_RESAMPLE_FORM=kernel opt-in,
+    running in interpret mode) is BITWISE the patches branch in
+    interpret mode (same grouped bank, same 640-term contraction; on
+    hardware Mosaic's reduction order differs by last-ulp — chip A/B
+    records max|diff| 7e-7)."""
     from nodey_tpu.ops import resample as rs
 
     for in_rate, out_rate in ((44_100, 48_000), (22_050, 48_000)):
@@ -371,3 +374,192 @@ def test_kernel_form_streaming_consistent(monkeypatch):
     got = np.concatenate(pieces, axis=1)
     m = min(got.shape[1], ref.shape[1])
     np.testing.assert_allclose(got[:, :m], ref[:, :m], rtol=0, atol=3e-7)
+
+
+# --- formulation resolution (VERDICT r4 #1: probed kernel default) ---------
+
+
+@pytest.fixture
+def _form_state():
+    """Snapshot + restore the process-wide formulation/probe memos so
+    these tests can exercise resolution without leaking state."""
+    from nodey_tpu.ops import pallas_resample
+    from nodey_tpu.ops import resample as rs
+
+    saved_form = dict(rs._FORM_STATE)
+    saved_ready = dict(pallas_resample._KERNEL_READY)
+    rs._FORM_STATE["resolved"] = None
+    pallas_resample._KERNEL_READY.update({"ok": None, "probe_s": None})
+    yield rs, pallas_resample
+    rs._FORM_STATE.clear()
+    rs._FORM_STATE.update(saved_form)
+    pallas_resample._KERNEL_READY.clear()
+    pallas_resample._KERNEL_READY.update(saved_ready)
+
+
+def test_resolve_form_cpu_default_is_patches(_form_state, monkeypatch):
+    rs, _ = _form_state
+    monkeypatch.delenv("NODEY_RESAMPLE_FORM", raising=False)
+    assert rs.resolve_form() == "patches"
+    assert rs.form_in_use() == "patches"
+
+
+def test_resolve_form_env_force_wins_and_does_not_pin(
+    _form_state, monkeypatch
+):
+    rs, _ = _form_state
+    monkeypatch.setenv("NODEY_RESAMPLE_FORM", "transposed")
+    assert rs.resolve_form() == "transposed"
+    # A transient env override must not outlive its environment.
+    assert rs._FORM_STATE["resolved"] is None
+    monkeypatch.delenv("NODEY_RESAMPLE_FORM")
+    assert rs.resolve_form() == "patches"
+
+
+def test_resolve_form_tpu_probe_ok_selects_kernel(_form_state, monkeypatch):
+    """On a TPU backend with a healthy probe the default is the grouped
+    Pallas kernel (backend + probe stubbed: CPU test image)."""
+    import jax
+
+    rs, pr = _form_state
+    monkeypatch.delenv("NODEY_RESAMPLE_FORM", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pr, "kernel_ready", lambda d=None: True)
+    assert rs.resolve_form() == "kernel"
+    assert rs.form_in_use() == "kernel"
+
+
+def test_resolve_form_tpu_probe_timeout_falls_back(_form_state, monkeypatch):
+    """A probe that misses its deadline (wedged-relay Mosaic compile)
+    falls the process back to the XLA patches branch — the fallback path
+    VERDICT r4 #1 requires tested."""
+    import jax
+
+    rs, pr = _form_state
+    monkeypatch.delenv("NODEY_RESAMPLE_FORM", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def hung_probe(deadline_s=None):
+        # Simulate kernel_ready's timeout verdict (the real probe joins a
+        # daemon thread and returns False on expiry).
+        pr._KERNEL_READY["ok"] = False
+        return False
+
+    monkeypatch.setattr(pr, "kernel_ready", hung_probe)
+    assert rs.resolve_form() == "patches"
+    # Memoized: later paths in the process keep the uniform formulation.
+    assert rs.resolve_form() == "patches"
+
+
+def test_kernel_ready_deadline_expires_on_slow_probe(
+    _form_state, monkeypatch
+):
+    """Drive the REAL kernel_ready deadline machinery with a stubbed slow
+    compile: the daemon probe thread overruns the deadline and the
+    verdict is False (and memoized)."""
+    import time
+
+    rs, pr = _form_state
+
+    def slow_jit(*a, **k):
+        time.sleep(2.0)
+        raise AssertionError("unreachable: join() must expire first")
+
+    monkeypatch.setattr(pr.jax, "jit", slow_jit)
+    t0 = time.time()
+    assert pr.kernel_ready(deadline_s=0.1) is False
+    assert time.time() - t0 < 1.0
+    assert pr._KERNEL_READY["ok"] is False
+    # Memo: no re-probe.
+    monkeypatch.setattr(pr.jax, "jit", lambda *a, **k: 1 / 0)
+    assert pr.kernel_ready(deadline_s=10.0) is False
+
+
+def test_kernel_ready_probe_disabled_by_env(_form_state, monkeypatch):
+    _, pr = _form_state
+    monkeypatch.setenv("NODEY_RESAMPLE_KERNEL_PROBE_S", "0")
+    assert pr.kernel_ready() is False
+
+
+def test_kernel_ready_real_probe_interpret_path(_form_state, monkeypatch):
+    """The actual probe body runs end to end on CPU (interpret-mode
+    pallas is exercised elsewhere; here the probe compiles the REAL
+    hardware-path kernel — on the CPU backend pallas_call without
+    interpret raises, which the probe must convert into a clean False,
+    never an exception)."""
+    _, pr = _form_state
+    assert pr.kernel_ready(deadline_s=60.0) in (False, True)
+    assert pr._KERNEL_READY["ok"] is not None
+
+
+def test_bank_form_inside_trace_pins_patches(_form_state, monkeypatch):
+    """A direct library call traced before any entry point resolved the
+    formulation must pin the safe patches branch (probing inside a live
+    trace is forbidden), and the pin must stick process-wide."""
+    import jax
+    import jax.numpy as jnp
+
+    rs, _ = _form_state
+    monkeypatch.delenv("NODEY_RESAMPLE_FORM", raising=False)
+    seen = {}
+
+    def f(x):
+        seen["form"] = rs._bank_form()
+        return x
+
+    jax.make_jaxpr(f)(jnp.zeros((2, 8)))
+    assert seen["form"] == "patches"
+    assert rs._FORM_STATE["resolved"] == "patches"
+
+
+def test_compile_graph_resolves_form_before_trace(_form_state, tmp_path):
+    """The Runner's compile path resolves the formulation eagerly (outside
+    the trace), so production programs get the probed TPU default."""
+    from nodey_tpu.core import registry
+    from nodey_tpu.core.graph import Graph
+    from nodey_tpu.core.runner import Runner
+    from nodey_tpu.host import decode as host_decode
+    from nodey_tpu.processors.audio_input import AudioInput
+    from nodey_tpu.processors.audio_output import AudioOutput
+
+    rs, _ = _form_state
+    registry.register_all_processors()
+    tone = make_tone(44_100, 0.3, 440, channels=2)
+    wav = tmp_path / "t.wav"
+    host_decode.write_wav_s16(str(wav), tone, 44_100)
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = [str(wav)]
+    g.update_node_pin(src)
+    out = g.add_node(AudioOutput())
+    g.add_link(
+        g.nodes[src].pin_name_map["output_0"],
+        g.nodes[out].pin_name_map["input"],
+    )
+    Runner(g).render(mode="export")
+    assert rs._FORM_STATE["resolved"] == "patches"  # CPU backend default
+
+
+def test_kernel_form_batched_vmap_fallback(monkeypatch):
+    """vmap over the kernel formulation (DP batched serving,
+    compile_graph_dp / run_batch) must not try to batch the manual-DMA
+    Pallas kernel — the custom_vmap rule routes the batched program
+    through the XLA superblock branch, whose outputs are bitwise the
+    kernel's in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("NODEY_RESAMPLE_FORM", "kernel")
+    B = 3
+    xs = np.stack(
+        [multitone(44_100, seconds=0.4, channels=2) * (0.5 + 0.25 * i)
+         for i in range(B)]
+    )
+    batched = np.asarray(
+        jax.vmap(lambda d: resample_data(d, 44_100, 48_000))(
+            jnp.asarray(xs)
+        )
+    )
+    for i in range(B):
+        single = np.asarray(resample_data(xs[i], 44_100, 48_000))
+        np.testing.assert_array_equal(batched[i], single)
