@@ -1497,7 +1497,21 @@ def main() -> int:
                 f"egress={egress_s:.2f}s ({mb / max(egress_s, 1e-9):.1f} MB/s) "
                 f"RTF={rtf:.0f}x"
             )
-            emit("rtf_5node_stereo", rtf)
+            from nodey_tpu.ops import resample as _rs
+            from nodey_tpu.ops import pallas_resample as _pr
+
+            emit(
+                "rtf_5node_stereo",
+                rtf,
+                {
+                    # Which grouped-GEMM formulation served this number:
+                    # 'kernel' = grouped Pallas default (VERDICT r4 #1),
+                    # 'patches' = the probe timed out and the XLA branch
+                    # served as the fallback.
+                    "resample_form": _rs.form_in_use(),
+                    "kernel_probe_s": _pr._KERNEL_READY.get("probe_s"),
+                },
+            )
 
         if run_headline:
             section("rtf_5node_stereo", _headline, 90)
@@ -1526,6 +1540,15 @@ def main() -> int:
                     NODEY_BENCH_NO_COLD_PROBE="1",
                     NODEY_BENCH_BUDGET_S=str(int(remaining())),
                 )
+                from nodey_tpu.ops import resample as _rs
+
+                if _rs.form_in_use() == "kernel":
+                    # The lost attempt ran the Pallas-kernel resample
+                    # default; the retry must not gamble the headline on
+                    # a second Mosaic compile through a misbehaving
+                    # relay — pin the XLA fallback branch.
+                    env["NODEY_RESAMPLE_FORM"] = "patches"
+                    log("wedge retry will pin NODEY_RESAMPLE_FORM=patches")
                 sys.stdout.flush()
                 sys.stderr.flush()
                 os.execve(

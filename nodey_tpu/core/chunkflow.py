@@ -247,6 +247,12 @@ def compile_stream_graph(
     byte-identical.
     """
     graph.check_graph()
+    # Pin the process-wide resampler formulation BEFORE tracing (the TPU
+    # default runs a deadline-bounded probe compile that must not happen
+    # inside the trace; see ops/resample.resolve_form).
+    from nodey_tpu.ops import resample as _resample
+
+    _resample.resolve_form()
     order = topo_order(graph)
     input_keys = sorted(external_key(nid, pin) for (nid, pin) in sources)
 

@@ -216,6 +216,13 @@ def compile_graph(
     reference's Runner + poll_state routing exposes (app.cpp:2097-2149).
     """
     graph.check_graph()
+    # Pin the process-wide resampler formulation BEFORE tracing: on TPU
+    # the probed default is the grouped Pallas kernel, and the probe
+    # (a deadline-bounded compile) must not run inside the trace below
+    # (ops/resample.resolve_form).
+    from nodey_tpu.ops import resample as _resample
+
+    _resample.resolve_form()
     order = topo_order(graph)
     input_keys = sorted(external_key(nid, pin) for (nid, pin) in sources)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 
 import math
+import os
 
 import numpy as np
 import jax
@@ -158,6 +159,77 @@ def resample_data_pallas(
 # Group rows per grid step for the GROUPED kernel below (each row is R*L
 # output samples wide).
 GROUP_ROWS = 128
+
+# Probe memo: None = not yet probed; True/False = verdict for this process.
+_KERNEL_READY: dict = {"ok": None, "probe_s": None}
+
+
+def kernel_ready(deadline_s: float | None = None) -> bool:
+    """Deadline-bounded Mosaic-compile probe gating the kernel default.
+
+    Compiles AND runs the grouped kernel once on the live backend for the
+    canonical 44.1->48 kHz stereo shape, in a daemon thread bounded by
+    ``deadline_s`` (NODEY_RESAMPLE_KERNEL_PROBE_S, default 150 s — a
+    healthy relay compiles this in 1.6-10 s and a persistent-cache hit
+    loads in ~1-2 s; the hazard this guards is the erratic >20 min Mosaic
+    compile observed through a wedged relay). Returns False on timeout or
+    error and memoizes the verdict so the process never re-probes: the
+    XLA 'patches' branch then serves every path, keeping the in-process
+    formulation uniform. A timed-out compile thread is abandoned
+    (daemon); its eventual completion changes nothing.
+
+    NODEY_RESAMPLE_KERNEL_PROBE_S=0 disables the kernel default outright
+    (always False) without pinning NODEY_RESAMPLE_FORM."""
+    if _KERNEL_READY["ok"] is not None:
+        return _KERNEL_READY["ok"]
+    if deadline_s is None:
+        deadline_s = float(
+            os.environ.get("NODEY_RESAMPLE_KERNEL_PROBE_S", "150")
+        )
+    if deadline_s <= 0:
+        _KERNEL_READY["ok"] = False
+        return False
+
+    import threading
+    import time
+
+    result: dict = {}
+
+    def _probe() -> None:
+        try:
+            t0 = time.perf_counter()
+            L, M = 160, 147  # 44.1 kHz -> 48 kHz, the flagship rate pair
+            R = resample_ops.group_factor(L, M)
+            taps = resample_ops._effective_taps(L, M, resample_ops.DEFAULT_TAPS)
+            W = M + taps - 1
+            bank = jnp.asarray(
+                resample_ops._design_filter_bank(
+                    L, M, taps, resample_ops.DEFAULT_BETA,
+                    resample_ops.DEFAULT_CUTOFF,
+                )
+            )
+            G = R * GROUP_ROWS  # exactly one grid step
+            x = jnp.zeros((2, G * M), jnp.float32)
+            fn = jax.jit(
+                apply_filter_bank_grouped_pallas,
+                static_argnames=("G", "M", "W", "interpret"),
+            )
+            y = fn(x, G=G, M=M, W=W, bank=bank, interpret=False)
+            jax.device_get(y[0, :8])  # force full execution through the relay
+            result["s"] = time.perf_counter() - t0
+        except Exception as exc:  # compile/backend failure = not ready
+            result["err"] = f"{type(exc).__name__}: {str(exc)[:200]}"
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(deadline_s)
+    if th.is_alive() or "err" in result:
+        _KERNEL_READY["ok"] = False
+        _KERNEL_READY["probe_s"] = None if th.is_alive() else -1.0
+    else:
+        _KERNEL_READY["ok"] = True
+        _KERNEL_READY["probe_s"] = result["s"]
+    return _KERNEL_READY["ok"]
 
 
 def apply_filter_bank_grouped_pallas(x, G: int, M: int, W: int, bank,
