@@ -1699,6 +1699,27 @@ def main() -> int:
             # 1-core host's ~16x-realtime LAME — stages the executor
             # overlaps and no device code can beat; ceiling_fraction ~1.0
             # proves the executor is at that host/transport roofline.
+            # The sink itself scales: open_sink routes to the segmented
+            # parallel LAME splice when >1 CPU is available (bit-identical
+            # stream, test_parallel_mp3), so lame_ceiling_rtf below is
+            # measured single-core LAME throughput x workers.
+            import numpy as _np
+
+            from nodey_tpu.host import encode as _he
+
+            lame_secs = 8.0
+            pcm = (_np.random.default_rng(0).standard_normal(
+                (2, int(48_000 * lame_secs))
+            ) * 6000).astype(_np.int16)
+            t0 = time.perf_counter()
+            enc = _he.Mp3Encoder(
+                f"{tmp}/lame_probe.mp3", 48_000, 2, 256, "s16"
+            )
+            enc.write(pcm)
+            enc.close()
+            lame_rtf_1core = lame_secs / max(time.perf_counter() - t0, 1e-9)
+            workers = _he.mp3_workers()
+
             graph, _m = flagship_5node(tmp, seconds)
             em_cold, em, sm = _run_streamed(
                 graph, f"{tmp}/e2e.mp3", kbps=256, chunk_seconds=16.0
@@ -1713,12 +1734,24 @@ def main() -> int:
                 f"{sm.decode_wait_seconds:.1f}s — wall tracks the LAME/"
                 f"relay bound, not the device)"
             )
+            lame_ceiling = lame_rtf_1core * workers
             emit(
                 "e2e_streamed_mp3",
                 em.rtf,
                 {
                     "stages": _stage_budget(sm),
                     "cold_wall_s": round(em_cold.wall_seconds, 2),
+                    # The sink bound, measured THIS run on THIS host:
+                    # single-core LAME throughput x effective workers
+                    # (the segmented splice's scaling law). fraction ~1
+                    # = the executor delivers everything the host's
+                    # encoder can take.
+                    "lame_rtf_1core": round(lame_rtf_1core, 1),
+                    "lame_workers": workers,
+                    "lame_ceiling_rtf": round(lame_ceiling, 1),
+                    "lame_fraction": round(
+                        em.rtf / max(lame_ceiling, 1e-9), 3
+                    ),
                     **_overlap(em, sm),
                 },
             )

@@ -149,3 +149,75 @@ def test_s16_wire_blocks_roundtrip(tmp_path):
     _, fa = _frames(ser)
     _, fb = _frames(par)
     assert fa[1:] == fb[1:]
+
+
+def test_streamed_export_parallel_sink_end_to_end(tmp_path, monkeypatch):
+    """VERDICT r4 #4 end to end: the STREAMING export pipeline
+    (decode ∥ device ∥ d2h ∥ sink) composed with the segmented parallel
+    LAME sink. Pins (a) that export_streamed actually routes through
+    ParallelMp3Encoder when workers > 1, and (b) that the streamed file
+    is BYTE-IDENTICAL to feeding the same master PCM straight into the
+    segmented encoder with different block sizes — segmentation depends
+    only on content position, never on the executor's chunking."""
+    from nodey_tpu.core import registry
+    from nodey_tpu.core.graph import Graph
+    from nodey_tpu.core.runner import Runner
+    from nodey_tpu.processors.audio_input import AudioInput
+    from nodey_tpu.processors.audio_output import AudioOutput
+
+    registry.register_all_processors()
+    x = _noise(10.0)
+    wav = tmp_path / "in.wav"
+    hd.write_wav_s16(str(wav), x, RATE)
+
+    def build():
+        g = Graph()
+        src = g.add_node(AudioInput())
+        g.nodes[src].processor.file_paths = [str(wav)]
+        g.update_node_pin(src)
+        out = g.add_node(AudioOutput())
+        g.add_link(
+            g.nodes[src].pin_name_map["output_0"],
+            g.nodes[out].pin_name_map["input"],
+        )
+        return g
+
+    used = []
+    real_open = he.open_sink
+
+    def spy_open(*a, **k):
+        s = real_open(*a, **k)
+        used.append(type(s).__name__)
+        return s
+
+    monkeypatch.setattr(he, "open_sink", spy_open)
+    monkeypatch.setenv("NODEY_MP3_WORKERS", "2")
+    out2 = tmp_path / "w2.mp3"
+    m = Runner(build()).export_streamed(str(out2), kbps=192)
+    assert m.audio_seconds > 9.0
+    assert used == ["ParallelMp3Encoder"]
+
+    # Master PCM the device shipped (s16 wire): the same graph through
+    # the wav sink, read back as RAW int16 — the exact blocks the mp3
+    # sink saw.
+    import wave as wave_mod
+
+    mwav = tmp_path / "master.wav"
+    Runner(build()).export_streamed(str(mwav), kbps=192)
+    with wave_mod.open(str(mwav), "rb") as wf:
+        assert wf.getframerate() == RATE and wf.getnchannels() == 2
+        raw = np.frombuffer(
+            wf.readframes(wf.getnframes()), dtype=np.int16
+        ).reshape(-1, 2).T.copy()
+
+    # Same PCM -> segmented encoder DIRECTLY, different block size:
+    # byte-identical output proves segmentation depends only on content
+    # position, never on the executor's chunking.
+    ref = tmp_path / "direct.mp3"
+    enc = he.ParallelMp3Encoder(str(ref), RATE, 2, 192, "s16", workers=2)
+    _feed(enc, raw, blk=RATE // 2 + 331)
+    assert out2.read_bytes() == ref.read_bytes()
+
+    # Structural sanity: finalized segment-0 Info tag on the streamed file.
+    data2, frames2 = _frames(out2)
+    assert he._is_info_tag(frames2[0])
