@@ -269,3 +269,42 @@ def test_fused_assembly_vmaps():
         bs1, body1 = one(xs[b])
         np.testing.assert_array_equal(bs_b[b], bs1)
         np.testing.assert_array_equal(body_b[b], body1)
+
+
+@pytest.mark.parametrize("F", [2, 4])
+def test_score_table_frames_per_step_bitwise(F):
+    """Batching F independent frames per grid step (VERDICT r4 #6: the
+    fixed ~0.95 us/step cost amortization) must leave the argmax table
+    BITWISE identical — per-frame GEMM operands and reduction order are
+    unchanged; K not divisible by F exercises the padded tail."""
+    rate = 8_000
+    seq, seek, overlap = stretch_ops._params(rate)
+    num = int(round((seq - overlap) * 1.2 * 65536))
+    for K in (5, 8):
+        n = (K * num) // 65536 + seek + seq + 16
+        rng = np.random.default_rng(K)
+        x = (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+        base = np.asarray(
+            pallas_wsola.wsola_score_table(
+                jnp.asarray(x), K, num, 65536, seq, seek, overlap,
+                interpret=True, frames_per_step=1,
+            )
+        )
+        batched = np.asarray(
+            pallas_wsola.wsola_score_table(
+                jnp.asarray(x), K, num, 65536, seq, seek, overlap,
+                interpret=True, frames_per_step=F,
+            )
+        )
+        np.testing.assert_array_equal(base, batched)
+
+
+def test_score_frames_per_step_env(monkeypatch):
+    monkeypatch.setenv("NODEY_WSOLA_FPS", "4")
+    assert pallas_wsola.score_frames_per_step() == 4
+    monkeypatch.setenv("NODEY_WSOLA_FPS", "99")
+    assert pallas_wsola.score_frames_per_step() == 8  # clamped
+    monkeypatch.setenv("NODEY_WSOLA_FPS", "bogus")
+    assert pallas_wsola.score_frames_per_step(3) == 3
+    monkeypatch.delenv("NODEY_WSOLA_FPS")
+    assert pallas_wsola.score_frames_per_step() == 1
