@@ -883,13 +883,14 @@ def kernel_mfu(seconds: float, iters: int = 8):
 
     try:
         # -- spectrum at its GEMM ceiling (headline-flat defense) -----------
-        # The headline's second-largest term is the spectrum STFT (4.9 of
-        # 13.3 ms at 300 s).  Measure the RAW GEMM of identical shape and
-        # precision and emit achieved/ceiling: a fraction near 1.0 is the
-        # artifact-grade proof that the spectrum cost IS the 6-pass
-        # HIGHEST matmul itself (tools/ab_gemm_ceiling.py methodology) —
-        # no kernel or layout change can cut it at the pinned exactness
-        # policy; only the documented NODEY_STFT_PRECISION=high knob can.
+        # The headline's second-largest term is the spectrum STFT.
+        # Measure the RAW GEMM of identical shape and precision (the
+        # production STFT_PRECISION — HIGH 3-pass since round 5, 99.8 dB
+        # vs f64 on chip, stft.py header) and emit achieved/ceiling: a
+        # fraction near 1.0 is the artifact-grade proof that the
+        # spectrum cost IS the pinned-precision matmul itself
+        # (tools/ab_gemm_ceiling.py methodology) — no kernel or layout
+        # change can cut it at the chosen precision policy.
         from nodey_tpu.core.stream import Stream
         from nodey_tpu.ops import stft as stft_ops
 
@@ -926,8 +927,9 @@ def kernel_mfu(seconds: float, iters: int = 8):
         frac = min(t_raw / t_path, 1.0)
         log(
             f"spectrum ceiling: raw [{2 * S},{n_fft}]x[{n_fft},"
-            f"{2 * (n_fft // 2 + 1)}] HIGHEST GEMM {t_raw * 1e3:.2f} ms "
-            f"vs real path {t_path * 1e3:.2f} ms -> fraction {frac:.3f}"
+            f"{2 * (n_fft // 2 + 1)}] {stft_ops.STFT_PRECISION} GEMM "
+            f"{t_raw * 1e3:.2f} ms vs real path {t_path * 1e3:.2f} ms "
+            f"-> fraction {frac:.3f}"
         )
         out.append(("bound_fraction_spectrum_gemm", frac))
     except Exception as exc:

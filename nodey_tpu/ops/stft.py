@@ -26,16 +26,26 @@ import jax.numpy as jnp
 
 from nodey_tpu.core.stream import Stream
 
-# Matmul precision for the DFT GEMMs. HIGHEST is bitwise f32 semantics
-# on this backend (the silent default is single-pass bf16, ~53 dB —
-# ROUND4.md §10). Measured on-chip the spectrum GEMM's wall time is
-# IDENTICAL at DEFAULT/HIGH/HIGHEST (5.21/5.28/5.24 ms — the kernel is
-# not precision-bound), so the exact setting is free; the env knob stays
-# for parity with NODEY_RESAMPLE_PRECISION.
-STFT_PRECISION = (
-    jax.lax.Precision.HIGH
-    if os.environ.get("NODEY_STFT_PRECISION") == "high"
-    else jax.lax.Precision.HIGHEST
+# Matmul precision for the DFT GEMMs. The spectrum GEMM is PASS-bound on
+# v5e — re-measured 2026-08-21 with probe-corrected timing (an earlier
+# note claiming identical walls across precisions was wrong):
+# DEFAULT 2.17 / HIGH 3.02 / HIGHEST 4.87 ms per 300 s stereo track.
+# Quality vs a float64 reference spectrogram, same day, on chip:
+# DEFAULT (1-pass bf16) 55.8 dB — too low; HIGH (3-pass) 99.8 dB;
+# HIGHEST (6-pass, bitwise f32) 141 dB. The spectrum output feeds the
+# editor's spectrogram view and the preview's analysis taps — never the
+# audio path — so HIGH's ~100 dB (above even the 90 dB AUDIO oracle
+# bar, and ~20 dB past any display dynamic range) is the right default;
+# it cuts the headline pipeline's second-largest term by 1.85 ms.
+# NODEY_STFT_PRECISION={default,high,highest} overrides (the audio-path
+# GEMMs keep their own HIGHEST policy — see resample.BANK_PRECISION).
+STFT_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}.get(
+    os.environ.get("NODEY_STFT_PRECISION", "").lower(),
+    jax.lax.Precision.HIGH,
 )
 
 

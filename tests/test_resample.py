@@ -240,7 +240,13 @@ def test_mxu_call_sites_pin_precision():
         return stft_ops.magnitude_spectrogram(st)
 
     s = str(jax.make_jaxpr(spec)(jnp.zeros((2, 8192), jnp.float32)))
-    assert "HIGHEST" in s
+    # The spectrum's default is HIGH (3-pass bf16, 99.8 dB vs f64 on
+    # chip — display/analysis output, never the audio path; measured
+    # 3.02 vs 4.87 ms per 300 s track, stft.py header). The guard is
+    # the same: an explicit pinned precision, never the silent 1-pass
+    # DEFAULT (55.8 dB).
+    assert "Precision.HIGH" in s
+    assert "HIGHEST" not in s
 
 
 def test_transposed_form_matches_patches(monkeypatch):
