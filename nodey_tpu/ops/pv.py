@@ -450,24 +450,46 @@ def _dft_trig_dev(rows: int, cols: int, modulus: int):
 def _phasor_powers_dev(r, cols: int, modulus: int):
     """[len(r), cols] (cos, sin) of 2*pi*(r*c mod modulus)/modulus for an
     int32 row-angle vector ``r`` (callers guarantee
-    max(r)*(modulus-1) < 2^31) — the doubling construction shared by
-    _dft_trig_dev (r = iota) and the shift-theorem residue ramp
-    (r = pos mod 128, a [K] constant)."""
-    C = jnp.ones((r.shape[0], 1), jnp.float32)
-    S = jnp.zeros((r.shape[0], 1), jnp.float32)
-    built = 1
-    while built < cols:
-        step = built % modulus
-        ang = ((r * step) % modulus).astype(jnp.float32) * np.float32(
-            _TWO_PI / modulus
-        )
-        cj, sj = jnp.cos(ang)[:, None], jnp.sin(ang)[:, None]
-        C, S = (
-            jnp.concatenate([C, C * cj - S * sj], axis=1),
-            jnp.concatenate([S, C * sj + S * cj], axis=1),
-        )
-        built *= 2
-    return C[:, :cols], S[:, :cols]
+    max(r)*(modulus-1) < 2^31) — shared by _dft_trig_dev (r = iota) and
+    the shift-theorem residue ramp (r = pos mod 128, a [K] constant).
+
+    Two-factor outer form: columns a*B + b for B ~ sqrt(cols) come from
+    one complex multiply of a [rows, A] stride table (powers of w^B) and
+    a [rows, B] fine table — both built by concat-doubling at tiny
+    widths — so the full plane is WRITTEN ONCE with ~6 flops/element
+    (pure concat-doubling to full width re-copies the growing prefix
+    every stage, ~4x the final plane in traffic)."""
+
+    def doubling(n_cols: int, base_step: int):
+        C = jnp.ones((r.shape[0], 1), jnp.float32)
+        S = jnp.zeros((r.shape[0], 1), jnp.float32)
+        built = 1
+        while built < n_cols:
+            step = (built * base_step) % modulus
+            ang = ((r * step) % modulus).astype(jnp.float32) * np.float32(
+                _TWO_PI / modulus
+            )
+            cj, sj = jnp.cos(ang)[:, None], jnp.sin(ang)[:, None]
+            C, S = (
+                jnp.concatenate([C, C * cj - S * sj], axis=1),
+                jnp.concatenate([S, C * sj + S * cj], axis=1),
+            )
+            built *= 2
+        return C[:, :n_cols], S[:, :n_cols]
+
+    if cols <= 64:
+        return doubling(cols, 1)
+    B = 1 << (cols.bit_length() // 2)
+    A = -(-cols // B)
+    smC, smS = doubling(B, 1)                 # [rows, B], powers 0..B-1
+    stC, stS = doubling(A, B)                 # [rows, A], powers of w^B
+    C = stC[:, :, None] * smC[:, None, :] - stS[:, :, None] * smS[:, None, :]
+    S = stC[:, :, None] * smS[:, None, :] + stS[:, :, None] * smC[:, None, :]
+    rows = r.shape[0]
+    return (
+        C.reshape(rows, A * B)[:, :cols],
+        S.reshape(rows, A * B)[:, :cols],
+    )
 
 
 def _pv_window_dev(n_fft: int):
