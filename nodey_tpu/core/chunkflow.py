@@ -247,12 +247,6 @@ def compile_stream_graph(
     byte-identical.
     """
     graph.check_graph()
-    # Pin the process-wide resampler formulation BEFORE tracing (the TPU
-    # default runs a deadline-bounded probe compile that must not happen
-    # inside the trace; see ops/resample.resolve_form).
-    from nodey_tpu.ops import resample as _resample
-
-    _resample.resolve_form()
     order = topo_order(graph)
     input_keys = sorted(external_key(nid, pin) for (nid, pin) in sources)
 
@@ -308,7 +302,23 @@ def compile_stream_graph(
         output_meta[GAUGES_KEY] = {"kind": "gauges", "keys": gauge_keys}
 
     # -- trace pass: the chunk step ------------------------------------------
+    # STREAMING programs pin the XLA patches resampler branch for their
+    # whole trace (resample.form_override): streamed exports are
+    # transport/LAME-bound at ~20-45x realtime, so the Pallas kernel
+    # buys nothing here, while its Mosaic compile + the kernel_ready
+    # probe cost fresh processes ~60-100 s of cold start (measured on
+    # the cold-process bench probe). Offline programs keep the probed
+    # kernel default; NODEY_RESAMPLE_FORM still overrides both. The
+    # context must wrap the BODY — jit traces lazily at first call, not
+    # here — and, unlike the in-trace fallback pin, it never touches the
+    # process-wide resolution.
+    from nodey_tpu.ops import resample as _resample
+
     def step(states: Dict[str, Any], args: Dict[str, Any]):
+        with _resample.form_override("patches"):
+            return _step_body(states, args)
+
+    def _step_body(states: Dict[str, Any], args: Dict[str, Any]):
         ctx = StreamLowerCtx(mode, sources, args)
         pin_values: Dict[int, ChunkStream] = {}
         new_states: Dict[str, Any] = {}

@@ -248,7 +248,32 @@ def group_factor(L: int, M: int) -> int:
 # Within one process every execution path (offline, chunked streaming,
 # sp-sharded) must share a single formulation so the float summation
 # grouping is uniform — mixed forms agree only to last-ulp.
-_FORM_STATE: dict = {"resolved": None}
+_FORM_STATE: dict = {"resolved": None, "override": None}
+
+
+class form_override:
+    """Scoped formulation pin for one trace (used by the STREAMING
+    planner to keep chunk programs on the XLA patches branch: streamed
+    exports are transport/LAME-bound at ~20-45x realtime, so the
+    kernel's ~1.4 ms/track win buys nothing there, while its Mosaic
+    compile + the kernel_ready probe cost every fresh process ~60-100 s
+    of cold start — measured on the cold-process bench probe. Offline
+    programs keep the probed kernel default. The offline-vs-streamed
+    formulation split parallels the PV one documented in PARITY.md;
+    cross-path agreement stays within the kernel-vs-patches 7e-7
+    envelope and is bit-exact on CPU where both sides run patches)."""
+
+    def __init__(self, form: str):
+        self.form = form
+
+    def __enter__(self):
+        self.prev = _FORM_STATE["override"]
+        _FORM_STATE["override"] = self.form
+        return self
+
+    def __exit__(self, *exc):
+        _FORM_STATE["override"] = self.prev
+        return False
 
 
 def resolve_form(probe_deadline_s: float | None = None) -> str:
@@ -314,6 +339,8 @@ def _bank_form() -> str:
     force = os.environ.get("NODEY_RESAMPLE_FORM")
     if force in ("transposed", "patches", "kernel"):
         return force
+    if _FORM_STATE["override"]:
+        return _FORM_STATE["override"]
     if _FORM_STATE["resolved"]:
         return _FORM_STATE["resolved"]
     try:
@@ -371,13 +398,13 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
             on_tpu = False
 
         @custom_vmap
-        def _kernel_call(xx):
+        def _kernel_call(xx, bk):
             return pallas_resample.apply_filter_bank_grouped_pallas(
-                xx, G, M, W, bank, interpret=not on_tpu
+                xx, G, M, W, bk, interpret=not on_tpu
             )
 
         @_kernel_call.def_vmap
-        def _kernel_call_batched(axis_size, in_batched, xb):
+        def _kernel_call_batched(axis_size, in_batched, xb, bk):
             # Batched serving (vmap over independent clips): the
             # manual-DMA kernel does not lower under vmap (an
             # ANY-memory-space operand can't grow a batch block dim),
@@ -386,14 +413,21 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
             # superblock branch instead. Same grouped math: bitwise in
             # interpret mode, 7e-7 on chip (tests pin the first, bench
             # A/B the second), so per-clip outputs stay within the
-            # documented kernel-vs-patches envelope.
+            # documented kernel-vs-patches envelope. ``bank`` rides as a
+            # real operand (a closure leaks the ORIGINAL trace's tracer
+            # into the vmap rule when the caller's trace is itself being
+            # transformed — seen as "No constant handler for
+            # DynamicJaxprTracer" from compile_graph_dp's unjitted
+            # trace-then-vmap).
+            if in_batched[1]:
+                bk = bk[0]
             B, C, N_ = xb.shape
             y = _apply_grouped_superblock(
-                xb.reshape(B * C, N_), G, M, W, bank
+                xb.reshape(B * C, N_), G, M, W, bk
             )
             return y.reshape(B, C, -1), True
 
-        return _kernel_call(x)
+        return _kernel_call(x, bank)
     if R > 1 and _bank_form() == "transposed":
         # TRANSPOSED grouped GEMM (TPU default): y[c, g, :] =
         # segs[c, g] @ H0 + segs[c, g+1, :ov] @ H1 with H = bank_g^T

@@ -518,9 +518,12 @@ def test_bank_form_inside_trace_pins_patches(_form_state, monkeypatch):
     assert rs._FORM_STATE["resolved"] == "patches"
 
 
-def test_compile_graph_resolves_form_before_trace(_form_state, tmp_path):
+def test_compile_graph_resolves_form_before_trace(
+    _form_state, tmp_path, monkeypatch
+):
     """The Runner's compile path resolves the formulation eagerly (outside
     the trace), so production programs get the probed TPU default."""
+    monkeypatch.delenv("NODEY_RESAMPLE_FORM", raising=False)
     from nodey_tpu.core import registry
     from nodey_tpu.core.graph import Graph
     from nodey_tpu.core.runner import Runner
@@ -569,3 +572,105 @@ def test_kernel_form_batched_vmap_fallback(monkeypatch):
     for i in range(B):
         single = np.asarray(resample_data(xs[i], 44_100, 48_000))
         np.testing.assert_array_equal(batched[i], single)
+
+
+def test_kernel_form_trace_then_vmap(monkeypatch):
+    """compile_graph_dp's pattern — trace the UNJITTED program, then
+    vmap it — must work under the kernel form (the chip bench's batch-8
+    serving failed with 'No constant handler for DynamicJaxprTracer'
+    when the custom_vmap rule closed over the inner trace's bank)."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("NODEY_RESAMPLE_FORM", "kernel")
+
+    def program(d):
+        return resample_data(d, 44_100, 48_000)
+
+    B = 2
+    xs = np.stack(
+        [multitone(44_100, seconds=0.4, channels=2) * (1.0 + i)
+         for i in range(B)]
+    )
+    batched = np.asarray(jax.jit(jax.vmap(program))(jnp.asarray(xs)))
+    for i in range(B):
+        single = np.asarray(resample_data(xs[i], 44_100, 48_000))
+        np.testing.assert_array_equal(batched[i], single)
+
+
+def test_streaming_trace_pins_patches_form(_form_state, monkeypatch):
+    """Streamed chunk programs trace under resample.form_override
+    ('patches'): no kernel probe, no Mosaic chunk compiles in fresh
+    processes (cold-start cost, ROUND7.md), and the process-wide
+    resolution is left untouched for later offline compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from nodey_tpu.ops import resample as rs
+
+    rs_seen = {}
+    monkeypatch.delenv("NODEY_RESAMPLE_FORM", raising=False)
+
+    orig = rs.apply_filter_bank
+
+    def spy(*a, **k):
+        rs_seen.setdefault("forms", []).append(rs._bank_form())
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rs, "apply_filter_bank", spy)
+
+    from nodey_tpu.ops import chunkops
+
+    plan = chunkops.resample_plan(44_100, 48_000, 4410)
+    state = chunkops.resample_stream_init(plan, 2)
+    # Trace a streamed step THROUGH the production planner wrapper
+    # (chunkflow.compile_stream_graph wraps its step the same way).
+    with rs.form_override("patches"):
+        jax.jit(
+            lambda s, d, n, done, _p=plan: chunkops.resample_stream_step(
+                _p, s, d, n, done
+            )
+        )(state, jnp.zeros((2, 4410), jnp.float32), jnp.int32(4410),
+          jnp.bool_(False))
+    assert set(rs_seen.get("forms", [])) <= {"patches"}
+    # The override never pinned the process-wide resolution.
+    assert rs._FORM_STATE["resolved"] is None
+
+
+def test_stream_executor_trace_uses_patches(_form_state, monkeypatch, tmp_path):
+    """End to end: a streamed export through the real executor leaves the
+    process-wide form unresolved (its trace ran under the override), and
+    never calls the kernel probe."""
+    import json
+
+    from nodey_tpu.core import registry
+    from nodey_tpu.core.graph import Graph
+    from nodey_tpu.core.runner import Runner
+    from nodey_tpu.host import decode as host_decode
+    from nodey_tpu.ops import pallas_resample
+    from nodey_tpu.ops import resample as rs
+    from nodey_tpu.processors.audio_input import AudioInput
+    from nodey_tpu.processors.audio_output import AudioOutput
+
+    monkeypatch.delenv("NODEY_RESAMPLE_FORM", raising=False)
+
+    def boom(deadline_s=None):
+        raise AssertionError("kernel probe must not run for streaming")
+
+    monkeypatch.setattr(pallas_resample, "kernel_ready", boom)
+
+    registry.register_all_processors()
+    tone = make_tone(44_100, 1.0, 440, channels=2)
+    wav = tmp_path / "t.wav"
+    host_decode.write_wav_s16(str(wav), tone, 44_100)
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = [str(wav)]
+    g.update_node_pin(src)
+    out = g.add_node(AudioOutput())
+    g.add_link(
+        g.nodes[src].pin_name_map["output_0"],
+        g.nodes[out].pin_name_map["input"],
+    )
+    m = Runner(g).export_streamed(str(tmp_path / "o.wav"))
+    assert m.audio_seconds > 0.9
