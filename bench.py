@@ -1151,29 +1151,42 @@ def pv_offline_probe():
     N = 10 * rate
     rng = np.random.default_rng(7)
     x = jnp.asarray((0.2 * rng.standard_normal((2, N))).astype(np.float32))
-    fn = jax.jit(lambda d: pv.pv_stretch_at_rate(d, N, 0.8121, rate))
+    # Run-unique tempo -> a fresh program -> a fresh cache entry every
+    # capture, so the entry-size metric always reflects what THIS build
+    # writes (a cache-hit path would have to report the uncompressed
+    # serialized executable, ~3x the zstd entry, and read as a
+    # regression). The geometry shift from the epsilon is negligible.
+    tempo = 0.8121 + (int(time.time()) % 997) * 1e-6
+    fn = jax.jit(lambda d: pv.pv_stretch_at_rate(d, N, tempo, rate))
     t0 = time.perf_counter()
-    o = fn(x)
-    jax.block_until_ready(o)
+    co = fn.lower(x).compile()
+    jax.block_until_ready(co(x))
     compile_s = time.perf_counter() - t0
     out.append(("pv_offline_compile_s", compile_s))
+    entry_mb = None
+    src = ""
     if cache_dir:
-        new = [
-            p for p in glob.glob(cache_dir + "/*") if p not in before
-        ]
+        new = [p for p in glob.glob(cache_dir + "/*") if p not in before]
         if new:
             entry_mb = max(os.path.getsize(p) for p in new) / 1e6
-            out.append(("pv_offline_cache_entry_mb", entry_mb))
-            log(
-                f"pv_offline_probe: fresh compile {compile_s:.1f}s, "
-                f"cache entry {entry_mb:.2f} MB "
-                f"(baked-literal form: ~128 MB)"
-            )
-        else:
-            log(
-                f"pv_offline_probe: cache HIT, bring-up {compile_s:.1f}s "
-                "(entry written by an earlier capture)"
-            )
+            src = "cache entry"
+    if entry_mb is None:
+        # Cache hit (entry written by an earlier capture): measure the
+        # executable itself — the same bytes the relay ships.
+        try:
+            from jax.experimental import serialize_executable
+
+            blob, *_ = serialize_executable.serialize(co)
+            entry_mb = len(blob) / 1e6
+            src = "serialized executable (cache hit)"
+        except Exception as exc:
+            log(f"pv_offline_probe: size unavailable ({exc!r})")
+    if entry_mb is not None:
+        out.append(("pv_offline_cache_entry_mb", entry_mb))
+        log(
+            f"pv_offline_probe: bring-up {compile_s:.1f}s, "
+            f"{src} {entry_mb:.2f} MB (baked-literal form: ~128 MB)"
+        )
     return out
 
 
