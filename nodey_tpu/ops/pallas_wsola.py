@@ -670,14 +670,25 @@ def _wsola_chain_pallas_impl(
         # in the hot loop. Four independent accumulators (seeded from the
         # first products, no zero-init ops) break the add dependency chain
         # so the VPU pipelines the shift-FMA passes.
-        e = jnp.concatenate(
-            [pltpu.roll(wsl, (scan_w - s) % scan_w, 1) for s in range(S)],
+        #
+        # ONE roll serves BOTH stacks: window and tail ride the same
+        # [C, scan_w + ov_pad] buffer, halving the 2*S pre-shift rolls
+        # (the step is issue-bound — VERDICT r4 #6 decomposition). The
+        # hot-loop reads never cross the seam, so every value read is
+        # bitwise what the separate circular rolls produced: the window
+        # side reads lanes S*j + b <= S*(nj-1) + rows - 1 and the rolled
+        # pull i + s stays < scan_w; the tail side reads lane
+        # scan_w + S*j whose pull scan_w + S*j + s <= scan_w + overlap
+        # - 1 stays inside the tail half (splice decisions and goldens
+        # are pinned on this).
+        both = jnp.concatenate([wsl, tail], axis=1)     # [C, scan_w+ov_pad]
+        bw = scan_w + ov_pad
+        stacked = jnp.concatenate(
+            [pltpu.roll(both, (bw - s) % bw, 1) for s in range(S)],
             axis=0,
-        )                                               # [SC, scan_w]
-        tstack = jnp.concatenate(
-            [pltpu.roll(tail, (ov_pad - s) % ov_pad, 1) for s in range(S)],
-            axis=0,
-        )                                               # [SC, ov_pad]
+        )                                               # [SC, bw]
+        e = stacked[:, :scan_w]                         # [SC, scan_w]
+        tstack = stacked[:, scan_w:]                    # [SC, ov_pad]
         accs = [None] * 4
         for j in range(nj):
             sliced = e[:, S * j : S * j + rows]         # [SC, rows]
