@@ -310,7 +310,10 @@ def cmd_run(args) -> int:
     # a 3 s export). A one-shot timer tells the user what is happening and
     # what to do about it instead of leaving a silent hang; it is cancelled
     # the moment the run completes. NODEY_WEDGE_WARN_S=0 disables.
-    warn_s = float(os.environ.get("NODEY_WEDGE_WARN_S", "120"))
+    try:
+        warn_s = float(os.environ.get("NODEY_WEDGE_WARN_S", "120"))
+    except ValueError:
+        warn_s = 120.0  # non-numeric value: keep the default, don't die
 
     def _wedge_hint() -> None:
         print(

@@ -202,6 +202,26 @@ class CompiledGraph:
         return self._batched_fn(args)
 
 
+# Node identifiers whose lowering rate-converts (velocity/pitch resample
+# to realize the factor; the explicit resampler by definition). Any
+# OTHER resample site is reachable only via a non-48 kHz source, which
+# _graph_may_resample checks separately.
+_RESAMPLING_NODE_IDS = frozenset(
+    {"velocity_modifier", "pitch_modifier", "audio_resample"}
+)
+
+
+def _graph_may_resample(graph: Graph, sources) -> bool:
+    from nodey_tpu import config as _cfg
+
+    if any(spec.rate != _cfg.SAMPLE_RATE for spec in sources.values()):
+        return True
+    return any(
+        node.processor.info().identifier in _RESAMPLING_NODE_IDS
+        for node in graph.nodes.values()
+    )
+
+
 def compile_graph(
     graph: Graph,
     sources: Dict[Tuple[int, str], SourceSpec],
@@ -219,10 +239,16 @@ def compile_graph(
     # Pin the process-wide resampler formulation BEFORE tracing: on TPU
     # the probed default is the grouped Pallas kernel, and the probe
     # (a deadline-bounded compile) must not run inside the trace below
-    # (ops/resample.resolve_form).
-    from nodey_tpu.ops import resample as _resample
+    # (ops/resample.resolve_form). Probing costs ~1-2 s cached (up to
+    # the deadline behind a wedged relay), so only graphs that can
+    # actually resample pay it: a non-48 kHz source, or a node whose
+    # lowering rate-converts (velocity/pitch shift, explicit resampler).
+    # A miss here is safe, not wrong — an unresolved in-trace dispatch
+    # pins the XLA patches branch (resample._bank_form).
+    if _graph_may_resample(graph, sources):
+        from nodey_tpu.ops import resample as _resample
 
-    _resample.resolve_form()
+        _resample.resolve_form()
     order = topo_order(graph)
     input_keys = sorted(external_key(nid, pin) for (nid, pin) in sources)
 

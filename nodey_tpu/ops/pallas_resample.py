@@ -179,7 +179,17 @@ def kernel_ready(deadline_s: float | None = None) -> bool:
     (daemon); its eventual completion changes nothing.
 
     NODEY_RESAMPLE_KERNEL_PROBE_S=0 disables the kernel default outright
-    (always False) without pinning NODEY_RESAMPLE_FORM."""
+    (always False) without pinning NODEY_RESAMPLE_FORM.
+
+    Scope honesty: the probe bounds ITS OWN compile (one grid step of the
+    flagship rate pair), not the production-shape compile that follows a
+    'ready' verdict — a relay that turns erratic between the two can
+    still stall the production compile unbounded. The remaining nets are
+    the persistent compile cache (each production shape compiles once,
+    ever), bench's per-section deadlines + wedge-retry (which re-execs
+    with NODEY_RESAMPLE_FORM=patches), and the CLI's wedge watchdog
+    hint. A same-process deadline on every production compile would need
+    AOT lower/compile plumbing through the graph compiler; not done."""
     if _KERNEL_READY["ok"] is not None:
         return _KERNEL_READY["ok"]
     if deadline_s is None:

@@ -419,8 +419,23 @@ def apply_filter_bank(x, G: int, M: int, W: int, bank):
             # transformed — seen as "No constant handler for
             # DynamicJaxprTracer" from compile_graph_dp's unjitted
             # trace-then-vmap).
-            if in_batched[1]:
-                bk = bk[0]
+            if not in_batched[0] or in_batched[1]:
+                # A batched bank (alone or with a batched input) means
+                # genuinely different filters per element — no
+                # production call site does this (the bank is a
+                # trace-time constant), but handle it correctly rather
+                # than crash on the 2-D unpack / silently use bank[0].
+                if not in_batched[0]:
+                    xb = jnp.broadcast_to(xb, (axis_size,) + xb.shape)
+                if not in_batched[1]:
+                    bk = jnp.broadcast_to(bk, (axis_size,) + bk.shape)
+                y = jax.lax.map(
+                    lambda ab: _apply_grouped_superblock(
+                        ab[0], G, M, W, ab[1]
+                    ),
+                    (xb, bk),
+                )
+                return y, True
             B, C, N_ = xb.shape
             y = _apply_grouped_superblock(
                 xb.reshape(B * C, N_), G, M, W, bk

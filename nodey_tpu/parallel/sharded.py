@@ -531,6 +531,17 @@ def compile_graph_dp(
     the full single-device program (vmapped), so per-clip outputs are
     bitwise identical to single-device rendering and NO halo algebra is
     needed (WSOLA's serial frame chain stays intact within each clip).
+
+    Bitwise caveat (round 5): when the process resolved the grouped
+    Pallas resample KERNEL as its formulation (the probed TPU default,
+    ops/resample.resolve_form), the vmapped program's resample rides the
+    XLA superblock branch instead (the manual-DMA kernel does not lower
+    under vmap — see apply_filter_bank's custom_vmap rule), so dp-batched
+    vs single-device agree to the kernel-vs-patches envelope (bitwise in
+    interpret mode, max|diff| ~7e-7 on chip) rather than bitwise. On CPU,
+    and under NODEY_RESAMPLE_FORM=patches, the bitwise contract holds
+    exactly as stated.
+
     This is the mesh-scaled form of the reference's per-file fan-out
     (src/processor/audio-io.cpp:242-279) and closes the round-1 gap where
     velocity/pitch graphs could not use the mesh at all."""

@@ -71,16 +71,19 @@ def test_run_platform_cpu_subprocess(tmp_path):
     jax_platforms='axon,cpu') exporting with `--platform cpu` must run on
     the CPU backend and finish in seconds — no TPU claim, no relay.
     300 s timeout = hard proof it never entered the 250-550 s claim."""
+    import pathlib
+
+    repo_root = str(pathlib.Path(__file__).resolve().parents[1])
     project = _write_project(tmp_path)
     out = tmp_path / "out.wav"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # only the flag may do the overriding
-    env["PYTHONPATH"] = "/root/repo"
+    env["PYTHONPATH"] = repo_root
     proc = subprocess.run(
         [sys.executable, "-m", "nodey_tpu.app.cli", "run", str(project),
          "--preview", str(out), "--platform", "cpu"],
         capture_output=True, text=True, timeout=300, env=env,
-        cwd="/root/repo",
+        cwd=repo_root,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "previewed" in proc.stdout
@@ -116,3 +119,13 @@ def test_doctor_cpu_platform(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "probe rtt" in out
+
+
+def test_wedge_warn_env_garbage_is_tolerated(tmp_path, monkeypatch, capsys):
+    """A non-numeric NODEY_WEDGE_WARN_S must not crash the run (review
+    finding; the documented disable is '0')."""
+    project = _write_project(tmp_path)
+    monkeypatch.setenv("NODEY_WEDGE_WARN_S", "off")
+    rc = cli_main(["run", str(project),
+                   "--preview", str(tmp_path / "og.wav")])
+    assert rc == 0

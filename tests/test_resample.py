@@ -674,3 +674,43 @@ def test_stream_executor_trace_uses_patches(_form_state, monkeypatch, tmp_path):
     )
     m = Runner(g).export_streamed(str(tmp_path / "o.wav"))
     assert m.audio_seconds > 0.9
+
+
+def test_no_resample_graph_skips_kernel_probe(
+    _form_state, monkeypatch, tmp_path
+):
+    """A 48 kHz-only graph with no rate-converting node must not pay the
+    kernel_ready device probe at compile time (review finding: the probe
+    ran unconditionally, costing every TPU compile ~1-2 s cached and up
+    to the deadline behind a wedged relay)."""
+    from nodey_tpu.core import registry
+    from nodey_tpu.core.graph import Graph
+    from nodey_tpu.core.runner import Runner
+    from nodey_tpu.host import decode as host_decode
+    from nodey_tpu.ops import pallas_resample
+    from nodey_tpu.ops import resample as rs
+    from nodey_tpu.processors.audio_input import AudioInput
+    from nodey_tpu.processors.audio_output import AudioOutput
+
+    monkeypatch.delenv("NODEY_RESAMPLE_FORM", raising=False)
+
+    def boom(deadline_s=None):
+        raise AssertionError("kernel probe must not run: no resample site")
+
+    monkeypatch.setattr(pallas_resample, "kernel_ready", boom)
+    registry.register_all_processors()
+    tone = make_tone(48_000, 0.3, 440, channels=2)  # native rate: no swr
+    wav = tmp_path / "t48.wav"
+    host_decode.write_wav_s16(str(wav), tone, 48_000)
+    g = Graph()
+    src = g.add_node(AudioInput())
+    g.nodes[src].processor.file_paths = [str(wav)]
+    g.update_node_pin(src)
+    out = g.add_node(AudioOutput())
+    g.add_link(
+        g.nodes[src].pin_name_map["output_0"],
+        g.nodes[out].pin_name_map["input"],
+    )
+    Runner(g).render(mode="export")
+    # Nothing resolved: the gate skipped resolve_form entirely.
+    assert rs._FORM_STATE["resolved"] is None
