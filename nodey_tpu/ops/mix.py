@@ -26,11 +26,13 @@ def _pad_to(data, capacity: int):
 
 
 def _common_grid(streams: Sequence[Stream]) -> Tuple[List[Stream], int]:
-    """Normalize every stream to 48 kHz stereo and pad to a shared capacity."""
-    normed = [
-        resample_ops.to_rate_and_stereo(s, config.AMIX_STD_SAMPLE_RATE)
-        for s in streams
-    ]
+    """Normalize every stream to 48 kHz stereo and pad to a shared
+    capacity. Same-geometry inputs resample in ONE batched call
+    (resample.to_rate_and_stereo_many — bitwise the per-stream path;
+    halves the launch count for the flagship's two 44.1 kHz tracks)."""
+    normed = resample_ops.to_rate_and_stereo_many(
+        streams, config.AMIX_STD_SAMPLE_RATE
+    )
     capacity = max(s.capacity for s in normed)
     return normed, capacity
 

@@ -714,3 +714,40 @@ def test_no_resample_graph_skips_kernel_probe(
     Runner(g).render(mode="export")
     # Nothing resolved: the gate skipped resolve_form entirely.
     assert rs._FORM_STATE["resolved"] is None
+
+
+def test_to_rate_and_stereo_many_bitwise(monkeypatch):
+    """Batched mixer-input normalization must be BITWISE the per-stream
+    path in every formulation (the channel axis is an independent batch
+    dim everywhere), including mixed-rate groups and a passthrough."""
+    import jax.numpy as jnp
+
+    from nodey_tpu.core.stream import Stream
+    from nodey_tpu.ops import resample as rs
+
+    def mk(rate, seconds, ch, seed):
+        rng = np.random.default_rng(seed)
+        n = int(rate * seconds)
+        d = (0.4 * rng.standard_normal((ch, n))).astype(np.float32)
+        return Stream(
+            data=jnp.asarray(d), length=jnp.int32(n - 7), rate=rate,
+            channels=ch, fmt="flt", t0_us=0.0,
+        )
+
+    streams = [
+        mk(44_100, 0.4, 2, 0),
+        mk(44_100, 0.4, 1, 1),     # mono: stereo-ized before grouping
+        mk(48_000, 0.4, 2, 2),     # passthrough
+        mk(22_050, 0.3, 2, 3),     # different group
+        mk(44_100, 0.4, 2, 4),     # same group as [0]/[1]
+    ]
+    for form in ("patches", "transposed", "kernel"):
+        monkeypatch.setenv("NODEY_RESAMPLE_FORM", form)
+        batched = rs.to_rate_and_stereo_many(streams, 48_000)
+        for s, b in zip(streams, batched):
+            single = rs.to_rate_and_stereo(s, 48_000)
+            np.testing.assert_array_equal(
+                np.asarray(single.data), np.asarray(b.data), err_msg=form
+            )
+            assert int(single.length) == int(b.length)
+            assert b.rate == 48_000 and b.channels == 2
