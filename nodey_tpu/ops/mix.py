@@ -27,12 +27,17 @@ def _pad_to(data, capacity: int):
 
 def _common_grid(streams: Sequence[Stream]) -> Tuple[List[Stream], int]:
     """Normalize every stream to 48 kHz stereo and pad to a shared
-    capacity. Same-geometry inputs resample in ONE batched call
-    (resample.to_rate_and_stereo_many — bitwise the per-stream path;
-    halves the launch count for the flagship's two 44.1 kHz tracks)."""
-    normed = resample_ops.to_rate_and_stereo_many(
-        streams, config.AMIX_STD_SAMPLE_RATE
-    )
+    capacity. Kept PER-STREAM: the batched variant
+    (resample.to_rate_and_stereo_many, bitwise-equal and test-pinned)
+    measured SLOWER on chip under the kernel form — one C=4 launch ran
+    the flagship headline at 9.4 ms vs 8.7 ms for two C=2 launches
+    (2026-08-21; the larger per-step VMEM window footprint outweighs
+    the halved grid overhead). Revisit if the kernel's scratch layout
+    changes."""
+    normed = [
+        resample_ops.to_rate_and_stereo(s, config.AMIX_STD_SAMPLE_RATE)
+        for s in streams
+    ]
     capacity = max(s.capacity for s in normed)
     return normed, capacity
 

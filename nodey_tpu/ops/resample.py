@@ -648,15 +648,19 @@ def to_rate_and_stereo_many(
 ) -> List[Stream]:
     """Batched mixer-input normalization: inputs sharing (rate, buffer
     width) resample in ONE call, their channels stacked into the batch
-    dimension — for the flagship's two 44.1 kHz tracks that turns two
-    C=2 kernel launches into one C=4 launch (half the grid/DMA
-    overheads, twice the MXU rows per dot; the resample is the
-    headline's dominant term). Every formulation treats the channel
-    axis as an independent batch (per-row dots / 'c' einsum batch), so
-    per-stream outputs are BITWISE the one-at-a-time path's
-    (test-pinned for patches, transposed and kernel-interpret).
-    Per-stream valid-length masking and t0 are applied after the
-    split, exactly as resample_stream does."""
+    dimension. Every formulation treats the channel axis as an
+    independent batch (per-row dots / 'c' einsum batch), so per-stream
+    outputs are BITWISE the one-at-a-time path's (test-pinned for
+    patches, transposed and kernel-interpret). Per-stream valid-length
+    masking and t0 are applied after the split, exactly as
+    resample_stream does.
+
+    NOT used by the mixer (mix._common_grid): measured SLOWER on chip
+    under the kernel form — one C=4 launch ran the flagship headline at
+    9.4 ms vs 8.7 ms for two C=2 launches (2026-08-21; the larger
+    per-step VMEM window footprint outweighs the halved grid overhead).
+    Kept as tested infrastructure for formulations where batching wins
+    (it does on CPU patches)."""
     stereo = [to_stereo(s) for s in streams]
     out: List[Optional[Stream]] = [None] * len(stereo)
     groups: Dict[Tuple[int, int], List[int]] = {}
