@@ -923,12 +923,23 @@ def kernel_mfu(seconds: float, iters: int = 8):
             )
             return stft_ops.magnitude_spectrogram(st, n_fft, hop)
 
+        # The optimum is GEMM + the magnitude pass's traffic floor: the
+        # path must re-read the stacked re|im planes and write |X| —
+        # modeled as bytes/HBM-peak (a separately-MEASURED tiny pass
+        # over-counts fixed dispatch overheads at this 30 s shape and
+        # clamps the fraction; bytes/BW scales honestly). This term was
+        # omitted while the 6-pass GEMM dwarfed it; at HIGH the GEMM
+        # halved and the magnitude share became visible.
+        bins = n_fft // 2 + 1
+        mag_bytes = 2 * S * (2 * bins + bins) * 4  # read y + write |X|
+        t_mag = mag_bytes / (V5E_HBM_GBPS * 1e9)
         t_path = timed(spec_fn, x48s)
-        frac = min(t_raw / t_path, 1.0)
+        frac = min((t_raw + t_mag) / t_path, 1.0)
         log(
             f"spectrum ceiling: raw [{2 * S},{n_fft}]x[{n_fft},"
             f"{2 * (n_fft // 2 + 1)}] {stft_ops.STFT_PRECISION} GEMM "
-            f"{t_raw * 1e3:.2f} ms vs real path {t_path * 1e3:.2f} ms "
+            f"{t_raw * 1e3:.2f} ms + magnitude traffic floor "
+            f"{t_mag * 1e3:.3f} ms vs real path {t_path * 1e3:.2f} ms "
             f"-> fraction {frac:.3f}"
         )
         out.append(("bound_fraction_spectrum_gemm", frac))
