@@ -77,8 +77,15 @@ def test_run_platform_cpu_subprocess(tmp_path):
     project = _write_project(tmp_path)
     out = tmp_path / "out.wav"
     env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)  # only the flag may do the overriding
-    env["PYTHONPATH"] = repo_root
+    # Keep the REAL deployment state: JAX_PLATFORMS/sitecustomize pins
+    # (rigs export JAX_PLATFORMS=axon and register the plugin via a
+    # PYTHONPATH sitecustomize — APPEND the repo, never clobber, or the
+    # subprocess silently loses the very pin the flag must override).
+    # The test harness's conftest forces cpu in-process only; the child
+    # must see whatever the machine really pins.
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH", "")) if p
+    )
     proc = subprocess.run(
         [sys.executable, "-m", "nodey_tpu.app.cli", "run", str(project),
          "--preview", str(out), "--platform", "cpu"],
