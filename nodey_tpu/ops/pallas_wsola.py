@@ -35,7 +35,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nodey_tpu.ops import stretch as stretch_ops
 
 LANE = 128
 

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from nodey_tpu.ops import pv
-from nodey_tpu.ops.stft import _dft_matrices
 
 from conftest import snr_db
 
